@@ -1,0 +1,182 @@
+"""Configuration dataclasses for quantization and models.
+
+TPU-native re-design of the reference's ``AwqConfig``
+(reference: quick/awq/models/_config.py:8-92). Persisted both as a standalone
+``quant_config.json`` and embedded under ``quantization_config`` in the HF
+model config, mirroring the reference's dual persistence so checkpoints
+interoperate.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+QUANT_CONFIG_FILENAME = "quant_config.json"
+
+#: Kernel/layout family names. "qtpu" is this framework's native layout (the
+#: TPU analog of the reference's "QUICK" version string); "gemm" designates an
+#: imported AutoAWQ GEMM-layout checkpoint (converted to qtpu at load).
+KNOWN_VERSIONS = ("qtpu", "gemm", "gemv", "quick")
+
+
+@dataclass
+class QuantConfig:
+    """Group-wise INT4 weight quantization settings.
+
+    Field semantics match the reference AwqConfig
+    (quick/awq/models/_config.py:8-16): asymmetric (zero_point=True),
+    q_group_size=128, w_bit=4.
+    """
+
+    zero_point: bool = True
+    q_group_size: int = 128
+    w_bit: int = 4
+    version: str = "qtpu"
+    modules_to_not_convert: Optional[List[str]] = None
+
+    config_file_name: str = QUANT_CONFIG_FILENAME
+
+    def __post_init__(self):
+        if self.w_bit not in (4,):
+            raise ValueError(f"only 4-bit supported, got w_bit={self.w_bit}")
+        if self.q_group_size <= 0 or self.q_group_size % 8 != 0:
+            raise ValueError(f"invalid q_group_size={self.q_group_size}")
+
+    # -- persistence ---------------------------------------------------------
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            "zero_point": self.zero_point,
+            "q_group_size": self.q_group_size,
+            "w_bit": self.w_bit,
+            "version": self.version,
+            "modules_to_not_convert": self.modules_to_not_convert,
+        }
+
+    def to_transformers_dict(self) -> Dict[str, Any]:
+        """HF-style quantization_config dict (reference _config.py:84-92)."""
+        return {
+            "quant_method": "awq",
+            "zero_point": self.zero_point,
+            "group_size": self.q_group_size,
+            "bits": self.w_bit,
+            "version": self.version,
+            "modules_to_not_convert": self.modules_to_not_convert,
+        }
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "QuantConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        # accept both our names and HF transformers names
+        remap = {"group_size": "q_group_size", "bits": "w_bit"}
+        kwargs = {}
+        for k, v in d.items():
+            k = remap.get(k, k)
+            if k in known and k != "config_file_name":
+                kwargs[k] = v
+        return cls(**kwargs)
+
+    def save_pretrained(self, save_dir: str) -> str:
+        os.makedirs(save_dir, exist_ok=True)
+        path = os.path.join(save_dir, self.config_file_name)
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+        return path
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str) -> "QuantConfig":
+        """Load from quant_config.json, or from config.json's
+        quantization_config (reference _config.py:26-72 search order)."""
+        qc_path = os.path.join(model_dir, QUANT_CONFIG_FILENAME)
+        if os.path.exists(qc_path):
+            with open(qc_path) as f:
+                return cls.from_dict(json.load(f))
+        cfg_path = os.path.join(model_dir, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                cfg = json.load(f)
+            if "quantization_config" in cfg:
+                return cls.from_dict(cfg["quantization_config"])
+        raise FileNotFoundError(f"no quantization config found in {model_dir}")
+
+
+@dataclass
+class ModelConfig:
+    """Architecture hyperparameters for the decoder-only model runtime.
+
+    One config covers the whole Llama-like family (Llama, TinyLlama, Mistral,
+    Vicuna, Yi, Qwen2, ...); family-specific switches (MoE, attention bias,
+    alibi, parallel residual, ...) widen it to the remaining reference
+    architectures (reference model map: quick/awq/models/auto.py:6-24).
+    """
+
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    head_dim: Optional[int] = None
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    tie_word_embeddings: bool = False
+    # family switches
+    model_type: str = "llama"
+    attention_bias: bool = False          # qwen(1) style qkv bias
+    mlp_bias: bool = False
+    use_alibi: bool = False               # mpt / baichuan-13b / bloom
+    parallel_residual: bool = False       # gptj / gpt-neox / falcon style
+    use_rope: bool = True                 # opt/bloom use learned/alibi instead
+    layernorm: str = "rmsnorm"            # "rmsnorm" | "layernorm"
+    act_fn: str = "silu"                  # "silu" | "gelu"
+    gated_mlp: bool = True                # swiglu vs plain 2-layer mlp
+    # MoE (mixtral)
+    num_local_experts: int = 0
+    num_experts_per_tok: int = 2
+    # norm epsilon name differences handled at import time
+
+    def __post_init__(self):
+        if self.head_dim is None:
+            self.head_dim = self.hidden_size // self.num_attention_heads
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_local_experts > 0
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "ModelConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    @classmethod
+    def from_hf_config(cls, hf: Any) -> "ModelConfig":
+        """Build from a transformers PretrainedConfig (or dict)."""
+        if not isinstance(hf, dict):
+            hf = hf.to_dict()
+        mt = hf.get("model_type", "llama")
+        kw: Dict[str, Any] = dict(
+            vocab_size=hf.get("vocab_size", 32000),
+            hidden_size=hf.get("hidden_size", hf.get("n_embd", hf.get("d_model", 4096))),
+            num_hidden_layers=hf.get("num_hidden_layers", hf.get("n_layer", hf.get("n_layers", 32))),
+            num_attention_heads=hf.get("num_attention_heads", hf.get("n_head", hf.get("n_heads", 32))),
+            max_position_embeddings=hf.get("max_position_embeddings", hf.get("n_positions", 4096)),
+            model_type=mt,
+        )
+        kw["num_key_value_heads"] = hf.get("num_key_value_heads", kw["num_attention_heads"])
+        kw["intermediate_size"] = hf.get("intermediate_size", hf.get("ffn_dim", 4 * kw["hidden_size"]))
+        kw["rms_norm_eps"] = hf.get("rms_norm_eps", hf.get("layer_norm_epsilon", 1e-5))
+        kw["rope_theta"] = hf.get("rope_theta", 10000.0)
+        kw["tie_word_embeddings"] = hf.get("tie_word_embeddings", False)
+        kw["attention_bias"] = hf.get("attention_bias", mt == "qwen")
+        if "head_dim" in hf and hf["head_dim"]:
+            kw["head_dim"] = hf["head_dim"]
+        if mt == "mixtral":
+            kw["num_local_experts"] = hf.get("num_local_experts", 8)
+            kw["num_experts_per_tok"] = hf.get("num_experts_per_tok", 2)
+        return cls(**kw)

@@ -1,0 +1,230 @@
+"""Fused W4A16 dequant+matmul Pallas kernel — the QUICK-kernel TPU analog.
+
+This is the framework's hot op, replacing the reference's CUDA kernel family
+``gemm_forward_cuda_quick`` (reference csrc/gemm_cuda_quick.cu:1456-1517 and
+the ``compute_gemm``/``compute_gemm_x2`` device loops at csrc:20-1196).
+
+Design (TPU-first, not a translation):
+
+- Weights stay INT4-packed in HBM (QTPU layout, see
+  ``quick_tpu/quantize/packing.py``); each grid step DMAs a packed block to
+  VMEM and unpacks with shift/mask only — the j-major nibble order makes every
+  4-bit slab a contiguous sublane block, so there are no shuffles and no
+  scratch round-trips (the QUICK core idea, reference README.md:20-24).
+- Scale/zero-point factor out of the inner loop:
+      out = sum_g (x_g @ q_g) * s_g  -  xsum @ (z*s)
+  The weight path is int->bf16 convert + one broadcast multiply; the
+  zero-point correction is a tiny [M, n_groups] x [n_groups, N] matmul.
+  (The reference instead applies sub+mul per mma fragment, csrc:53-60; on TPU
+  the factored form keeps the VPU off the critical path.)
+- K-accumulation runs in an f32 VMEM scratch over the innermost grid
+  dimension (the split-K analog: reference reduces split-K on the host,
+  csrc:1515 — here the accumulation is fused, no HBM round-trip).
+- Where the reference picks m1/m16/m32/m64 kernels by M (csrc:1488-1514),
+  we pick (bm, bn, groups-per-step) tile parameters by (M, K, N); decode
+  (small M) is HBM-bandwidth-bound, prefill is MXU-bound.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PACK = 8
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _make_kernel(gpb: int, slab: int, bn: int):
+    """Kernel for one (bm, bn) output tile, stepping gpb quant groups per call."""
+    G = slab * PACK
+
+    def kernel(x_ref, qw_ref, s_ref, zs_ref, xs_ref, o_ref, acc):
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        # unpack: [gpb*slab, bn] int32 -> [gpb, 8, slab, bn] nibbles, j-major
+        shifts = jax.lax.broadcasted_iota(jnp.int32, (1, PACK, 1, 1), 1) * 4
+        qw = qw_ref[:].reshape(gpb, 1, slab, bn)
+        nib = (qw >> shifts) & 0xF
+        # per-element scale (broadcast along the group), then one big dot
+        w = nib.astype(jnp.bfloat16) * s_ref[:].reshape(gpb, 1, 1, bn)
+        w = w.reshape(gpb * G, bn)
+        partial = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+        # zero-point correction: xsum[g, m] x zs[g, n] contraction over g
+        corr = jax.lax.dot_general(
+            xs_ref[:, :, 0],
+            zs_ref[:].reshape(gpb, bn),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc[:] += partial - corr
+
+        @pl.when(k == pl.num_programs(2) - 1)
+        def _():
+            o_ref[:] = acc[:].astype(o_ref.dtype)
+
+    return kernel
+
+
+def _pick_bn(N: int, M: int) -> int:
+    for bn in (1024, 512, 2048, 256, 128):
+        if N % bn == 0:
+            return bn
+    return N
+
+
+def _pick_gpb(ng: int, G: int, bn: int, slab: int) -> int:
+    # deepest K-step whose unpacked bf16 tile stays within ~4MB of VMEM and
+    # whose int32 block keeps sublane alignment
+    gpb = 1
+    for cand in (64, 32, 16, 8, 4, 2, 1):
+        if ng % cand:
+            continue
+        if cand * G * bn * 2 > 4 * 1024 * 1024:
+            continue
+        if (cand * slab) % 8 and cand * slab != ng * slab:
+            continue
+        gpb = cand
+        break
+    return gpb
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "out_dtype", "bm", "bn", "gpb")
+)
+def _quantized_matmul_2d(
+    x: jax.Array,
+    qweight: jax.Array,
+    scales: jax.Array,
+    zeros_x_scales: jax.Array,
+    group_size: int = 128,
+    out_dtype=jnp.bfloat16,
+    bm: Optional[int] = None,
+    bn: Optional[int] = None,
+    gpb: Optional[int] = None,
+) -> jax.Array:
+    """x [M, K] @ dequant(qweight) [K, N] -> [M, N].
+
+    qweight: QTPU-packed int32 [K//8, N]; scales/zeros_x_scales: [K//G, N].
+    """
+    M, K = x.shape
+    N = qweight.shape[1]
+    G = group_size
+    ng = K // G
+    slab = G // PACK
+
+    # --- tile selection (reference's M-based kernel mux, csrc:1488-1514) ---
+    Mp = M if M <= 8 else _round_up(M, 8)
+    if bm is None:
+        bm = Mp if Mp <= 128 else (128 if Mp % 128 == 0 else _round_up_pow2_div(Mp))
+    if bn is None:
+        bn = _pick_bn(N, M)
+    if gpb is None:
+        gpb = _pick_gpb(ng, G, bn, slab)
+
+    x = x.astype(jnp.bfloat16)
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+
+    xsum = (
+        x.astype(jnp.float32).reshape(Mp, ng, G).sum(-1).T.reshape(ng, Mp, 1)
+    )
+    s3 = scales.reshape(ng, 1, N)
+    zs3 = zeros_x_scales.reshape(ng, 1, N)
+
+    out = pl.pallas_call(
+        _make_kernel(gpb, slab, bn),
+        grid=(Mp // bm, N // bn, ng // gpb),
+        in_specs=[
+            pl.BlockSpec((bm, gpb * G), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb * slab, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, 1, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, 1, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, bm, 1), lambda i, j, k: (k, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=K * N // 2 + Mp * K * 2 + Mp * N * 2 + ng * N * 8,
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(x, qweight, s3, zs3, xsum)
+    return out[:M] if Mp != M else out
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def _round_up_pow2_div(Mp: int) -> int:
+    # largest tile <= 256 that divides Mp (Mp is a multiple of 8)
+    for bm in (256, 128, 64, 32, 16, 8):
+        if Mp % bm == 0:
+            return bm
+    return Mp
+
+
+def quantized_matmul_reference(
+    x: jax.Array,
+    qweight_unpacked: jax.Array,
+    scales: jax.Array,
+    zeros: jax.Array,
+    group_size: int = 128,
+) -> jax.Array:
+    """Golden model: dequantize-then-matmul in fp32 (no Pallas).
+
+    ``qweight_unpacked``: uint8 codes [K, N]; ``zeros``: integer zero points
+    [K//G, N] (NOT pre-multiplied by scales). Port of the semantics of the
+    reference's pure-torch fallback (quick/awq/utils/packing_utils.py:82-96).
+    """
+    K, N = qweight_unpacked.shape
+    ng = K // group_size
+    q = qweight_unpacked.astype(jnp.float32).reshape(ng, group_size, N)
+    w = (q - zeros[:, None, :]) * scales[:, None, :]
+    return jnp.dot(x.astype(jnp.float32), w.reshape(K, N))
+
+
+def quantized_matmul(
+    x: jax.Array,
+    qweight: jax.Array,
+    scales: jax.Array,
+    zeros_x_scales: jax.Array,
+    group_size: int = 128,
+    bias: Optional[jax.Array] = None,
+    out_dtype=None,
+) -> jax.Array:
+    """Public fused W4A16 matmul over arbitrary leading dims.
+
+    x: [..., K] activations; qweight: QTPU int32 [K//8, N];
+    scales/zeros_x_scales: f32 [K//G, N]. Returns [..., N].
+    """
+    if out_dtype is None:
+        out_dtype = x.dtype if x.dtype != jnp.float32 else jnp.bfloat16
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    y = _quantized_matmul_2d(
+        x2, qweight, scales, zeros_x_scales,
+        group_size=group_size, out_dtype=out_dtype,
+    )
+    y = y.reshape(*lead, y.shape[-1])
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y

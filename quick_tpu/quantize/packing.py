@@ -1,0 +1,144 @@
+"""INT4 weight packing: the QTPU interleaved layout + AutoAWQ interop.
+
+The QTPU layout is this framework's analog of the reference's QUICK offline
+interleave (quick/awq/modules/linear/quick.py:89-150). The GPU reference
+reorders nibbles so one ``uint4`` load per thread is ``mma``-fragment-ready;
+here the co-design target is the TPU's (sublane × lane) vector layout and the
+MXU's VMEM operand order:
+
+**QTPU format** — for weight q [K, N] (codes 0..15), group size G, SLAB = G//8:
+``qweight`` is int32 [K//8, N]. Within group ``g``, word ``(g*SLAB + k8, n)``
+holds nibble ``j`` = code ``q[g*G + j*SLAB + k8, n]`` (j-major row order).
+Inside the Pallas kernel, slab ``j`` = ``(qw >> 4j) & 0xF`` is then a
+*contiguous* [SLAB, N] row-block; for G=128, SLAB=16 matches the bf16
+(16, 128) native tile exactly, so the 8 slabs concatenate along sublanes with
+zero shuffles — unpack is shift/mask/convert only, the TPU equivalent of
+QUICK's "no shared-memory write-back" property (reference README.md:20-24).
+
+Scales are NOT duplicated (the reference's 2x duplication,
+linear/quick.py:52-54, is an ``mma`` fragment artifact with no TPU analog).
+Instead we store ``scales`` [K//G, N] and ``zeros_x_scales = z*s`` [K//G, N]
+so the kernel can factor both out of the inner loop:
+``out = sum_g (x_g @ q_g) * s_g - xsum @ (z*s)``.
+
+Also provided: pack/unpack for the AutoAWQ **GEMM** layout
+(column-interleaved order_map, reference quick/awq/modules/linear/gemm.py:116
+and utils/packing_utils.py:4-96) so existing AWQ checkpoints can be imported
+and our checkpoints exported.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+PACK = 8  # int4 nibbles per int32 word
+
+# AutoAWQ GEMM column interleave (reference linear/gemm.py:116) and its
+# inverse (reference utils/packing_utils.py:10).
+AWQ_ORDER = np.array([0, 2, 4, 6, 1, 3, 5, 7])
+AWQ_REVERSE_ORDER = np.array([0, 4, 1, 5, 2, 6, 3, 7])
+
+
+# ---------------------------------------------------------------------------
+# QTPU native layout
+# ---------------------------------------------------------------------------
+
+def pack_qtpu(q: np.ndarray, group_size: int = 128) -> np.ndarray:
+    """Pack codes [K, N] (uint8, 0..15) into QTPU int32 [K//8, N].
+
+    j-major within-group nibble order (see module docstring).
+    """
+    K, N = q.shape
+    if K % group_size:
+        raise ValueError(f"K={K} not divisible by group_size={group_size}")
+    if group_size % PACK:
+        raise ValueError(f"group_size={group_size} not divisible by {PACK}")
+    slab = group_size // PACK
+    qg = np.ascontiguousarray(q).reshape(K // group_size, PACK, slab, N)
+    qg = qg.astype(np.uint32)
+    words = np.zeros((K // group_size, slab, N), dtype=np.uint32)
+    for j in range(PACK):
+        words |= qg[:, j] << np.uint32(4 * j)
+    return words.reshape(K // PACK, N).view(np.int32)
+
+
+def unpack_qtpu(qweight: np.ndarray, group_size: int = 128) -> np.ndarray:
+    """Inverse of :func:`pack_qtpu`: int32 [K//8, N] -> uint8 codes [K, N]."""
+    K8, N = qweight.shape
+    K = K8 * PACK
+    slab = group_size // PACK
+    words = qweight.view(np.uint32).reshape(K // group_size, slab, N)
+    out = np.empty((K // group_size, PACK, slab, N), dtype=np.uint8)
+    for j in range(PACK):
+        out[:, j] = ((words >> np.uint32(4 * j)) & np.uint32(0xF)).astype(np.uint8)
+    return out.reshape(K, N)
+
+
+# ---------------------------------------------------------------------------
+# AutoAWQ GEMM layout interop
+# ---------------------------------------------------------------------------
+
+def pack_awq_gemm(q_t: np.ndarray) -> np.ndarray:
+    """Pack codes laid out [K, N] into AutoAWQ GEMM int32 [K, N//8].
+
+    Column-packed with AWQ_ORDER interleave (reference
+    quick/awq/modules/linear/gemm.py:100-121 packs along output channels).
+    """
+    K, N = q_t.shape
+    if N % PACK:
+        raise ValueError(f"N={N} not divisible by {PACK}")
+    cols = q_t.reshape(K, N // PACK, PACK).astype(np.uint32)
+    cols = cols[:, :, AWQ_ORDER]  # nibble j holds column AWQ_ORDER[j]
+    words = np.zeros((K, N // PACK), dtype=np.uint32)
+    for j in range(PACK):
+        words |= cols[:, :, j] << np.uint32(4 * j)
+    return words.view(np.int32)
+
+
+def unpack_awq_gemm(qweight: np.ndarray) -> np.ndarray:
+    """Unpack AutoAWQ GEMM int32 [K, N//8] -> codes [K, N].
+
+    Equivalent to reference ``unpack_awq`` + ``reverse_awq_order``
+    (quick/awq/utils/packing_utils.py:4-42).
+    """
+    K, N8 = qweight.shape
+    words = qweight.view(np.uint32)
+    nibbles = np.empty((K, N8, PACK), dtype=np.uint8)
+    for j in range(PACK):
+        nibbles[:, :, j] = ((words >> np.uint32(4 * j)) & np.uint32(0xF)).astype(np.uint8)
+    # nibble j is column AWQ_ORDER[j]; invert the interleave
+    nibbles = nibbles[:, :, AWQ_REVERSE_ORDER]
+    return nibbles.reshape(K, N8 * PACK)
+
+
+def import_awq_gemm(
+    qweight: np.ndarray,
+    qzeros: np.ndarray,
+    scales: np.ndarray,
+    group_size: int = 128,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Convert an AutoAWQ GEMM checkpoint tensor triple to QTPU arrays.
+
+    Inputs (AutoAWQ convention, reference linear/gemm.py:14-36):
+      qweight [K, N//8] int32, qzeros [K//G, N//8] int32, scales [K//G, N].
+    Returns (qweight_qtpu [K//8, N] int32, scales [K//G, N] f32,
+             zeros_x_scales [K//G, N] f32).
+    """
+    q = unpack_awq_gemm(qweight)                    # [K, N]
+    z = unpack_awq_gemm(qzeros).astype(np.float32)  # [K//G, N]
+    s = scales.astype(np.float32)
+    return pack_qtpu(q, group_size), s, z * s
+
+
+def export_awq_gemm(
+    qweight_qtpu: np.ndarray,
+    scales: np.ndarray,
+    zeros_x_scales: np.ndarray,
+    group_size: int = 128,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of :func:`import_awq_gemm` (QTPU -> AutoAWQ GEMM triple)."""
+    q = unpack_qtpu(qweight_qtpu, group_size)
+    s = scales.astype(np.float32)
+    z = np.round(zeros_x_scales / np.clip(s, 1e-10, None)).astype(np.uint8)
+    return pack_awq_gemm(q), pack_awq_gemm(z), s.astype(np.float16)

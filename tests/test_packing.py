@@ -1,0 +1,55 @@
+"""Packed-layout property tests: QTPU round trips + AutoAWQ interop."""
+import numpy as np
+import pytest
+
+from quick_tpu.quantize.packing import (
+    export_awq_gemm,
+    import_awq_gemm,
+    pack_awq_gemm,
+    pack_qtpu,
+    unpack_awq_gemm,
+    unpack_qtpu,
+)
+
+
+@pytest.mark.parametrize("group_size", [32, 64, 128])
+def test_qtpu_round_trip(rng, group_size):
+    q = rng.integers(0, 16, (512, 96), dtype=np.uint8)
+    packed = pack_qtpu(q, group_size)
+    assert packed.shape == (512 // 8, 96) and packed.dtype == np.int32
+    np.testing.assert_array_equal(unpack_qtpu(packed, group_size), q)
+
+
+def test_qtpu_j_major_order(rng):
+    """The layout contract the Pallas kernel relies on: nibble j of word
+    (g*slab + k8, n) is code q[g*G + j*slab + k8, n]."""
+    G, slab = 128, 16
+    q = rng.integers(0, 16, (256, 8), dtype=np.uint8)
+    packed = pack_qtpu(q, G).view(np.uint32)
+    for g in range(2):
+        for j in range(8):
+            for k8 in (0, 5, 15):
+                word = packed[g * slab + k8, 3]
+                assert (word >> (4 * j)) & 0xF == q[g * G + j * slab + k8, 3]
+
+
+def test_awq_gemm_round_trip(rng):
+    q = rng.integers(0, 16, (256, 64), dtype=np.uint8)
+    packed = pack_awq_gemm(q)
+    assert packed.shape == (256, 8) and packed.dtype == np.int32
+    np.testing.assert_array_equal(unpack_awq_gemm(packed), q)
+
+
+def test_awq_import_export_round_trip(rng):
+    K, N, G = 256, 64, 128
+    q = rng.integers(0, 16, (K, N), dtype=np.uint8)
+    z = rng.integers(0, 16, (K // G, N), dtype=np.uint8)
+    s = (rng.random((K // G, N)).astype(np.float32) * 0.02 + 1e-3)
+    qw_awq, qz_awq = pack_awq_gemm(q), pack_awq_gemm(z)
+    qw, s2, zs = import_awq_gemm(qw_awq, qz_awq, s, G)
+    np.testing.assert_array_equal(unpack_qtpu(qw, G), q)
+    np.testing.assert_allclose(zs, z.astype(np.float32) * s, rtol=1e-6)
+    qw_back, qz_back, s_back = export_awq_gemm(qw, s2, zs, G)
+    np.testing.assert_array_equal(qw_back, qw_awq)
+    np.testing.assert_array_equal(qz_back, qz_awq)
+    np.testing.assert_allclose(s_back.astype(np.float32), s, rtol=1e-2)

@@ -1,0 +1,84 @@
+"""Fused W4A16 kernel vs the golden dequant-matmul (interpret mode on CPU)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quick_tpu.ops import quantized_matmul, quantized_matmul_reference
+from quick_tpu.quantize import quantize_tensor
+from quick_tpu.quantize.packing import pack_qtpu
+
+
+def _make_case(rng, M, K, N, G=128):
+    w = (rng.standard_normal((K, N)) * 0.05).astype(np.float32)
+    qt = quantize_tensor(jnp.asarray(w), group_size=G)
+    qw = pack_qtpu(np.asarray(qt.q), G)
+    x = (rng.standard_normal((M, K)) * 0.5).astype(np.float32)
+    s = np.asarray(qt.scales)
+    z = np.asarray(qt.zeros)
+    ref = np.asarray(
+        quantized_matmul_reference(jnp.asarray(x), qt.q, qt.scales, qt.zeros, G)
+    )
+    return x, qw, s, z * s, ref
+
+
+@pytest.mark.parametrize("M", [1, 4, 8, 16, 33, 128])
+def test_matches_reference_over_M(rng, M):
+    x, qw, s, zs, ref = _make_case(rng, M, 512, 256)
+    out = np.asarray(
+        quantized_matmul(jnp.asarray(x, jnp.bfloat16), jnp.asarray(qw),
+                         jnp.asarray(s), jnp.asarray(zs))
+    ).astype(np.float32)
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(out - ref).max() / scale < 2e-2  # bf16 activations
+
+
+@pytest.mark.parametrize("K,N", [(256, 128), (384, 640), (1024, 512)])
+def test_matches_reference_over_shapes(rng, K, N):
+    x, qw, s, zs, ref = _make_case(rng, 16, K, N)
+    out = np.asarray(
+        quantized_matmul(jnp.asarray(x, jnp.bfloat16), jnp.asarray(qw),
+                         jnp.asarray(s), jnp.asarray(zs))
+    ).astype(np.float32)
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(out - ref).max() / scale < 2e-2
+
+
+def test_batched_leading_dims(rng):
+    x, qw, s, zs, ref = _make_case(rng, 12, 256, 128)
+    x3 = x.reshape(3, 4, 256)
+    out = np.asarray(
+        quantized_matmul(jnp.asarray(x3, jnp.bfloat16), jnp.asarray(qw),
+                         jnp.asarray(s), jnp.asarray(zs))
+    ).astype(np.float32)
+    assert out.shape == (3, 4, 128)
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(out.reshape(12, 128) - ref).max() / scale < 2e-2
+
+
+def test_bias(rng):
+    x, qw, s, zs, ref = _make_case(rng, 8, 256, 128)
+    b = rng.standard_normal(128).astype(np.float32)
+    out = np.asarray(
+        quantized_matmul(jnp.asarray(x, jnp.bfloat16), jnp.asarray(qw),
+                         jnp.asarray(s), jnp.asarray(zs),
+                         bias=jnp.asarray(b))
+    ).astype(np.float32)
+    scale = np.abs(ref + b).max() + 1e-6
+    assert np.abs(out - (ref + b)).max() / scale < 2e-2
+
+
+def test_exactness_fp32_activations(rng):
+    """With activations exactly representable in bf16 and tiny K the kernel
+    should be near machine precision (no systematic bias)."""
+    K, N, G = 128, 128, 128
+    q = rng.integers(0, 16, (K, N), dtype=np.uint8)
+    s = np.ones((1, N), np.float32) * 0.5
+    z = np.full((1, N), 8.0, np.float32)
+    qw = pack_qtpu(q, G)
+    x = rng.integers(-2, 3, (8, K)).astype(np.float32)  # exact in bf16
+    ref = x @ ((q.astype(np.float32) - 8.0) * 0.5)
+    out = np.asarray(
+        quantized_matmul(jnp.asarray(x, jnp.bfloat16), jnp.asarray(qw),
+                         jnp.asarray(s), jnp.asarray(z * s))
+    ).astype(np.float32)
+    np.testing.assert_allclose(out, ref, atol=1e-1, rtol=1e-2)
