@@ -102,7 +102,7 @@ class QuantConfig:
         raise FileNotFoundError(f"no quantization config found in {model_dir}")
 
 
-@dataclass
+@dataclass(frozen=True)
 class ModelConfig:
     """Architecture hyperparameters for the decoder-only model runtime.
 
@@ -140,7 +140,9 @@ class ModelConfig:
 
     def __post_init__(self):
         if self.head_dim is None:
-            self.head_dim = self.hidden_size // self.num_attention_heads
+            object.__setattr__(
+                self, "head_dim", self.hidden_size // self.num_attention_heads
+            )
 
     @property
     def is_moe(self) -> bool:

@@ -1,0 +1,190 @@
+"""The decoder-only model: parameters + functional forward.
+
+One parameterized implementation covers the Llama-like family (the
+reference's ``LlamaLikeModel``, quick/awq/modules/fused/model.py:77-109) and
+its MoE variant (``MixtralModel``); other families plug in via ModelConfig
+switches. The forward is a pure function of (params, tokens, cache) — no
+device hops, no input-id dedup bookkeeping (reference
+utils/fused_utils.py:30-42): under jit the whole step is one XLA program.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from quick_tpu.config import ModelConfig
+from quick_tpu.modules.blocks import (
+    AttentionParams,
+    BlockParams,
+    MLPParams,
+    MoEParams,
+    block_forward,
+)
+from quick_tpu.modules.cache import KVCache
+from quick_tpu.modules.linear import Linear, QuantLinear, concat_linears
+from quick_tpu.ops.norms import layer_norm, rms_norm
+from quick_tpu.ops.rope import rope_table
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ModelParams:
+    embed: jax.Array  # [V, D]
+    blocks: List[BlockParams]
+    final_norm: jax.Array
+    lm_head: Linear  # left unquantized, like the reference (SURVEY 3.3)
+    rope_cos: jax.Array
+    rope_sin: jax.Array
+    final_norm_bias: Optional[jax.Array] = None
+
+
+def model_forward(
+    params: ModelParams,
+    cfg: ModelConfig,
+    tokens: jax.Array,  # [B, S] int32
+    cache: Optional[KVCache] = None,
+    positions: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Returns (logits [B, S, V], updated cache)."""
+    B, S = tokens.shape
+    if positions is None:
+        start = cache.length if cache is not None else 0
+        positions = jnp.arange(S)[None, :] + start  # [1, S] broadcasts over B
+        positions = jnp.broadcast_to(positions, (B, S))
+    x = params.embed[tokens].astype(jnp.bfloat16)
+    for i, blk in enumerate(params.blocks):
+        x, cache = block_forward(
+            blk, cfg, x, params.rope_cos, params.rope_sin, cache, i, positions
+        )
+    if cache is not None:
+        cache = cache.with_length(cache.length + S)
+    if cfg.layernorm == "rmsnorm":
+        x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
+    else:
+        x = layer_norm(x, params.final_norm, params.final_norm_bias, cfg.rms_norm_eps)
+    logits = params.lm_head(x)
+    return logits.astype(jnp.float32), cache
+
+
+# ---------------------------------------------------------------------------
+# Construction
+# ---------------------------------------------------------------------------
+
+def init_float_params(
+    cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16
+) -> ModelParams:
+    """Random-init float model (test/calibration source; the reference always
+    starts from HF checkpoints — random init is what lets this framework be
+    tested hermetically, SURVEY section 4)."""
+    D, F = cfg.hidden_size, cfg.intermediate_size
+    hq, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    keys = jax.random.split(key, cfg.num_hidden_layers + 3)
+
+    def dense(k, kin, kout, scale=None):
+        scale = scale or (1.0 / jnp.sqrt(kin))
+        return Linear(jax.random.normal(k, (kin, kout), dtype) * scale)
+
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        ks = jax.random.split(keys[i], 8)
+        qkv = dense(ks[0], D, (hq + 2 * hkv) * hd)
+        if cfg.attention_bias:
+            qkv = Linear(qkv.weight, jnp.zeros((hq + 2 * hkv) * hd, dtype))
+        attn = AttentionParams(
+            qkv_proj=qkv,
+            o_proj=dense(ks[1], hq * hd, D),
+        )
+        if cfg.is_moe:
+            E = cfg.num_local_experts
+            gu = Linear(
+                jax.random.normal(ks[2], (E, D, 2 * F), dtype) / jnp.sqrt(D)
+            )
+            dn = Linear(
+                jax.random.normal(ks[3], (E, F, D), dtype) / jnp.sqrt(F)
+            )
+            mlp = MoEParams(
+                router=dense(ks[4], D, E),
+                gate_up_proj=gu,
+                down_proj=dn,
+            )
+        else:
+            width = 2 * F if cfg.gated_mlp else F
+            mlp = MLPParams(
+                gate_up_proj=dense(ks[2], D, width),
+                down_proj=dense(ks[3], F, D),
+            )
+        blocks.append(
+            BlockParams(
+                attn_norm=jnp.ones(D, dtype),
+                attn=attn,
+                mlp_norm=jnp.ones(D, dtype),
+                mlp=mlp,
+            )
+        )
+    cos, sin = rope_table(cfg.max_position_embeddings, hd, cfg.rope_theta)
+    embed = jax.random.normal(keys[-1], (cfg.vocab_size, D), dtype) * 0.02
+    lm_head = (
+        Linear(embed.T) if cfg.tie_word_embeddings
+        else dense(keys[-2], D, cfg.vocab_size)
+    )
+    return ModelParams(
+        embed=embed,
+        blocks=blocks,
+        final_norm=jnp.ones(D, dtype),
+        lm_head=lm_head,
+        rope_cos=cos,
+        rope_sin=sin,
+    )
+
+
+def quantize_params(
+    params: ModelParams,
+    cfg: ModelConfig,
+    group_size: int = 128,
+    zero_point: bool = True,
+) -> ModelParams:
+    """RTN-quantize every block linear to W4A16 (AWQ scale search is applied
+    beforehand by quick_tpu.quantize.awq — this is the pack step, the analog
+    of BaseAWQForCausalLM.pack, reference models/base.py:123-138).
+
+    lm_head/embedding stay float (reference leaves them unconverted)."""
+
+    def q(lin: Linear) -> QuantLinear:
+        return QuantLinear.from_float(
+            lin.weight, lin.bias, group_size, zero_point
+        )
+
+    def q_stacked(lin: Linear) -> QuantLinear:
+        """Quantize a stacked-expert weight [E, K, N] expert-by-expert."""
+        qls = [
+            QuantLinear.from_float(
+                lin.weight[e],
+                None if lin.bias is None else lin.bias[e],
+                group_size, zero_point,
+            )
+            for e in range(lin.weight.shape[0])
+        ]
+        return QuantLinear(
+            qweight=jnp.stack([l.qweight for l in qls]),
+            scales=jnp.stack([l.scales for l in qls]),
+            zeros_x_scales=jnp.stack([l.zeros_x_scales for l in qls]),
+            bias=None if qls[0].bias is None else jnp.stack([l.bias for l in qls]),
+            group_size=group_size,
+        )
+
+    new_blocks = []
+    for blk in params.blocks:
+        attn = AttentionParams(q(blk.attn.qkv_proj), q(blk.attn.o_proj))
+        if isinstance(blk.mlp, MoEParams):
+            mlp = MoEParams(
+                router=blk.mlp.router,  # router stays float (mixtral.py:58)
+                gate_up_proj=q_stacked(blk.mlp.gate_up_proj),
+                down_proj=q_stacked(blk.mlp.down_proj),
+            )
+        else:
+            mlp = MLPParams(q(blk.mlp.gate_up_proj), q(blk.mlp.down_proj))
+        new_blocks.append(dataclasses.replace(blk, attn=attn, mlp=mlp))
+    return dataclasses.replace(params, blocks=new_blocks)

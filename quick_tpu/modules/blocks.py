@@ -1,0 +1,215 @@
+"""Fused decoder blocks (functional).
+
+TPU re-design of the reference's fused runtime blocks
+(quick/awq/modules/fused/block.py and fused/attn.py:100-245, fused/mlp.py):
+
+- QKV projections are fused offline into ONE quantized matmul (analog of
+  ``fuse_qkv_quick``, reference utils/fused_utils.py:97-159), as are
+  gate+up in the SwiGLU MLP (fused/mlp.py:37-48).
+- Attention handles MHA/GQA/MQA by head-group reshape (the reference keys a
+  shape table, utils/fused_utils.py:162-204, and repeat_interleaves KV,
+  fused/attn.py:194-195 — not needed here).
+- One code path serves prefill and decode; the position/cache state machine
+  (reference attn.py:141-157 ``start_pos``) reduces to the cache ``length``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from quick_tpu.config import ModelConfig
+from quick_tpu.modules.cache import KVCache
+from quick_tpu.modules.linear import Linear, QuantLinear
+from quick_tpu.ops.attention import causal_attention
+from quick_tpu.ops.norms import layer_norm, rms_norm
+
+AnyLinear = QuantLinear | Linear
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class AttentionParams:
+    qkv_proj: AnyLinear  # fused [D, (Hq + 2*Hkv) * hd]
+    o_proj: AnyLinear
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MLPParams:
+    gate_up_proj: AnyLinear  # fused [D, 2*ffn] (swiglu) or up only
+    down_proj: AnyLinear
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MoEParams:
+    """Mixtral-style sparse MoE: router + per-expert fused MLPs stacked on a
+    leading expert axis (reference keeps HF's module and quantizes each
+    expert linear, quick/awq/models/mixtral.py:58-74)."""
+
+    router: Linear  # [D, E] — kept float like the reference's gate
+    gate_up_proj: AnyLinear  # leading expert axis on each array
+    down_proj: AnyLinear
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BlockParams:
+    attn_norm: jax.Array
+    attn: AttentionParams
+    mlp_norm: jax.Array
+    mlp: "MLPParams | MoEParams"
+    attn_norm_bias: Optional[jax.Array] = None
+    mlp_norm_bias: Optional[jax.Array] = None
+
+
+def _norm(x, w, b, cfg: ModelConfig):
+    if cfg.layernorm == "rmsnorm":
+        return rms_norm(x, w, cfg.rms_norm_eps)
+    return layer_norm(x, w, b, cfg.rms_norm_eps)
+
+
+def attention_forward(
+    p: AttentionParams,
+    cfg: ModelConfig,
+    x: jax.Array,  # [B, S, D]
+    rope_cos: jax.Array,
+    rope_sin: jax.Array,
+    cache: Optional[KVCache],
+    layer_idx: int,
+    positions: jax.Array,  # [B, S]
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    from quick_tpu.ops.rope import apply_rope
+
+    B, S, D = x.shape
+    hq, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    qkv = p.qkv_proj(x)  # [B, S, (hq+2hkv)*hd]
+    q, k, v = jnp.split(qkv, [hq * hd, (hq + hkv) * hd], axis=-1)
+    q = q.reshape(B, S, hq, hd)
+    k = k.reshape(B, S, hkv, hd)
+    v = v.reshape(B, S, hkv, hd)
+    if cfg.use_rope:
+        q = apply_rope(q, positions, rope_cos, rope_sin)
+        k = apply_rope(k, positions, rope_cos, rope_sin)
+
+    if cache is not None:
+        start = cache.length
+        cache = cache.update(layer_idx, k, v, start)
+        k_all, v_all = cache.layer(layer_idx)
+        out = causal_attention(
+            q, k_all, v_all, q_offset=start, kv_len=start + S
+        )
+    else:
+        out = causal_attention(q, k, v)
+    out = out.reshape(B, S, hq * hd)
+    return p.o_proj(out), cache
+
+
+def _act(x, cfg: ModelConfig):
+    if cfg.act_fn == "silu":
+        return jax.nn.silu(x)
+    return jax.nn.gelu(x)
+
+
+def mlp_forward(p: MLPParams, cfg: ModelConfig, x: jax.Array) -> jax.Array:
+    """SwiGLU (or plain) MLP with fused gate+up (reference fused/mlp.py:52-76)."""
+    if cfg.gated_mlp:
+        gu = p.gate_up_proj(x)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        return p.down_proj(_act(gate, cfg) * up)
+    return p.down_proj(_act(p.gate_up_proj(x), cfg))
+
+
+def moe_forward(p: MoEParams, cfg: ModelConfig, x: jax.Array) -> jax.Array:
+    """Dense-einsum MoE dispatch (top-k routing, all experts computed,
+    masked-weighted combine — the XLA-friendly formulation; EP sharding
+    splits the expert axis over the mesh, see quick_tpu/parallel).
+    """
+    B, S, D = x.shape
+    E, topk = cfg.num_local_experts, cfg.num_experts_per_tok
+    logits = p.router(x.astype(jnp.float32))  # [B,S,E]
+    weights, sel = jax.lax.top_k(logits, topk)  # [B,S,topk]
+    weights = jax.nn.softmax(weights, axis=-1)
+    # combine weights per expert: [B,S,E]
+    comb = jnp.sum(
+        jax.nn.one_hot(sel, E, dtype=jnp.float32) * weights[..., None], axis=2
+    )  # [B,S,E]
+
+    def expert_fn(gu_q, gu_s, gu_z, gu_b, dn_q, dn_s, dn_z, dn_b):
+        gup = _rebuild_linear(p.gate_up_proj, gu_q, gu_s, gu_z, gu_b)
+        dnp = _rebuild_linear(p.down_proj, dn_q, dn_s, dn_z, dn_b)
+        gu = gup(x)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        return dnp(_act(gate, cfg) * up)  # [B,S,D]
+
+    outs = _map_experts(p, expert_fn)  # [E, B, S, D]
+    return jnp.einsum("ebsd,bse->bsd", outs.astype(jnp.float32), comb).astype(x.dtype)
+
+
+def _rebuild_linear(proto: AnyLinear, *fields):
+    if isinstance(proto, QuantLinear):
+        q, s, z, b = fields[0], fields[1], fields[2], fields[3]
+        return QuantLinear(q, s, z, b, proto.group_size)
+    w, b = fields[0], fields[3]
+    return Linear(w, b)
+
+
+def _map_experts(p: MoEParams, fn):
+    """vmap-free loop over the expert axis (static unroll; expert count is
+    small). Returns stacked [E, ...] output."""
+    gu, dn = p.gate_up_proj, p.down_proj
+    if isinstance(gu, QuantLinear):
+        E = gu.qweight.shape[0]
+        outs = [
+            fn(gu.qweight[e], gu.scales[e], gu.zeros_x_scales[e],
+               None if gu.bias is None else gu.bias[e],
+               dn.qweight[e], dn.scales[e], dn.zeros_x_scales[e],
+               None if dn.bias is None else dn.bias[e])
+            for e in range(E)
+        ]
+    else:
+        E = gu.weight.shape[0]
+        outs = [
+            fn(gu.weight[e], None, None,
+               None if gu.bias is None else gu.bias[e],
+               dn.weight[e], None, None,
+               None if dn.bias is None else dn.bias[e])
+            for e in range(E)
+        ]
+    return jnp.stack(outs)
+
+
+def block_forward(
+    p: BlockParams,
+    cfg: ModelConfig,
+    x: jax.Array,
+    rope_cos: jax.Array,
+    rope_sin: jax.Array,
+    cache: Optional[KVCache],
+    layer_idx: int,
+    positions: jax.Array,
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    h = _norm(x, p.attn_norm, p.attn_norm_bias, cfg)
+    attn_out, cache = attention_forward(
+        p.attn, cfg, h, rope_cos, rope_sin, cache, layer_idx, positions
+    )
+    if cfg.parallel_residual:
+        # gptj/neox/falcon style: mlp on the same normed input, single residual
+        h2 = _norm(x, p.mlp_norm, p.mlp_norm_bias, cfg)
+        mlp_out = (
+            moe_forward(p.mlp, cfg, h2)
+            if isinstance(p.mlp, MoEParams)
+            else mlp_forward(p.mlp, cfg, h2)
+        )
+        return x + attn_out + mlp_out, cache
+    x = x + attn_out
+    h2 = _norm(x, p.mlp_norm, p.mlp_norm_bias, cfg)
+    mlp_out = (
+        moe_forward(p.mlp, cfg, h2)
+        if isinstance(p.mlp, MoEParams)
+        else mlp_forward(p.mlp, cfg, h2)
+    )
+    return x + mlp_out, cache

@@ -1,0 +1,133 @@
+"""Linear layers: float and W4A16-quantized, as JAX pytrees.
+
+``QuantLinear`` is the TPU re-design of the reference's ``WQLinear_QUICK``
+(quick/awq/modules/linear/quick.py:15-171): the packer ``from_float`` is the
+analog of ``from_linear`` (quick.py:61-156), but the interleave targets the
+MXU/VPU layout (see quick_tpu/quantize/packing.py) instead of ``ldmatrix``
+fragments, and no scale/zero duplication is needed. Weights are stored
+[K(in), N(out)] — reduction-major, the natural layout for the TPU kernel.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quick_tpu.ops.quantized_matmul import quantized_matmul
+from quick_tpu.quantize.numerics import quantize_tensor
+from quick_tpu.quantize.packing import pack_qtpu
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Linear:
+    """Plain (non-quantized) linear, weight [K, N]."""
+
+    weight: jax.Array
+    bias: Optional[jax.Array] = None
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = jnp.dot(x, self.weight.astype(x.dtype))
+        if self.bias is not None:
+            y = y + self.bias.astype(y.dtype)
+        return y
+
+    @property
+    def in_features(self) -> int:
+        return self.weight.shape[0]
+
+    @property
+    def out_features(self) -> int:
+        return self.weight.shape[1]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantLinear:
+    """W4A16 linear in the QTPU packed layout.
+
+    qweight: int32 [K//8, N]; scales / zeros_x_scales: f32 [K//G, N].
+    """
+
+    qweight: jax.Array
+    scales: jax.Array
+    zeros_x_scales: jax.Array
+    bias: Optional[jax.Array] = None
+    group_size: int = dataclasses.field(default=128, metadata={"static": True})
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return quantized_matmul(
+            x, self.qweight, self.scales, self.zeros_x_scales,
+            group_size=self.group_size, bias=self.bias,
+        )
+
+    @property
+    def in_features(self) -> int:
+        return self.qweight.shape[0] * 8
+
+    @property
+    def out_features(self) -> int:
+        return self.qweight.shape[1]
+
+    @classmethod
+    def from_float(
+        cls,
+        weight: jax.Array,  # [K, N]
+        bias: Optional[jax.Array] = None,
+        group_size: int = 128,
+        zero_point: bool = True,
+    ) -> "QuantLinear":
+        """Quantize + pack a float weight (packer, analog of
+        WQLinear_QUICK.from_linear, reference linear/quick.py:61-156)."""
+        qt = quantize_tensor(weight, group_size=group_size, zero_point=zero_point)
+        qw = pack_qtpu(np.asarray(qt.q), group_size)
+        return cls(
+            qweight=jnp.asarray(qw),
+            scales=qt.scales,
+            zeros_x_scales=qt.zeros * qt.scales,
+            bias=None if bias is None else jnp.asarray(bias),
+            group_size=group_size,
+        )
+
+    @classmethod
+    def from_linear(cls, lin: Linear, group_size: int = 128) -> "QuantLinear":
+        return cls.from_float(lin.weight, lin.bias, group_size)
+
+
+def concat_linears(*lins: "QuantLinear | Linear") -> "QuantLinear | Linear":
+    """Fuse linears sharing an input into one wide linear (offline QKV /
+    gate-up fusion — the analog of fuse_qkv_quick,
+    reference quick/awq/utils/fused_utils.py:97-159; trivial in the QTPU
+    layout: output channels concatenate directly)."""
+    first = lins[0]
+    if isinstance(first, QuantLinear):
+        has_bias = any(l.bias is not None for l in lins)
+        bias = (
+            jnp.concatenate([
+                l.bias if l.bias is not None
+                else jnp.zeros(l.out_features, jnp.float32)
+                for l in lins
+            ])
+            if has_bias else None
+        )
+        return QuantLinear(
+            qweight=jnp.concatenate([l.qweight for l in lins], axis=1),
+            scales=jnp.concatenate([l.scales for l in lins], axis=1),
+            zeros_x_scales=jnp.concatenate([l.zeros_x_scales for l in lins], axis=1),
+            bias=bias,
+            group_size=first.group_size,
+        )
+    has_bias = any(l.bias is not None for l in lins)
+    bias = (
+        jnp.concatenate([
+            l.bias if l.bias is not None else jnp.zeros(l.out_features, jnp.float32)
+            for l in lins
+        ])
+        if has_bias else None
+    )
+    return Linear(
+        weight=jnp.concatenate([l.weight for l in lins], axis=1), bias=bias
+    )

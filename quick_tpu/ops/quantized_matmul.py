@@ -38,8 +38,58 @@ from jax.experimental.pallas import tpu as pltpu
 PACK = 8
 
 
-def _use_interpret() -> bool:
-    return jax.default_backend() == "cpu"
+def _impl_mode() -> str:
+    """Kernel implementation mode.
+
+    - "pallas": compiled Pallas kernel (TPU).
+    - "interpret": Pallas in interpreter mode (CPU kernel tests; set
+      QUICK_TPU_PALLAS_INTERPRET=1).
+    - "jnp": unpack + dequant + jnp.dot (CPU default — same layout
+      contract, XLA-compiled, fast enough for model-level CPU tests).
+    """
+    import os
+
+    if jax.default_backend() != "cpu":
+        return "pallas"
+    if os.environ.get("QUICK_TPU_PALLAS_INTERPRET", "0") == "1":
+        return "interpret"
+    return "jnp"
+
+
+def unpack_qtpu_jax(qweight: jax.Array, group_size: int = 128) -> jax.Array:
+    """jnp unpack of the QTPU layout: int32 [K//8, N] -> uint8-valued
+    int32 codes [K, N] (mirrors packing.unpack_qtpu)."""
+    K8, N = qweight.shape
+    K = K8 * PACK
+    slab = group_size // PACK
+    ng = K // group_size
+    words = qweight.reshape(ng, 1, slab, N)
+    shifts = (jnp.arange(PACK, dtype=jnp.int32) * 4).reshape(1, PACK, 1, 1)
+    nib = (words >> shifts) & 0xF  # [ng, 8, slab, N], j-major
+    return nib.reshape(K, N)
+
+
+def _quantized_matmul_jnp(
+    x: jax.Array,
+    qweight: jax.Array,
+    scales: jax.Array,
+    zeros_x_scales: jax.Array,
+    group_size: int,
+    out_dtype,
+) -> jax.Array:
+    """Dequant + matmul through XLA; numerics contract identical to the
+    Pallas kernel (bf16 weights = q*s, f32 accumulation, factored zp)."""
+    K = x.shape[-1]
+    ng = K // group_size
+    nib = unpack_qtpu_jax(qweight, group_size).reshape(ng, group_size, -1)
+    w = (nib.astype(jnp.float32) * scales[:, None, :]).astype(jnp.bfloat16)
+    xb = x.astype(jnp.bfloat16)
+    y = jnp.dot(
+        xb, w.reshape(K, -1), preferred_element_type=jnp.float32
+    )
+    xsum = xb.astype(jnp.float32).reshape(-1, ng, group_size).sum(-1)
+    y = y - jnp.dot(xsum, zeros_x_scales)
+    return y.astype(out_dtype)
 
 
 def _make_kernel(gpb: int, slab: int, bn: int):
@@ -124,6 +174,11 @@ def _quantized_matmul_2d(
     ng = K // G
     slab = G // PACK
 
+    if _impl_mode() == "jnp":
+        return _quantized_matmul_jnp(
+            x, qweight, scales, zeros_x_scales, G, out_dtype
+        )
+
     # --- tile selection (reference's M-based kernel mux, csrc:1488-1514) ---
     Mp = M if M <= 8 else _round_up(M, 8)
     if bm is None:
@@ -164,7 +219,7 @@ def _quantized_matmul_2d(
             bytes_accessed=K * N // 2 + Mp * K * 2 + Mp * N * 2 + ng * N * 8,
             transcendentals=0,
         ),
-        interpret=_use_interpret(),
+        interpret=_impl_mode() == "interpret",
     )(x, qweight, s3, zs3, xsum)
     return out[:M] if Mp != M else out
 

@@ -1,0 +1,41 @@
+"""Rotary position embeddings (HF rotate-half convention).
+
+The reference applies RoPE two ways: a complex-multiply module for prefill
+(quick/awq/modules/fused/attn.py:25-65) and in-kernel rotation for decode
+(attn.py:211-230). Here one functional implementation serves both paths —
+under jit it fuses into the surrounding computation. We use the HF/GPT-NeoX
+rotate-half convention so HF Llama-family checkpoints load unchanged.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rope_table(
+    max_seq_len: int, head_dim: int, theta: float = 10000.0
+) -> tuple[jax.Array, jax.Array]:
+    """Precompute (cos, sin) tables of shape [max_seq_len, head_dim//2]."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    t = jnp.arange(max_seq_len, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)  # [S, D/2]
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope(
+    x: jax.Array,  # [B, S, H, D]
+    positions: jax.Array,  # [B, S] absolute positions
+    cos: jax.Array,  # [max_seq, D/2]
+    sin: jax.Array,
+) -> jax.Array:
+    """Rotate-half RoPE: out = x*cos + rotate_half(x)*sin."""
+    D = x.shape[-1]
+    c = cos[positions][:, :, None, :]  # [B, S, 1, D/2]
+    s = sin[positions][:, :, None, :]
+    x1 = x[..., : D // 2].astype(jnp.float32)
+    x2 = x[..., D // 2 :].astype(jnp.float32)
+    o1 = x1 * c - x2 * s
+    o2 = x2 * c + x1 * s
+    return jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)

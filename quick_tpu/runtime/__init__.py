@@ -1,0 +1,17 @@
+from quick_tpu.runtime.generate import (
+    SamplingParams,
+    decode_loop,
+    decode_step,
+    generate,
+    make_cache,
+    prefill,
+)
+
+__all__ = [
+    "SamplingParams",
+    "prefill",
+    "decode_step",
+    "decode_loop",
+    "generate",
+    "make_cache",
+]

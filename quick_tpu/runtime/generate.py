@@ -1,0 +1,141 @@
+"""Generation runtime: jitted prefill + decode loop with sampling.
+
+Replaces the reference's HF ``GenerationMixin`` Python loop
+(quick/awq/models/base.py:87-89): here the whole decode loop runs inside ONE
+jit program via ``lax.scan`` (kernel-launch-free decoding — the TPU answer
+to per-token Python dispatch overhead, which on this platform costs ~80ms
+per call).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from quick_tpu.config import ModelConfig
+from quick_tpu.models.model import ModelParams, model_forward
+from quick_tpu.modules.cache import KVCache
+
+
+class SamplingParams(NamedTuple):
+    temperature: float = 0.0  # 0 => greedy
+    top_k: int = 0            # 0 => disabled
+    top_p: float = 1.0
+
+
+def sample_token(
+    logits: jax.Array,  # [B, V]
+    params: SamplingParams,
+    key: jax.Array,
+) -> jax.Array:
+    """Greedy / temperature / top-k / top-p sampling. Returns [B] int32."""
+    if params.temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / params.temperature
+    if params.top_k > 0:
+        kth = jax.lax.top_k(logits, params.top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -1e9, logits)
+    if params.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens until cumulative prob exceeds top_p (always keep top-1)
+        cutoff_idx = jnp.sum(cum < params.top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -1e9, logits)
+    return jax.random.categorical(key, logits).astype(jnp.int32)
+
+
+def make_cache(cfg: ModelConfig, batch: int, max_seq: int, dtype=jnp.bfloat16) -> KVCache:
+    return KVCache.create(
+        cfg.num_hidden_layers, batch, max_seq,
+        cfg.num_key_value_heads, cfg.head_dim, dtype,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def prefill(
+    params: ModelParams, cfg: ModelConfig, tokens: jax.Array, cache: KVCache
+) -> Tuple[jax.Array, KVCache]:
+    """Process the prompt; returns (last-position logits [B, V], cache)."""
+    logits, cache = model_forward(params, cfg, tokens, cache)
+    return logits[:, -1], cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_step(
+    params: ModelParams, cfg: ModelConfig, token: jax.Array, cache: KVCache
+) -> Tuple[jax.Array, KVCache]:
+    """One decode step: token [B] -> logits [B, V]."""
+    logits, cache = model_forward(params, cfg, token[:, None], cache)
+    return logits[:, -1], cache
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_tokens", "sampling")
+)
+def decode_loop(
+    params: ModelParams,
+    cfg: ModelConfig,
+    first_token: jax.Array,  # [B]
+    cache: KVCache,
+    n_tokens: int,
+    sampling: SamplingParams = SamplingParams(),
+    key: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """Generate n_tokens autoregressively inside one XLA program.
+
+    Returns (tokens [B, n_tokens], cache)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def step(carry, _):
+        token, cache, key = carry
+        key, sub = jax.random.split(key)
+        logits, cache = model_forward(params, cfg, token[:, None], cache)
+        nxt = sample_token(logits[:, -1], sampling, sub)
+        return (nxt, cache, key), nxt
+
+    (last, cache, _), toks = jax.lax.scan(
+        step, (first_token, cache, key), length=n_tokens
+    )
+    return toks.T, cache  # [B, n_tokens]
+
+
+def generate(
+    params: ModelParams,
+    cfg: ModelConfig,
+    prompt_tokens: jax.Array,  # [B, S]
+    max_new_tokens: int,
+    sampling: SamplingParams = SamplingParams(),
+    max_seq: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+    eos_token_id: Optional[int] = None,
+) -> jax.Array:
+    """End-to-end generation (prefill + jitted decode loop).
+
+    Returns [B, S + max_new_tokens] tokens (prompt included). EOS handling
+    masks tokens after the first EOS with the EOS id (generation itself runs
+    the full static length — XLA-friendly)."""
+    B, S = prompt_tokens.shape
+    if max_seq is None:
+        max_seq = S + max_new_tokens
+    cache = make_cache(cfg, B, max_seq)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    logits, cache = prefill(params, cfg, prompt_tokens, cache)
+    key, sub = jax.random.split(key)
+    first = sample_token(logits, sampling, sub)
+    rest, cache = decode_loop(
+        params, cfg, first, cache, max_new_tokens - 1, sampling, key
+    )
+    out = jnp.concatenate([prompt_tokens, first[:, None], rest], axis=1)
+    if eos_token_id is not None:
+        gen = out[:, S:]
+        seen = jnp.cumsum((gen == eos_token_id).astype(jnp.int32), axis=1)
+        hit = seen - (gen == eos_token_id).astype(jnp.int32) > 0
+        gen = jnp.where(hit, eos_token_id, gen)
+        out = jnp.concatenate([out[:, :S], gen], axis=1)
+    return out

@@ -8,6 +8,12 @@ from quick_tpu.quantize import quantize_tensor
 from quick_tpu.quantize.packing import pack_qtpu
 
 
+@pytest.fixture(autouse=True)
+def _force_interpret(monkeypatch):
+    """Exercise the real Pallas kernel body (interpret mode) on CPU."""
+    monkeypatch.setenv("QUICK_TPU_PALLAS_INTERPRET", "1")
+
+
 def _make_case(rng, M, K, N, G=128):
     w = (rng.standard_normal((K, N)) * 0.05).astype(np.float32)
     qt = quantize_tensor(jnp.asarray(w), group_size=G)
