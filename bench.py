@@ -1,0 +1,84 @@
+"""Headline benchmark: fused W4A16 GEMM effective TFLOPS.
+
+Protocol mirrors the reference's kernel benchmark (M x 8192 x 8192,
+reference README.md:128-147). Baseline = the reference's best published
+QUICK number at M=128: 138.59 TFLOPS on RTX 4090 (README.md:136).
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": "TFLOPS", "vs_baseline": N}
+
+Measurement notes (this environment): the TPU sits behind a tunnel with
+~80ms fixed dispatch+fetch latency and a non-blocking block_until_ready, so
+single-dispatch timing is meaningless. We time an in-jit lax.fori_loop that
+chains the kernel with a data dependency, fetch to host, and difference two
+loop lengths to cancel the fixed overhead. Median over several trials.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+M, K, N = 128, 8192, 8192
+BASELINE_TFLOPS = 138.59  # reference QUICK, M=128, RTX 4090 (README.md:136)
+GROUP = 128
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from quick_tpu.ops.quantized_matmul import _quantized_matmul_2d
+    from quick_tpu.quantize.packing import pack_qtpu
+
+    rng = np.random.default_rng(0)
+    q = rng.integers(0, 16, (K, N), dtype=np.uint8)
+    qw = jnp.asarray(pack_qtpu(q, GROUP))
+    s = jnp.asarray(rng.random((K // GROUP, N), dtype=np.float32) * 0.02)
+    zs = jnp.asarray(rng.random((K // GROUP, N), dtype=np.float32))
+    x0 = jnp.asarray(rng.standard_normal((M, K)) * 0.1, jnp.bfloat16)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(x, n):
+        def body(i, x):
+            y = _quantized_matmul_2d(x, qw, s, zs, group_size=GROUP)
+            return y[:, :K] * jnp.bfloat16(1e-2)
+
+        return jax.lax.fori_loop(0, n, body, x)
+
+    def run(n):
+        _ = np.asarray(loop(x0, n)[:1, :1])  # compile + warm
+        best = np.inf
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _ = np.asarray(loop(x0, n)[:1, :1])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    n1, n2 = 4, 54
+    trials = []
+    for _ in range(3):
+        t1, t2 = run(n1), run(n2)
+        trials.append((t2 - t1) / (n2 - n1))
+    per_iter = float(np.median(trials))
+    tflops = 2 * M * K * N / per_iter / 1e12
+    weight_gbs = (K * N / 2 + 2 * (K // GROUP) * N * 4) / per_iter / 1e9
+    log(f"fused W4A16 GEMM M={M} K={K} N={N}: {per_iter*1e6:.1f} us/iter, "
+        f"{tflops:.1f} TFLOPS, weight stream {weight_gbs:.0f} GB/s")
+    print(json.dumps({
+        "metric": f"fused_w4a16_gemm_tflops_m{M}_k{K}_n{N}",
+        "value": round(tflops, 2),
+        "unit": "TFLOPS",
+        "vs_baseline": round(tflops / BASELINE_TFLOPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,7 @@ from quick_tpu.modules.cache import KVCache
 from quick_tpu.modules.linear import Linear, QuantLinear, concat_linears
 from quick_tpu.ops.norms import layer_norm, rms_norm
 from quick_tpu.ops.rope import rope_table
+from quick_tpu.parallel.context import ParallelContext
 
 
 @jax.tree_util.register_dataclass
@@ -47,6 +48,7 @@ def model_forward(
     tokens: jax.Array,  # [B, S] int32
     cache: Optional[KVCache] = None,
     positions: Optional[jax.Array] = None,
+    ctx: ParallelContext = ParallelContext(),
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Returns (logits [B, S, V], updated cache)."""
     B, S = tokens.shape
@@ -57,7 +59,8 @@ def model_forward(
     x = params.embed[tokens].astype(jnp.bfloat16)
     for i, blk in enumerate(params.blocks):
         x, cache = block_forward(
-            blk, cfg, x, params.rope_cos, params.rope_sin, cache, i, positions
+            blk, cfg, x, params.rope_cos, params.rope_sin, cache, i, positions,
+            ctx,
         )
     if cache is not None:
         cache = cache.with_length(cache.length + S)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from quick_tpu.config import ModelConfig
 from quick_tpu.modules.cache import KVCache
+from quick_tpu.parallel.context import ParallelContext
 from quick_tpu.modules.linear import Linear, QuantLinear
 from quick_tpu.ops.attention import causal_attention
 from quick_tpu.ops.norms import layer_norm, rms_norm
@@ -81,6 +82,7 @@ def attention_forward(
     cache: Optional[KVCache],
     layer_idx: int,
     positions: jax.Array,  # [B, S]
+    ctx: ParallelContext = ParallelContext(),
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     from quick_tpu.ops.rope import apply_rope
 
@@ -105,7 +107,9 @@ def attention_forward(
     else:
         out = causal_attention(q, k, v)
     out = out.reshape(B, S, hq * hd)
-    return p.o_proj(out), cache
+    # row-parallel output projection: partial sums reduced over the TP axis
+    # (Megatron-style; the collective rides ICI under shard_map)
+    return ctx.psum_model(p.o_proj(out)), cache
 
 
 def _act(x, cfg: ModelConfig):
@@ -114,16 +118,22 @@ def _act(x, cfg: ModelConfig):
     return jax.nn.gelu(x)
 
 
-def mlp_forward(p: MLPParams, cfg: ModelConfig, x: jax.Array) -> jax.Array:
+def mlp_forward(
+    p: MLPParams, cfg: ModelConfig, x: jax.Array,
+    ctx: ParallelContext = ParallelContext(),
+) -> jax.Array:
     """SwiGLU (or plain) MLP with fused gate+up (reference fused/mlp.py:52-76)."""
     if cfg.gated_mlp:
         gu = p.gate_up_proj(x)
         gate, up = jnp.split(gu, 2, axis=-1)
-        return p.down_proj(_act(gate, cfg) * up)
-    return p.down_proj(_act(p.gate_up_proj(x), cfg))
+        return ctx.psum_model(p.down_proj(_act(gate, cfg) * up))
+    return ctx.psum_model(p.down_proj(_act(p.gate_up_proj(x), cfg)))
 
 
-def moe_forward(p: MoEParams, cfg: ModelConfig, x: jax.Array) -> jax.Array:
+def moe_forward(
+    p: MoEParams, cfg: ModelConfig, x: jax.Array,
+    ctx: ParallelContext = ParallelContext(),
+) -> jax.Array:
     """Dense-einsum MoE dispatch (top-k routing, all experts computed,
     masked-weighted combine — the XLA-friendly formulation; EP sharding
     splits the expert axis over the mesh, see quick_tpu/parallel).
@@ -145,8 +155,16 @@ def moe_forward(p: MoEParams, cfg: ModelConfig, x: jax.Array) -> jax.Array:
         gate, up = jnp.split(gu, 2, axis=-1)
         return dnp(_act(gate, cfg) * up)  # [B,S,D]
 
-    outs = _map_experts(p, expert_fn)  # [E, B, S, D]
-    return jnp.einsum("ebsd,bse->bsd", outs.astype(jnp.float32), comb).astype(x.dtype)
+    outs = _map_experts(p, expert_fn)  # [E_local, B, S, D]
+    # expert parallel: this shard holds E_local experts starting at offset
+    E_local = outs.shape[0]
+    offset = ctx.expert_axis_index() * E_local
+    comb_local = (
+        jax.lax.dynamic_slice_in_dim(comb, offset, E_local, axis=-1)
+        if E_local != E else comb
+    )
+    y = jnp.einsum("ebsd,bse->bsd", outs.astype(jnp.float32), comb_local)
+    return ctx.psum_expert(y).astype(x.dtype)
 
 
 def _rebuild_linear(proto: AnyLinear, *fields):
@@ -191,25 +209,26 @@ def block_forward(
     cache: Optional[KVCache],
     layer_idx: int,
     positions: jax.Array,
+    ctx: ParallelContext = ParallelContext(),
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     h = _norm(x, p.attn_norm, p.attn_norm_bias, cfg)
     attn_out, cache = attention_forward(
-        p.attn, cfg, h, rope_cos, rope_sin, cache, layer_idx, positions
+        p.attn, cfg, h, rope_cos, rope_sin, cache, layer_idx, positions, ctx
     )
     if cfg.parallel_residual:
         # gptj/neox/falcon style: mlp on the same normed input, single residual
         h2 = _norm(x, p.mlp_norm, p.mlp_norm_bias, cfg)
         mlp_out = (
-            moe_forward(p.mlp, cfg, h2)
+            moe_forward(p.mlp, cfg, h2, ctx)
             if isinstance(p.mlp, MoEParams)
-            else mlp_forward(p.mlp, cfg, h2)
+            else mlp_forward(p.mlp, cfg, h2, ctx)
         )
         return x + attn_out + mlp_out, cache
     x = x + attn_out
     h2 = _norm(x, p.mlp_norm, p.mlp_norm_bias, cfg)
     mlp_out = (
-        moe_forward(p.mlp, cfg, h2)
+        moe_forward(p.mlp, cfg, h2, ctx)
         if isinstance(p.mlp, MoEParams)
-        else mlp_forward(p.mlp, cfg, h2)
+        else mlp_forward(p.mlp, cfg, h2, ctx)
     )
     return x + mlp_out, cache

@@ -1,0 +1,27 @@
+from quick_tpu.parallel.context import ParallelContext
+from quick_tpu.parallel.sharding import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    cache_spec,
+    create_mesh,
+    local_config,
+    param_specs,
+    prepare_params_for_tp,
+    shard_params,
+    sharded_forward_fn,
+)
+from quick_tpu.parallel.permute import permute_fused_for_tp, tp_permutation
+
+__all__ = [
+    "ParallelContext",
+    "create_mesh",
+    "param_specs",
+    "cache_spec",
+    "shard_params",
+    "local_config",
+    "sharded_forward_fn",
+    "permute_fused_for_tp",
+    "tp_permutation",
+    "MODEL_AXIS",
+    "DATA_AXIS",
+]

@@ -1,0 +1,54 @@
+"""Parallel context threaded through the functional forward.
+
+The reference has NO distributed backend (SURVEY.md section 2.3) — its only
+multi-device mechanism is accelerate's layer-placement. Here parallelism is
+first-class: the model forward is written once and runs either single-device
+(ctx = ParallelContext()) or inside ``shard_map`` over a Mesh, where the
+context names the axes so blocks can psum partial results (tensor parallel)
+and offset expert indices (expert parallel).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class ParallelContext(NamedTuple):
+    """Axis names when running inside shard_map; None = not parallelized.
+
+    - model_axis: tensor-parallel axis (attention heads / MLP width / vocab)
+    - data_axis: batch data-parallel axis
+    - expert_axis: expert-parallel axis for MoE (usually == model_axis)
+    """
+
+    model_axis: Optional[str] = None
+    data_axis: Optional[str] = None
+    expert_axis: Optional[str] = None
+
+    @property
+    def tp(self) -> bool:
+        return self.model_axis is not None
+
+    def psum_model(self, x: jax.Array) -> jax.Array:
+        if self.model_axis is None:
+            return x
+        return jax.lax.psum(x, self.model_axis)
+
+    def model_axis_index(self) -> jax.Array:
+        if self.model_axis is None:
+            return jnp.zeros((), jnp.int32)
+        return jax.lax.axis_index(self.model_axis)
+
+    def expert_axis_index(self) -> jax.Array:
+        ax = self.expert_axis or self.model_axis
+        if ax is None:
+            return jnp.zeros((), jnp.int32)
+        return jax.lax.axis_index(ax)
+
+    def psum_expert(self, x: jax.Array) -> jax.Array:
+        ax = self.expert_axis or self.model_axis
+        if ax is None:
+            return x
+        return jax.lax.psum(x, ax)

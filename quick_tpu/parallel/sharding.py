@@ -1,0 +1,239 @@
+"""Mesh creation and parameter sharding rules (TP / DP / EP).
+
+This subsystem has NO counterpart in the reference, which places whole
+decoder layers on GPUs via accelerate hooks (SURVEY.md section 2.3,
+reference quick/awq/models/base.py:301-308). Here the whole model is a
+single jit program over a ``jax.sharding.Mesh``:
+
+- **TP** (axis "model"): Megatron-style — qkv/gate_up column-parallel
+  (output channels sharded, quant groups stay intact along K), o/down
+  row-parallel (K sharded in group-size multiples; psum inside the block).
+- **EP** (axis "model", reused): Mixtral expert arrays sharded on the
+  leading expert axis; router replicated; psum combine.
+- **DP** (axis "data"): batch sharded; no gradient sync needed (inference).
+
+The forward runs under ``shard_map`` so the Pallas kernels see local shards
+(a pallas_call is not GSPMD-partitionable), with collectives placed
+explicitly — the "pick a mesh, annotate, let collectives ride ICI" recipe.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from quick_tpu.config import ModelConfig
+from quick_tpu.parallel.context import ParallelContext
+
+if False:  # type-checking only; runtime imports are lazy (circular imports)
+    from quick_tpu.models.model import ModelParams
+
+MODEL_AXIS = "model"
+DATA_AXIS = "data"
+
+
+def create_mesh(
+    tp: int = 1, dp: int = 1, devices: Optional[list] = None
+) -> Mesh:
+    """Mesh of shape (dp, tp). ICI-contiguous devices land on the TP axis
+    (innermost), so TP collectives ride the fastest links."""
+    devices = devices if devices is not None else jax.devices()
+    if tp * dp > len(devices):
+        raise ValueError(f"need {tp * dp} devices, have {len(devices)}")
+    arr = np.asarray(devices[: tp * dp]).reshape(dp, tp)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def _linear_spec(lin, col_parallel: bool, moe: bool = False):
+    """PartitionSpec pytree for a Linear/QuantLinear.
+
+    col_parallel: shard output channels (N); else shard reduction (K).
+    moe: arrays carry a leading expert axis — shard THAT instead (EP).
+    """
+    from quick_tpu.modules.linear import Linear, QuantLinear
+
+    if moe:
+        lead = (MODEL_AXIS,)
+        rest2 = (None, None)
+        wspec = P(*lead, *rest2)
+        bspec = None if lin.bias is None else P(MODEL_AXIS, None)
+    elif col_parallel:
+        wspec = P(None, MODEL_AXIS)
+        bspec = None if lin.bias is None else P(MODEL_AXIS)
+    else:
+        wspec = P(MODEL_AXIS, None)
+        bspec = None if lin.bias is None else P(None)
+    if isinstance(lin, QuantLinear):
+        return QuantLinear(
+            qweight=wspec, scales=wspec, zeros_x_scales=wspec,
+            bias=bspec, group_size=lin.group_size,
+        )
+    return Linear(weight=wspec, bias=bspec)
+
+
+def param_specs(params: "ModelParams", cfg: ModelConfig) -> "ModelParams":
+    """A ModelParams-shaped pytree of PartitionSpecs."""
+    from quick_tpu.models.model import ModelParams
+    from quick_tpu.modules.blocks import (
+        AttentionParams,
+        BlockParams,
+        MLPParams,
+        MoEParams,
+    )
+    from quick_tpu.modules.linear import Linear
+
+    rep1 = P(None)
+
+    def block_spec(blk: BlockParams) -> BlockParams:
+        attn = AttentionParams(
+            qkv_proj=_linear_spec(blk.attn.qkv_proj, col_parallel=True),
+            o_proj=_linear_spec(blk.attn.o_proj, col_parallel=False),
+        )
+        if isinstance(blk.mlp, MoEParams):
+            mlp = MoEParams(
+                router=_linear_spec(blk.mlp.router, col_parallel=True, moe=False),
+                gate_up_proj=_linear_spec(blk.mlp.gate_up_proj, True, moe=True),
+                down_proj=_linear_spec(blk.mlp.down_proj, False, moe=True),
+            )
+            # router stays replicated (tiny)
+            mlp = dataclasses.replace(
+                mlp, router=Linear(weight=P(None, None), bias=None
+                                   if blk.mlp.router.bias is None else rep1)
+            )
+        else:
+            mlp = MLPParams(
+                gate_up_proj=_linear_spec(blk.mlp.gate_up_proj, col_parallel=True),
+                down_proj=_linear_spec(blk.mlp.down_proj, col_parallel=False),
+            )
+        return BlockParams(
+            attn_norm=rep1,
+            attn=attn,
+            mlp_norm=rep1,
+            mlp=mlp,
+            attn_norm_bias=None if blk.attn_norm_bias is None else rep1,
+            mlp_norm_bias=None if blk.mlp_norm_bias is None else rep1,
+        )
+
+    return ModelParams(
+        embed=P(None, None),
+        blocks=[block_spec(b) for b in params.blocks],
+        final_norm=rep1,
+        lm_head=Linear(
+            weight=P(None, None),
+            bias=None if params.lm_head.bias is None else rep1,
+        ),
+        rope_cos=P(None, None),
+        rope_sin=P(None, None),
+        final_norm_bias=None if params.final_norm_bias is None else rep1,
+    )
+
+
+def cache_spec():
+    """KVCache spec: batch over data, kv heads over model."""
+    from quick_tpu.modules.cache import KVCache
+
+    kv = P(None, DATA_AXIS, None, MODEL_AXIS, None)
+    return KVCache(k=kv, v=kv, length=P())
+
+
+def prepare_params_for_tp(
+    params: "ModelParams", cfg: ModelConfig, tp: int
+) -> "ModelParams":
+    """Offline column permutation of fused projections so flat N-sharding
+    gives each shard [Q_t|K_t|V_t] / [gate_t|up_t] (see parallel/permute.py)."""
+    from quick_tpu.modules.blocks import MLPParams, MoEParams
+    from quick_tpu.parallel.permute import permute_fused_for_tp
+
+    if tp == 1:
+        return params
+    hq, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    qkv_sections = [hq * hd, hkv * hd, hkv * hd]
+    gu_sections = [cfg.intermediate_size, cfg.intermediate_size]
+    new_blocks = []
+    for blk in params.blocks:
+        attn = dataclasses.replace(
+            blk.attn,
+            qkv_proj=permute_fused_for_tp(blk.attn.qkv_proj, qkv_sections, tp),
+        )
+        mlp = blk.mlp
+        if isinstance(mlp, MLPParams) and cfg.gated_mlp:
+            mlp = dataclasses.replace(
+                mlp,
+                gate_up_proj=permute_fused_for_tp(
+                    mlp.gate_up_proj, gu_sections, tp
+                ),
+            )
+        elif isinstance(mlp, MoEParams) and cfg.gated_mlp:
+            # expert arrays are EP-sharded on the expert axis; the gate/up
+            # split happens locally per expert — no permutation needed.
+            pass
+        new_blocks.append(dataclasses.replace(blk, attn=attn, mlp=mlp))
+    return dataclasses.replace(params, blocks=new_blocks)
+
+
+def shard_params(params: "ModelParams", cfg: ModelConfig, mesh: Mesh) -> "ModelParams":
+    """Permute fused projections for TP, then device_put with TP/EP shardings."""
+    tp = mesh.shape[MODEL_AXIS]
+    params = prepare_params_for_tp(params, cfg, tp)
+    specs = param_specs(params, cfg)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def local_config(cfg: ModelConfig, tp: int) -> ModelConfig:
+    """Per-shard config: head counts and expert count divided by tp."""
+    if tp == 1:
+        return cfg
+    if cfg.num_attention_heads % tp or cfg.num_key_value_heads % tp:
+        raise ValueError(
+            f"tp={tp} must divide heads ({cfg.num_attention_heads}/"
+            f"{cfg.num_key_value_heads})"
+        )
+    kw = dict(
+        num_attention_heads=cfg.num_attention_heads // tp,
+        num_key_value_heads=cfg.num_key_value_heads // tp,
+    )
+    return dataclasses.replace(cfg, **kw)
+
+
+def sharded_forward_fn(cfg: ModelConfig, mesh: Mesh):
+    """Build a shard_map-wrapped model forward.
+
+    Returns fn(params_sharded, tokens, cache) -> (logits, cache) where
+    tokens are sharded over the data axis, params per param_specs, cache per
+    cache_spec. Logits come back replicated over "model".
+    """
+    from quick_tpu.models.model import model_forward
+    from quick_tpu.modules.cache import KVCache
+
+    tp = mesh.shape[MODEL_AXIS]
+    lcfg = local_config(cfg, tp)
+    ctx = ParallelContext(
+        model_axis=MODEL_AXIS, data_axis=DATA_AXIS, expert_axis=MODEL_AXIS
+    )
+
+    def make(params_template: ModelParams):
+        specs = param_specs(params_template, cfg)
+        cspec = cache_spec()
+
+        def local_fn(params, tokens, cache):
+            # inside shard_map: local shards, explicit collectives
+            logits, cache = model_forward(
+                params, lcfg, tokens, cache, ctx=ctx
+            )
+            return logits, cache
+
+        return jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(specs, P(DATA_AXIS, None), cspec),
+            out_specs=(P(DATA_AXIS, None, None), cspec),
+            check_vma=False,
+        )
+
+    return make

@@ -1,0 +1,469 @@
+"""AWQ: activation-aware weight quantization pipeline (functional JAX).
+
+Re-implements the reference's search semantics
+(quick/awq/quantize/quantizer.py):
+
+- scale search (quantizer.py:181-282): 20-point grid over
+  ``s = x_mean^r / w_mean^(1-r)`` (duo scaling), normalized by
+  sqrt(max*min); objective = MSE of the inspected module's output with
+  weights pseudo-quantized as Q(W*s)/s. The module-level objective (whole
+  attention / whole MLP, not just the linear) matches the reference's
+  ``module2inspect`` choice.
+- clip search (quantizer.py:284-350): per-(group, out-channel) grid shrink
+  of the clipping range, objective = MSE of per-group partial products over
+  sampled tokens; q/k projections are never clipped (quantizer.py:287).
+- scale application (quick/awq/quantize/scale.py:27-137): fold ``1/s`` into
+  the previous op (norm weight or previous linear's output channels), ``s``
+  into the target weights.
+
+Differences from the reference by design: no hooks (the block forward is
+re-run functionally to capture intermediate activations), no device
+round-robin (one jit program), and fused QKV / gate-up are searched jointly
+(the reference also scales those groups jointly, models/llama.py:37-73).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from quick_tpu.config import ModelConfig, QuantConfig
+from quick_tpu.modules.blocks import (
+    AttentionParams,
+    BlockParams,
+    MLPParams,
+    MoEParams,
+)
+from quick_tpu.modules.linear import Linear, QuantLinear
+from quick_tpu.ops.attention import causal_attention
+from quick_tpu.ops.norms import rms_norm
+from quick_tpu.ops.rope import apply_rope
+from quick_tpu.quantize.numerics import pseudo_quantize_tensor
+
+N_GRID = 20
+
+
+# ---------------------------------------------------------------------------
+# Scale search
+# ---------------------------------------------------------------------------
+
+def _w_mean_score(ws: List[jax.Array], group_size: int) -> jax.Array:
+    """Per-input-channel weight magnitude score (reference STEP 1,
+    quantizer.py:193-199): |w| normalized by per-group amax, then averaged
+    over all output channels of all layers in the group."""
+    parts = []
+    for w in ws:
+        K, N = w.shape
+        wg = jnp.abs(w.astype(jnp.float32)).reshape(K // group_size, group_size, N)
+        wn = wg / (jnp.max(wg, axis=1, keepdims=True) + 1e-6)
+        parts.append(wn.reshape(K, N))
+    cat = jnp.concatenate(parts, axis=1)
+    return jnp.mean(cat, axis=1)  # [K]
+
+
+def search_scale(
+    x: jax.Array,  # [T, K] inputs to the group
+    ws: List[jax.Array],  # weights [K, N_i] sharing the input
+    loss_forward: Callable[[List[jax.Array]], jax.Array],
+    group_size: int,
+    zero_point: bool = True,
+    duo_scaling: bool = True,
+) -> jax.Array:
+    """Grid-search the per-input-channel scale vector s [K].
+
+    loss_forward(scaled_ws) -> module output; MSE against the fp output is
+    minimized (reference _compute_best_scale, quantizer.py:221-282)."""
+    x_mean = jnp.mean(jnp.abs(x.astype(jnp.float32)), axis=0)  # [K]
+    w_mean = _w_mean_score(ws, group_size)
+    fp_out = loss_forward(ws).astype(jnp.float32)
+
+    def candidate(ratio):
+        if duo_scaling:
+            s = jnp.power(x_mean, ratio) / (
+                jnp.power(w_mean, 1 - ratio) + 1e-4
+            )
+        else:
+            s = jnp.power(x_mean, ratio)
+        s = jnp.clip(s, 1e-4, None)
+        s = s / jnp.sqrt(jnp.max(s) * jnp.min(s))
+        return s
+
+    def loss_for(s):
+        scaled = []
+        for w in ws:
+            wq = pseudo_quantize_tensor(
+                w.astype(jnp.float32) * s[:, None], group_size,
+                zero_point=zero_point,
+            ) / s[:, None]
+            scaled.append(wq.astype(w.dtype))
+        out = loss_forward(scaled).astype(jnp.float32)
+        return jnp.mean((fp_out - out) ** 2)
+
+    best_s = None
+    best_loss = jnp.inf
+    for i in range(N_GRID):
+        s = candidate(i / N_GRID)
+        l = loss_for(s)
+        if best_s is None:
+            best_s, best_loss = s, l
+        else:
+            pick = l < best_loss
+            best_s = jnp.where(pick, s, best_s)
+            best_loss = jnp.where(pick, l, best_loss)
+    return best_s
+
+
+# ---------------------------------------------------------------------------
+# Clip search
+# ---------------------------------------------------------------------------
+
+def search_clip(
+    w: jax.Array,  # [K, N]
+    x: jax.Array,  # [T, K]
+    group_size: int,
+    zero_point: bool = True,
+    n_grid: int = N_GRID,
+    max_shrink: float = 0.5,
+    n_sample_token: int = 512,
+) -> jax.Array:
+    """Best per-(group, out-channel) |w| clipping bound [ng, N]
+    (reference _compute_best_clip, quantizer.py:302-350)."""
+    K, N = w.shape
+    ng = K // group_size
+    T = x.shape[0]
+    stride = max(T // n_sample_token, 1)
+    xs = x[::stride].astype(jnp.float32)  # [Ts, K]
+    xg = xs.reshape(-1, ng, group_size)  # [Ts, ng, G]
+    wg = w.astype(jnp.float32).reshape(ng, group_size, N)
+    org_max = jnp.max(jnp.abs(wg), axis=1, keepdims=True)  # [ng, 1, N]
+    org_out = jnp.einsum("tgk,gkn->tgn", xg, wg)  # [Ts, ng, N]
+
+    best_max = org_max
+    min_err = jnp.full((ng, 1, N), jnp.inf, jnp.float32)
+    for i_s in range(int(max_shrink * n_grid)):
+        maxv = org_max * (1 - i_s / n_grid)
+        cw = jnp.clip(wg, -maxv, maxv)
+        qw = pseudo_quantize_tensor(
+            cw.reshape(K, N), group_size, zero_point=zero_point
+        ).reshape(ng, group_size, N)
+        out = jnp.einsum("tgk,gkn->tgn", xg, qw)
+        err = jnp.mean((out - org_out) ** 2, axis=0)[:, None, :]  # [ng,1,N]
+        pick = err < min_err
+        min_err = jnp.where(pick, err, min_err)
+        best_max = jnp.where(pick, maxv, best_max)
+    return best_max[:, 0, :]  # [ng, N]
+
+
+def apply_clip(w: jax.Array, max_val: jax.Array, group_size: int) -> jax.Array:
+    K, N = w.shape
+    wg = w.astype(jnp.float32).reshape(K // group_size, group_size, N)
+    wc = jnp.clip(wg, -max_val[:, None, :], max_val[:, None, :])
+    return wc.reshape(K, N).astype(w.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Block-level pipeline (Llama-like family + MoE)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class AwqBlockResult:
+    block: BlockParams  # quantized
+    x_next: jax.Array   # activations for the next block (float, scaled)
+
+
+def _linear_cols(lin: Linear, cols: slice) -> jax.Array:
+    return lin.weight[:, cols]
+
+
+def awq_quantize_block(
+    blk: BlockParams,
+    cfg: ModelConfig,
+    x: jax.Array,           # [B, S, D] float activations entering the block
+    positions: jax.Array,   # [B, S]
+    rope_cos: jax.Array,
+    rope_sin: jax.Array,
+    qcfg: QuantConfig,
+    apply_clips: bool = True,
+) -> AwqBlockResult:
+    """Search + apply AWQ scales/clips for one block, then quantize+pack.
+
+    Mirrors the per-layer hot loop of AwqQuantizer.quantize
+    (reference quantizer.py:87-146) with the Llama scaling groups
+    (reference models/llama.py:37-73)."""
+    G = qcfg.q_group_size
+    zp = qcfg.zero_point
+    B, S, D = x.shape
+    hq, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    def flat(a):  # [B,S,D] -> [T,D]
+        return a.reshape(-1, a.shape[-1])
+
+    def attn_fwd(qkv_w: jax.Array, attn_in: jax.Array) -> jax.Array:
+        """Attention output (pre-o_proj input) given a qkv weight."""
+        qkv = attn_in @ qkv_w.astype(attn_in.dtype)
+        if blk.attn.qkv_proj.bias is not None:
+            qkv = qkv + blk.attn.qkv_proj.bias.astype(qkv.dtype)
+        q, k, v = jnp.split(qkv, [hq * hd, (hq + hkv) * hd], axis=-1)
+        q = q.reshape(B, S, hq, hd)
+        k = k.reshape(B, S, hkv, hd)
+        v = v.reshape(B, S, hkv, hd)
+        if cfg.use_rope:
+            q = apply_rope(q, positions, rope_cos, rope_sin)
+            k = apply_rope(k, positions, rope_cos, rope_sin)
+        out = causal_attention(q, k, v)
+        return out.reshape(B, S, hq * hd)
+
+    # ---------------- attention: norm -> qkv group --------------------------
+    attn_norm = blk.attn_norm.astype(jnp.float32)
+    attn_in = rms_norm(x, blk.attn_norm, cfg.rms_norm_eps)
+    qkv_w = blk.attn.qkv_proj.weight
+
+    s_qkv = search_scale(
+        flat(attn_in), [qkv_w],
+        loss_forward=lambda ws: attn_fwd(ws[0], attn_in),
+        group_size=G, zero_point=zp,
+    )
+    # apply: norm /= s, qkv *= s (reference scale_ln_fcs, scale.py:71-98)
+    attn_norm = attn_norm / s_qkv
+    qkv_w = (qkv_w.astype(jnp.float32) * s_qkv[:, None]).astype(qkv_w.dtype)
+    attn_in = attn_in / s_qkv.astype(attn_in.dtype)
+
+    # o_proj group: prev_op = v section (only when shapes match, i.e. MHA —
+    # reference models/llama.py:52-58 guard)
+    o_w = blk.attn.o_proj.weight
+    o_in = attn_fwd(qkv_w, attn_in)
+    if hq == hkv:
+        s_o = search_scale(
+            flat(o_in), [o_w],
+            loss_forward=lambda ws: o_in @ ws[0].astype(o_in.dtype),
+            group_size=G, zero_point=zp,
+        )
+        # v-section output channels /= s_o ; o rows *= s_o
+        v_cols = slice((hq + hkv) * hd, (hq + 2 * hkv) * hd)
+        qkv_w = qkv_w.at[:, v_cols].divide(s_o[None, :].astype(qkv_w.dtype))
+        o_w = (o_w.astype(jnp.float32) * s_o[:, None]).astype(o_w.dtype)
+        o_in = o_in / s_o.astype(o_in.dtype)
+
+    # clips (skip q/k sections — reference avoid_clipping, quantizer.py:287)
+    if apply_clips:
+        v_cols = slice((hq + hkv) * hd, (hq + 2 * hkv) * hd)
+        v_clip = search_clip(qkv_w[:, v_cols], flat(attn_in), G, zp)
+        qkv_w = qkv_w.at[:, v_cols].set(
+            apply_clip(qkv_w[:, v_cols], v_clip, G)
+        )
+        o_clip = search_clip(o_w, flat(o_in), G, zp)
+        o_w = apply_clip(o_w, o_clip, G)
+
+    attn_out = o_in @ o_w.astype(o_in.dtype)
+    if blk.attn.o_proj.bias is not None:
+        attn_out = attn_out + blk.attn.o_proj.bias.astype(attn_out.dtype)
+    x_mid = x + attn_out if not cfg.parallel_residual else x
+
+    # ---------------- MLP ---------------------------------------------------
+    mlp_norm = blk.mlp_norm.astype(jnp.float32)
+    mlp_in = rms_norm(x_mid, blk.mlp_norm, cfg.rms_norm_eps)
+
+    if isinstance(blk.mlp, MoEParams):
+        new_mlp, mlp_out, mlp_norm = _awq_moe(
+            blk.mlp, cfg, mlp_in, mlp_norm, qcfg, apply_clips
+        )
+    else:
+        new_mlp, mlp_out, mlp_norm = _awq_mlp(
+            blk.mlp, cfg, mlp_in, mlp_norm, qcfg, apply_clips
+        )
+        # pack dense mlp
+        new_mlp = MLPParams(
+            gate_up_proj=QuantLinear.from_float(
+                new_mlp.gate_up_proj.weight, new_mlp.gate_up_proj.bias, G, zp
+            ),
+            down_proj=QuantLinear.from_float(
+                new_mlp.down_proj.weight, new_mlp.down_proj.bias, G, zp
+            ),
+        )
+
+    if cfg.parallel_residual:
+        x_next = x + attn_out + mlp_out
+    else:
+        x_next = x_mid + mlp_out
+
+    new_attn = AttentionParams(
+        qkv_proj=QuantLinear.from_float(qkv_w, blk.attn.qkv_proj.bias, G, zp),
+        o_proj=QuantLinear.from_float(o_w, blk.attn.o_proj.bias, G, zp),
+    )
+    new_block = BlockParams(
+        attn_norm=attn_norm.astype(blk.attn_norm.dtype),
+        attn=new_attn,
+        mlp_norm=mlp_norm.astype(blk.mlp_norm.dtype),
+        mlp=new_mlp,
+        attn_norm_bias=blk.attn_norm_bias,
+        mlp_norm_bias=blk.mlp_norm_bias,
+    )
+    return AwqBlockResult(block=new_block, x_next=x_next)
+
+
+def _awq_mlp(mlp: MLPParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
+    """Dense SwiGLU MLP: norm->gate_up group, up->down group."""
+    G, zp = qcfg.q_group_size, qcfg.zero_point
+    F = cfg.intermediate_size
+    gu_w = mlp.gate_up_proj.weight
+    dn_w = mlp.down_proj.weight
+    flat = lambda a: a.reshape(-1, a.shape[-1])
+
+    def mlp_fwd(gu, dn, h):
+        z = h @ gu.astype(h.dtype)
+        if cfg.gated_mlp:
+            gate, up = jnp.split(z, 2, axis=-1)
+            z = jax.nn.silu(gate) * up if cfg.act_fn == "silu" else jax.nn.gelu(gate) * up
+        else:
+            z = jax.nn.silu(z) if cfg.act_fn == "silu" else jax.nn.gelu(z)
+        return z @ dn.astype(h.dtype)
+
+    s_gu = search_scale(
+        flat(mlp_in), [gu_w],
+        loss_forward=lambda ws: mlp_fwd(ws[0], dn_w, mlp_in),
+        group_size=G, zero_point=zp,
+    )
+    mlp_norm = mlp_norm / s_gu
+    gu_w = (gu_w.astype(jnp.float32) * s_gu[:, None]).astype(gu_w.dtype)
+    mlp_in = mlp_in / s_gu.astype(mlp_in.dtype)
+
+    # down group: prev_op = up half (reference models/llama.py:64-71)
+    z = mlp_in @ gu_w.astype(mlp_in.dtype)
+    if cfg.gated_mlp:
+        gate, up = jnp.split(z, 2, axis=-1)
+        act = jax.nn.silu(gate) if cfg.act_fn == "silu" else jax.nn.gelu(gate)
+        dn_in = act * up
+    else:
+        dn_in = jax.nn.silu(z) if cfg.act_fn == "silu" else jax.nn.gelu(z)
+    s_dn = search_scale(
+        flat(dn_in), [dn_w],
+        loss_forward=lambda ws: dn_in @ ws[0].astype(dn_in.dtype),
+        group_size=G, zero_point=zp,
+    )
+    if cfg.gated_mlp:
+        up_cols = slice(F, 2 * F)
+        gu_w = gu_w.at[:, up_cols].divide(s_dn[None, :].astype(gu_w.dtype))
+    dn_w = (dn_w.astype(jnp.float32) * s_dn[:, None]).astype(dn_w.dtype)
+    dn_in = dn_in / s_dn.astype(dn_in.dtype)
+
+    if apply_clips:
+        gu_clip = search_clip(gu_w, flat(mlp_in), G, zp)
+        gu_w = apply_clip(gu_w, gu_clip, G)
+        dn_clip = search_clip(dn_w, flat(dn_in), G, zp)
+        dn_w = apply_clip(dn_w, dn_clip, G)
+
+    mlp_out = dn_in @ dn_w.astype(dn_in.dtype)
+    if mlp.down_proj.bias is not None:
+        mlp_out = mlp_out + mlp.down_proj.bias.astype(mlp_out.dtype)
+    return (
+        MLPParams(
+            gate_up_proj=Linear(gu_w, mlp.gate_up_proj.bias),
+            down_proj=Linear(dn_w, mlp.down_proj.bias),
+        ),
+        mlp_out,
+        mlp_norm,
+    )
+
+
+def _awq_moe(moe: MoEParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
+    """MoE: all experts' gate_up scaled JOINTLY from the shared input
+    (reference models/mixtral.py:58-66), per-expert down scaling (69-74)."""
+    from quick_tpu.modules.blocks import moe_forward
+
+    G, zp = qcfg.q_group_size, qcfg.zero_point
+    E = cfg.num_local_experts
+    F = cfg.intermediate_size
+    flat = lambda a: a.reshape(-1, a.shape[-1])
+    gu = moe.gate_up_proj.weight  # [E, D, 2F]
+    dn = moe.down_proj.weight     # [E, F, D]
+
+    # joint gate_up scale over all experts
+    s_gu = search_scale(
+        flat(mlp_in), [gu[e] for e in range(E)],
+        loss_forward=lambda ws: moe_forward(
+            MoEParams(moe.router, Linear(jnp.stack(ws)), Linear(dn)), cfg, mlp_in
+        ),
+        group_size=G, zero_point=zp,
+    )
+    mlp_norm = mlp_norm / s_gu
+    gu = (gu.astype(jnp.float32) * s_gu[None, :, None]).astype(gu.dtype)
+    mlp_in = mlp_in / s_gu.astype(mlp_in.dtype)
+
+    # per-expert down scale + clips
+    new_dn = []
+    new_gu = []
+    for e in range(E):
+        z = mlp_in @ gu[e].astype(mlp_in.dtype)
+        gate, up = jnp.split(z, 2, axis=-1)
+        dn_in = jax.nn.silu(gate) * up
+        s_dn = search_scale(
+            flat(dn_in), [dn[e]],
+            loss_forward=lambda ws: dn_in @ ws[0].astype(dn_in.dtype),
+            group_size=G, zero_point=zp,
+        )
+        gue = gu[e].at[:, F:].divide(s_dn[None, :].astype(gu.dtype))
+        dne = (dn[e].astype(jnp.float32) * s_dn[:, None]).astype(dn.dtype)
+        dn_in = dn_in / s_dn.astype(dn_in.dtype)
+        if apply_clips:
+            gue = apply_clip(gue, search_clip(gue, flat(mlp_in), G, zp), G)
+            dne = apply_clip(dne, search_clip(dne, flat(dn_in), G, zp), G)
+        new_gu.append(gue)
+        new_dn.append(dne)
+    gu = jnp.stack(new_gu)
+    dn = jnp.stack(new_dn)
+
+    scaled = MoEParams(moe.router, Linear(gu), Linear(dn))
+    mlp_out = moe_forward(scaled, cfg, mlp_in)
+
+    # quantize+pack stacked experts
+    def pack_stacked(w):
+        qls = [QuantLinear.from_float(w[e], None, G, zp) for e in range(E)]
+        return QuantLinear(
+            qweight=jnp.stack([l.qweight for l in qls]),
+            scales=jnp.stack([l.scales for l in qls]),
+            zeros_x_scales=jnp.stack([l.zeros_x_scales for l in qls]),
+            bias=None,
+            group_size=G,
+        )
+
+    packed = MoEParams(
+        router=moe.router,
+        gate_up_proj=pack_stacked(gu),
+        down_proj=pack_stacked(dn),
+    )
+    return packed, mlp_out, mlp_norm
+
+
+# ---------------------------------------------------------------------------
+# Model-level pipeline
+# ---------------------------------------------------------------------------
+
+def awq_quantize_model(
+    params,  # float ModelParams
+    cfg: ModelConfig,
+    calib_tokens: jax.Array,  # [B, S]
+    qcfg: Optional[QuantConfig] = None,
+    apply_clips: bool = True,
+    verbose: bool = True,
+) -> "ModelParams":
+    """Full AWQ pipeline: per-block scale/clip search + quantize + pack
+    (the analog of BaseAWQForCausalLM.quantize, reference models/base.py:91)."""
+    from quick_tpu.models.model import ModelParams  # noqa: F401
+
+    qcfg = qcfg or QuantConfig()
+    B, S = calib_tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
+    x = params.embed[calib_tokens].astype(jnp.bfloat16)
+    new_blocks = []
+    for i, blk in enumerate(params.blocks):
+        res = awq_quantize_block(
+            blk, cfg, x, positions, params.rope_cos, params.rope_sin,
+            qcfg, apply_clips,
+        )
+        new_blocks.append(res.block)
+        x = res.x_next
+        if verbose:
+            print(f"[awq] block {i + 1}/{len(params.blocks)} quantized", flush=True)
+    return dataclasses.replace(params, blocks=new_blocks)

@@ -3,15 +3,23 @@
 Multi-chip sharding logic is validated on CPU (the reference had no
 multi-device tests at all — see SURVEY.md section 4); real-TPU numbers come
 from bench.py.
+
+Note: this environment injects an `axon` TPU plugin via sitecustomize that
+overrides JAX_PLATFORMS, so the env var alone is not enough — we must also
+update jax.config after import.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -20,3 +28,10 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def cpu_mesh_devices():
+    devs = jax.devices()
+    assert len(devs) == 8, f"expected 8 virtual CPU devices, got {len(devs)}"
+    return devs

@@ -1,0 +1,132 @@
+"""AWQ pipeline tests: the scale search must exploit salient channels."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quick_tpu import ModelConfig, QuantConfig
+from quick_tpu.models import init_float_params, model_forward, quantize_params
+from quick_tpu.modules.linear import QuantLinear
+from quick_tpu.quantize.awq import (
+    apply_clip,
+    awq_quantize_model,
+    search_clip,
+    search_scale,
+)
+from quick_tpu.quantize.numerics import pseudo_quantize_tensor
+
+
+def test_scale_search_protects_salient_channels(rng):
+    """Construct the canonical AWQ scenario: a few input channels carry
+    large activations; per-channel scaling should cut quantization error of
+    y = x @ w well below plain RTN."""
+    K, N, G = 128, 64, 32
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.02
+    x = rng.standard_normal((256, K)).astype(np.float32)
+    salient = rng.choice(K, 8, replace=False)
+    x[:, salient] *= 30.0  # heavy activation outliers
+    w_j, x_j = jnp.asarray(w), jnp.asarray(x)
+
+    s = search_scale(
+        x_j, [w_j], loss_forward=lambda ws: x_j @ ws[0], group_size=G
+    )
+    y = np.asarray(x_j @ w_j)
+    w_rtn = pseudo_quantize_tensor(w_j, G)
+    y_rtn = np.asarray(x_j @ w_rtn)
+    w_awq = pseudo_quantize_tensor(w_j * s[:, None], G) / s[:, None]
+    y_awq = np.asarray(x_j @ w_awq)
+
+    err_rtn = np.mean((y - y_rtn) ** 2)
+    err_awq = np.mean((y - y_awq) ** 2)
+    assert err_awq < err_rtn * 0.7, (err_awq, err_rtn)
+
+
+def test_scale_math_identity(rng):
+    """Scaling w by s and the previous op by 1/s must leave the float
+    function unchanged (reference scale.py NaN-check invariant)."""
+    K, N = 64, 32
+    w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((16, K)).astype(np.float32))
+    s = jnp.asarray(rng.random(K).astype(np.float32) + 0.5)
+    y0 = x @ w
+    y1 = (x / s) @ (w * s[:, None])
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-4, atol=1e-4)
+
+
+def test_clip_search_reduces_error(rng):
+    """Clipping outlier weights should reduce per-group matmul error."""
+    K, N, G = 128, 32, 32
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.02
+    # inject rare huge weights that blow up the quant step for their group
+    idx = rng.choice(K * N, 20, replace=False)
+    w.ravel()[idx] *= 50
+    x = rng.standard_normal((512, K)).astype(np.float32)
+    w_j, x_j = jnp.asarray(w), jnp.asarray(x)
+
+    y = np.asarray(x_j @ w_j)
+    y_rtn = np.asarray(x_j @ pseudo_quantize_tensor(w_j, G))
+    maxv = search_clip(w_j, x_j, G)
+    w_clipped = apply_clip(w_j, maxv, G)
+    y_clip = np.asarray(x_j @ pseudo_quantize_tensor(w_clipped, G))
+
+    err_rtn = np.mean((y - y_rtn) ** 2)
+    err_clip = np.mean((y - y_clip) ** 2)
+    assert err_clip <= err_rtn
+
+
+def test_awq_model_pipeline_end_to_end():
+    """Full pipeline runs, returns packed QuantLinears, KL stays finite and
+    comparable to RTN on a tiny random model."""
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64,
+    )
+    p = init_float_params(cfg, jax.random.PRNGKey(0))
+    calib = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 0, 128)
+    qcfg = QuantConfig(q_group_size=32)
+    qp = awq_quantize_model(p, cfg, calib, qcfg, verbose=False)
+    assert isinstance(qp.blocks[0].attn.qkv_proj, QuantLinear)
+
+    test_toks = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, 128)
+    lf, _ = model_forward(p, cfg, test_toks)
+    la, _ = model_forward(qp, cfg, test_toks)
+    pf = jax.nn.log_softmax(lf[:, -1])
+    pa = jax.nn.log_softmax(la[:, -1])
+    kl_awq = float(jnp.sum(jnp.exp(pf) * (pf - pa), -1).mean())
+
+    qr = quantize_params(p, cfg, group_size=32)
+    lr, _ = model_forward(qr, cfg, test_toks)
+    pr = jax.nn.log_softmax(lr[:, -1])
+    kl_rtn = float(jnp.sum(jnp.exp(pf) * (pf - pr), -1).mean())
+
+    assert np.isfinite(kl_awq)
+    assert kl_awq < kl_rtn * 2.5  # must not be materially worse than RTN
+
+
+def test_awq_gqa_block():
+    """GQA (hq != hkv) skips the v->o scale group but still quantizes."""
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=32,
+    )
+    p = init_float_params(cfg, jax.random.PRNGKey(3))
+    calib = jax.random.randint(jax.random.PRNGKey(4), (2, 16), 0, 64)
+    qp = awq_quantize_model(p, cfg, calib, QuantConfig(q_group_size=32), verbose=False)
+    logits, _ = model_forward(qp, cfg, calib[:, :8])
+    assert bool(jnp.isfinite(logits).all())
+
+
+def test_awq_moe_pipeline():
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=32, num_local_experts=2,
+        num_experts_per_tok=1, model_type="mixtral",
+    )
+    p = init_float_params(cfg, jax.random.PRNGKey(5))
+    calib = jax.random.randint(jax.random.PRNGKey(6), (2, 16), 0, 64)
+    qp = awq_quantize_model(p, cfg, calib, QuantConfig(q_group_size=32), verbose=False)
+    logits, _ = model_forward(qp, cfg, calib[:, :8])
+    assert bool(jnp.isfinite(logits).all())

@@ -1,0 +1,104 @@
+"""TP/DP/EP sharding correctness on the 8-device virtual CPU mesh.
+
+Property under test: the shard_map-parallelized forward must produce the
+same logits as the single-device forward (the reference has no distributed
+path at all — this capability is new, SURVEY.md section 2.3)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quick_tpu import ModelConfig
+from quick_tpu.models import init_float_params, model_forward, quantize_params
+from quick_tpu.parallel import (
+    create_mesh,
+    prepare_params_for_tp,
+    shard_params,
+    sharded_forward_fn,
+    tp_permutation,
+)
+from quick_tpu.runtime import make_cache
+
+CFG = ModelConfig(
+    vocab_size=128, hidden_size=128, intermediate_size=256,
+    num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+    max_position_embeddings=64,
+)
+
+
+@pytest.fixture(scope="module")
+def fparams():
+    return init_float_params(CFG, jax.random.PRNGKey(0))
+
+
+def _reference_logits(params, tokens, cfg=CFG):
+    cache = make_cache(cfg, tokens.shape[0], 32)
+    logits, _ = model_forward(params, cfg, tokens, cache)
+    return np.asarray(logits)
+
+
+def _parallel_logits(params, tokens, tp, dp, cfg=CFG):
+    mesh = create_mesh(tp=tp, dp=dp)
+    sharded = shard_params(params, cfg, mesh)
+    fn = sharded_forward_fn(cfg, mesh)(params)
+    cache = make_cache(cfg, tokens.shape[0], 32)
+    logits, _ = jax.jit(fn)(sharded, tokens, cache)
+    return np.asarray(logits)
+
+
+def test_tp_permutation_is_permutation():
+    perm = tp_permutation([64, 32, 32], 4)
+    assert sorted(perm.tolist()) == list(range(128))
+    # shard 0's slice contains the first quarter of each section
+    shard0 = perm[:32]
+    assert set(shard0) == set(range(0, 16)) | set(range(64, 72)) | set(range(96, 104))
+
+
+@pytest.mark.parametrize("tp,dp", [(2, 1), (4, 1), (4, 2), (1, 4)])
+def test_float_tp_matches_single(fparams, tp, dp):
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, 128)
+    ref = _reference_logits(fparams, tokens)
+    par = _parallel_logits(fparams, tokens, tp, dp)
+    np.testing.assert_allclose(par, ref, atol=0.05, rtol=0.05)
+
+
+def test_quant_tp_matches_single(fparams):
+    qp = quantize_params(fparams, CFG, group_size=32)
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, 128)
+    ref = _reference_logits(qp, tokens)
+    par = _parallel_logits(qp, tokens, tp=4, dp=2)
+    np.testing.assert_allclose(par, ref, atol=0.05, rtol=0.05)
+
+
+def test_moe_ep_matches_single():
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=32, num_local_experts=4, num_experts_per_tok=2,
+        model_type="mixtral",
+    )
+    p = init_float_params(cfg, jax.random.PRNGKey(3))
+    tokens = jax.random.randint(jax.random.PRNGKey(4), (2, 4), 0, 64)
+    ref = _reference_logits(p, tokens, cfg)
+    par = _parallel_logits(p, tokens, tp=4, dp=2, cfg=cfg)
+    np.testing.assert_allclose(par, ref, atol=0.05, rtol=0.05)
+
+
+def test_decode_with_cache_tp(fparams):
+    """Parallel prefill+decode must match single-device prefill+decode."""
+    mesh = create_mesh(tp=4, dp=1)
+    sharded = shard_params(fparams, CFG, mesh)
+    fn = jax.jit(sharded_forward_fn(CFG, mesh)(fparams))
+    tokens = jax.random.randint(jax.random.PRNGKey(5), (2, 6), 0, 128)
+
+    cache_s = make_cache(CFG, 2, 16)
+    logits_s, cache_s = fn(sharded, tokens, cache_s)
+    step_s, cache_s = fn(sharded, tokens[:, -1:] * 0 + 3, cache_s)
+
+    cache_r = make_cache(CFG, 2, 16)
+    lr, cache_r = model_forward(fparams, CFG, tokens, cache_r)
+    sr, cache_r = model_forward(fparams, CFG, tokens[:, -1:] * 0 + 3, cache_r)
+
+    np.testing.assert_allclose(
+        np.asarray(step_s), np.asarray(sr), atol=0.05, rtol=0.05
+    )
