@@ -1,0 +1,173 @@
+"""High-level model API — the ``AutoAWQForCausalLM`` equivalent.
+
+Mirrors the reference's user surface (quick/awq/models/auto.py:37-99 and
+models/base.py:68-194):
+
+    model = AutoQuickModel.from_pretrained(hf_dir)        # float import
+    model.quantize(calib_tokens, quant_config)            # AWQ search+pack
+    model.save_quantized(out_dir)
+    model = AutoQuickModel.from_quantized(out_dir)        # serve path
+    out = model.generate(tokens, max_new_tokens=...)
+
+The model-type registry mirrors AWQ_CAUSAL_LM_MODEL_MAP
+(reference models/auto.py:6-24); Llama-like types all share one runtime,
+differing only in ModelConfig switches.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from quick_tpu.config import ModelConfig, QuantConfig
+
+#: model_type -> config switch overrides (the adapter registry; analog of
+#: reference models/auto.py:6-24 which maps 17 model types).
+MODEL_TYPE_MAP: Dict[str, dict] = {
+    "llama": {},
+    "mistral": {},
+    "vicuna": {},          # llama arch
+    "yi": {},              # llama arch
+    "aquila": {},          # llama arch
+    "qwen2": {},
+    "qwen": {"attention_bias": True},
+    "mixtral": {},         # MoE handled via num_local_experts
+    "gpt_neox": {"parallel_residual": True, "layernorm": "layernorm",
+                 "act_fn": "gelu", "gated_mlp": False},
+    "gptj": {"parallel_residual": True, "layernorm": "layernorm",
+             "act_fn": "gelu", "gated_mlp": False},
+    "opt": {"use_rope": False, "layernorm": "layernorm", "act_fn": "gelu",
+            "gated_mlp": False},
+    "bloom": {"use_rope": False, "use_alibi": True, "layernorm": "layernorm",
+              "act_fn": "gelu", "gated_mlp": False},
+    "mpt": {"use_rope": False, "use_alibi": True, "layernorm": "layernorm",
+            "act_fn": "gelu", "gated_mlp": False},
+    "falcon": {"parallel_residual": True, "layernorm": "layernorm",
+               "act_fn": "gelu", "gated_mlp": False},
+    "baichuan": {},
+    "gpt_bigcode": {"layernorm": "layernorm", "act_fn": "gelu",
+                    "gated_mlp": False},
+    "llava": {},           # language tower is llama; vision tower external
+}
+
+
+def check_and_get_model_type(model_type: str) -> str:
+    """Validate a model type against the registry (analog of
+    reference models/auto.py:27-33)."""
+    if model_type not in MODEL_TYPE_MAP:
+        raise TypeError(
+            f"{model_type} isn't supported yet. Supported: "
+            f"{sorted(MODEL_TYPE_MAP)}"
+        )
+    return model_type
+
+
+def apply_model_type(cfg: ModelConfig) -> ModelConfig:
+    overrides = MODEL_TYPE_MAP.get(cfg.model_type, {})
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+class AutoQuickModel:
+    """Stateful convenience wrapper over the functional core."""
+
+    def __init__(self, params, cfg: ModelConfig, qcfg: Optional[QuantConfig] = None):
+        self.params = params
+        self.cfg = cfg
+        self.qcfg = qcfg
+
+    # -- constructors --------------------------------------------------------
+    @classmethod
+    def from_pretrained(cls, model_dir: str, dtype=jnp.bfloat16) -> "AutoQuickModel":
+        """Import an HF float checkpoint (reference base.py:196-239)."""
+        from quick_tpu.utils.checkpoint import load_hf_float
+
+        params, cfg = load_hf_float(model_dir, dtype)
+        check_and_get_model_type(cfg.model_type)
+        return cls(params, apply_model_type(cfg))
+
+    @classmethod
+    def from_quantized(cls, model_dir: str) -> "AutoQuickModel":
+        """Load a quantized checkpoint — native QTPU or AutoAWQ GEMM
+        (reference base.py:241-335 + the GEMM repack path)."""
+        from quick_tpu.utils.checkpoint import load_autoawq, load_quantized
+
+        qcfg = QuantConfig.from_pretrained(model_dir)
+        if qcfg.version in ("gemm", "GEMM"):
+            params, cfg, qcfg = load_autoawq(model_dir)
+            qcfg = dataclasses.replace(qcfg, version="qtpu")
+        else:
+            params, cfg, qcfg = load_quantized(model_dir)
+        check_and_get_model_type(cfg.model_type)
+        return cls(params, apply_model_type(cfg), qcfg)
+
+    @classmethod
+    def from_random(
+        cls, cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16
+    ) -> "AutoQuickModel":
+        """Random-init float model (hermetic testing/benching)."""
+        from quick_tpu.models.model import init_float_params
+
+        return cls(
+            init_float_params(apply_model_type(cfg), jax.random.PRNGKey(seed), dtype),
+            apply_model_type(cfg),
+        )
+
+    # -- pipeline ------------------------------------------------------------
+    def quantize(
+        self,
+        calib_tokens=None,
+        quant_config: Optional[QuantConfig] = None,
+        use_awq_search: bool = True,
+        verbose: bool = True,
+    ) -> "AutoQuickModel":
+        """AWQ scale/clip search + quantize + pack (reference base.py:91-121).
+
+        With ``use_awq_search=False`` (or no calibration data) falls back to
+        plain RTN quantization."""
+        from quick_tpu.models.model import quantize_params
+        from quick_tpu.quantize.awq import awq_quantize_model
+
+        qcfg = quant_config or QuantConfig()
+        if use_awq_search and calib_tokens is not None:
+            self.params = awq_quantize_model(
+                self.params, self.cfg, calib_tokens, qcfg, verbose=verbose
+            )
+        else:
+            self.params = quantize_params(
+                self.params, self.cfg, qcfg.q_group_size, qcfg.zero_point
+            )
+        self.qcfg = qcfg
+        return self
+
+    def save_quantized(self, save_dir: str) -> None:
+        from quick_tpu.utils.checkpoint import save_quantized
+
+        if self.qcfg is None:
+            raise ValueError("model is not quantized; call .quantize() first")
+        save_quantized(self.params, self.cfg, self.qcfg, save_dir)
+
+    # -- inference -----------------------------------------------------------
+    def generate(self, tokens, max_new_tokens: int = 128, **kw):
+        from quick_tpu.runtime.generate import generate
+
+        return generate(self.params, self.cfg, tokens, max_new_tokens, **kw)
+
+    def forward(self, tokens, cache=None):
+        from quick_tpu.models.model import model_forward
+
+        return model_forward(self.params, self.cfg, tokens, cache)
+
+    def shard(self, tp: int = 1, dp: int = 1):
+        """Shard over a device mesh; returns (mesh, sharded_params, fn)."""
+        from quick_tpu.parallel import (
+            create_mesh,
+            shard_params,
+            sharded_forward_fn,
+        )
+
+        mesh = create_mesh(tp=tp, dp=dp)
+        sharded = shard_params(self.params, self.cfg, mesh)
+        fn = jax.jit(sharded_forward_fn(self.cfg, mesh)(self.params))
+        return mesh, sharded, fn
