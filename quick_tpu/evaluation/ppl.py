@@ -1,0 +1,54 @@
+"""Perplexity evaluation (analog of quick/awq/evaluation/eval_utils.py:21-61).
+
+The reference evaluates wikitext-2-raw with 2048-token windows and stacked
+NLLs. Same protocol here, over any pre-tokenized stream (this environment is
+zero-egress; pass tokens directly or via a local dataset path)."""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quick_tpu.config import ModelConfig
+from quick_tpu.models.model import ModelParams, model_forward
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _window_nll(params: ModelParams, cfg: ModelConfig, tokens: jax.Array):
+    """Sum of next-token NLLs and count for one [1, S] window."""
+    logits, _ = model_forward(params, cfg, tokens)
+    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    tgt = tokens[:, 1:]
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    return nll.sum(), nll.size
+
+
+def evaluate_perplexity(
+    params: ModelParams,
+    cfg: ModelConfig,
+    tokens: np.ndarray,            # flat token stream [N] or [B, S]
+    seqlen: int = 2048,
+    max_windows: Optional[int] = None,
+    verbose: bool = False,
+) -> float:
+    """exp(mean NLL) over non-overlapping seqlen windows
+    (reference eval_utils.py:38-57 protocol)."""
+    flat = np.asarray(tokens, np.int32).reshape(-1)
+    n_win = len(flat) // seqlen
+    if max_windows is not None:
+        n_win = min(n_win, max_windows)
+    if n_win == 0:
+        raise ValueError(f"need at least {seqlen} tokens, got {len(flat)}")
+    total, count = 0.0, 0
+    for i in range(n_win):
+        w = jnp.asarray(flat[i * seqlen : (i + 1) * seqlen])[None]
+        s, c = _window_nll(params, cfg, w)
+        total += float(s)
+        count += int(c)
+        if verbose:
+            print(f"[ppl] window {i + 1}/{n_win}: {np.exp(total / count):.4f}",
+                  flush=True)
+    return float(np.exp(total / count))
