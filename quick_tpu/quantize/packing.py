@@ -47,13 +47,20 @@ AWQ_REVERSE_ORDER = np.array([0, 4, 1, 5, 2, 6, 3, 7])
 def pack_qtpu(q: np.ndarray, group_size: int = 128) -> np.ndarray:
     """Pack codes [K, N] (uint8, 0..15) into QTPU int32 [K//8, N].
 
-    j-major within-group nibble order (see module docstring).
+    j-major within-group nibble order (see module docstring). Uses the
+    native C++ packer when available (quick_tpu/_native), numpy otherwise —
+    bit-identical paths.
     """
     K, N = q.shape
     if K % group_size:
         raise ValueError(f"K={K} not divisible by group_size={group_size}")
     if group_size % PACK:
         raise ValueError(f"group_size={group_size} not divisible by {PACK}")
+    from quick_tpu._native import pack_qtpu_native
+
+    native = pack_qtpu_native(q, group_size)
+    if native is not None:
+        return native
     slab = group_size // PACK
     qg = np.ascontiguousarray(q).reshape(K // group_size, PACK, slab, N)
     qg = qg.astype(np.uint32)
@@ -65,6 +72,11 @@ def pack_qtpu(q: np.ndarray, group_size: int = 128) -> np.ndarray:
 
 def unpack_qtpu(qweight: np.ndarray, group_size: int = 128) -> np.ndarray:
     """Inverse of :func:`pack_qtpu`: int32 [K//8, N] -> uint8 codes [K, N]."""
+    from quick_tpu._native import unpack_qtpu_native
+
+    native = unpack_qtpu_native(qweight, group_size)
+    if native is not None:
+        return native
     K8, N = qweight.shape
     K = K8 * PACK
     slab = group_size // PACK
