@@ -128,6 +128,9 @@ class ModelConfig:
     attention_bias: bool = False          # qwen(1) style qkv bias
     mlp_bias: bool = False
     use_alibi: bool = False               # mpt / baichuan-13b / bloom
+    #: global head count for ALiBi slope assignment when this config describes
+    #: a TP shard (set by parallel.sharding.local_config); None = not sharded
+    alibi_total_heads: Optional[int] = None
     parallel_residual: bool = False       # gptj / gpt-neox / falcon style
     use_rope: bool = True                 # opt/bloom use learned/alibi instead
     layernorm: str = "rmsnorm"            # "rmsnorm" | "layernorm"

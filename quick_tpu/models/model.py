@@ -188,6 +188,9 @@ def quantize_params(
                 down_proj=q_stacked(blk.mlp.down_proj),
             )
         else:
-            mlp = MLPParams(q(blk.mlp.gate_up_proj), q(blk.mlp.down_proj))
+            mlp = MLPParams(
+                q(blk.mlp.gate_up_proj), q(blk.mlp.down_proj),
+                act_scale=blk.mlp.act_scale,
+            )
         new_blocks.append(dataclasses.replace(blk, attn=attn, mlp=mlp))
     return dataclasses.replace(params, blocks=new_blocks)

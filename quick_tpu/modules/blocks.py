@@ -42,6 +42,12 @@ class AttentionParams:
 class MLPParams:
     gate_up_proj: AnyLinear  # fused [D, 2*ffn] (swiglu) or up only
     down_proj: AnyLinear
+    #: per-channel divisor applied AFTER the activation (the functional analog
+    #: of the reference's ScaledActivation module, quick/awq/modules/act.py:3-10
+    #: inserted by _scale_activations, models/base.py:443-457). Used by
+    #: non-gated MLPs (mpt/falcon/bloom gelu) where the AWQ down_proj scale
+    #: cannot be folded into a preceding linear.
+    act_scale: Optional[jax.Array] = None
 
 
 @jax.tree_util.register_dataclass
@@ -86,8 +92,21 @@ def attention_forward(
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     from quick_tpu.ops.rope import apply_rope
 
+    from quick_tpu.ops.alibi import alibi_slopes
+
     B, S, D = x.shape
     hq, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    # static per-head slope constants; under TP each shard holds a contiguous
+    # head range, selected by the shard's model-axis index
+    slopes = None
+    if cfg.use_alibi:
+        total = cfg.alibi_total_heads or hq
+        full = jnp.asarray(alibi_slopes(total))
+        if total != hq:
+            full = jax.lax.dynamic_slice_in_dim(
+                full, ctx.model_axis_index() * hq, hq
+            )
+        slopes = full
     qkv = p.qkv_proj(x)  # [B, S, (hq+2hkv)*hd]
     q, k, v = jnp.split(qkv, [hq * hd, (hq + hkv) * hd], axis=-1)
     q = q.reshape(B, S, hq, hd)
@@ -102,10 +121,11 @@ def attention_forward(
         cache = cache.update(layer_idx, k, v, start)
         k_all, v_all = cache.layer(layer_idx)
         out = causal_attention(
-            q, k_all, v_all, q_offset=start, kv_len=start + S
+            q, k_all, v_all, q_offset=start, kv_len=start + S,
+            alibi_slopes=slopes,
         )
     else:
-        out = causal_attention(q, k, v)
+        out = causal_attention(q, k, v, alibi_slopes=slopes)
     out = out.reshape(B, S, hq * hd)
     # row-parallel output projection: partial sums reduced over the TP axis
     # (Megatron-style; the collective rides ICI under shard_map)
@@ -127,7 +147,10 @@ def mlp_forward(
         gu = p.gate_up_proj(x)
         gate, up = jnp.split(gu, 2, axis=-1)
         return ctx.psum_model(p.down_proj(_act(gate, cfg) * up))
-    return ctx.psum_model(p.down_proj(_act(p.gate_up_proj(x), cfg)))
+    z = _act(p.gate_up_proj(x), cfg)
+    if p.act_scale is not None:
+        z = z / p.act_scale.astype(z.dtype)
+    return ctx.psum_model(p.down_proj(z))
 
 
 def moe_forward(

@@ -30,6 +30,7 @@ def causal_attention(
     q_offset: jax.Array | int = 0,  # absolute position of q[0] within kv
     kv_len: Optional[jax.Array] = None,  # valid kv prefix length [B] or scalar
     scale: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,  # [Hq] per-head slopes
 ) -> jax.Array:
     """Causal GQA attention, f32 softmax. Returns [B, S, Hq, D].
 
@@ -52,6 +53,11 @@ def causal_attention(
     q_pos = jnp.arange(S).reshape(1, 1, 1, S, 1) + off
     k_pos = jnp.arange(T).reshape(1, 1, 1, 1, T)
     mask = k_pos <= q_pos  # causal
+    if alibi_slopes is not None:
+        # bias[h, s, t] = m_h * (t - s): 0 on the diagonal, increasingly
+        # negative with distance (ALiBi paper; reference fused/attn.py:89-98)
+        sl = jnp.asarray(alibi_slopes, jnp.float32).reshape(1, n_kv, Hq // n_kv, 1, 1)
+        scores = scores + sl * (k_pos - q_pos).astype(jnp.float32)
     if kv_len is not None:
         kl = jnp.asarray(kv_len)
         kl = kl.reshape(-1, 1, 1, 1, 1) if kl.ndim > 0 else kl
@@ -68,6 +74,7 @@ def decode_attention(
     v_cache: jax.Array,  # [B, T, Hkv, D]
     cache_len: jax.Array,  # scalar or [B]: number of valid entries (incl. current)
     scale: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Single-token decode attention over a (padded) KV cache."""
     return causal_attention(
@@ -75,4 +82,5 @@ def decode_attention(
         q_offset=jnp.asarray(cache_len) - 1,
         kv_len=cache_len,
         scale=scale,
+        alibi_slopes=alibi_slopes,
     )

@@ -108,6 +108,8 @@ def param_specs(params: "ModelParams", cfg: ModelConfig) -> "ModelParams":
             mlp = MLPParams(
                 gate_up_proj=_linear_spec(blk.mlp.gate_up_proj, col_parallel=True),
                 down_proj=_linear_spec(blk.mlp.down_proj, col_parallel=False),
+                # act_scale is per-ffn-channel -> sharded with gate_up columns
+                act_scale=None if blk.mlp.act_scale is None else P(MODEL_AXIS),
             )
         return BlockParams(
             attn_norm=rep1,
@@ -198,6 +200,8 @@ def local_config(cfg: ModelConfig, tp: int) -> ModelConfig:
         num_attention_heads=cfg.num_attention_heads // tp,
         num_key_value_heads=cfg.num_key_value_heads // tp,
     )
+    if cfg.use_alibi:
+        kw["alibi_total_heads"] = cfg.alibi_total_heads or cfg.num_attention_heads
     return dataclasses.replace(cfg, **kw)
 
 

@@ -38,7 +38,7 @@ from quick_tpu.modules.blocks import (
 )
 from quick_tpu.modules.linear import Linear, QuantLinear
 from quick_tpu.ops.attention import causal_attention
-from quick_tpu.ops.norms import rms_norm
+from quick_tpu.ops.norms import layer_norm, rms_norm
 from quick_tpu.ops.rope import apply_rope
 from quick_tpu.quantize.numerics import pseudo_quantize_tensor
 
@@ -212,12 +212,26 @@ def awq_quantize_block(
         if cfg.use_rope:
             q = apply_rope(q, positions, rope_cos, rope_sin)
             k = apply_rope(k, positions, rope_cos, rope_sin)
-        out = causal_attention(q, k, v)
+        slopes = None
+        if cfg.use_alibi:
+            from quick_tpu.ops.alibi import alibi_slopes
+
+            slopes = jnp.asarray(alibi_slopes(hq))
+        out = causal_attention(q, k, v, alibi_slopes=slopes)
         return out.reshape(B, S, hq * hd)
+
+    def norm_fwd(h, w, b):
+        if cfg.layernorm == "rmsnorm":
+            return rms_norm(h, w, cfg.rms_norm_eps)
+        return layer_norm(h, w, b, cfg.rms_norm_eps)
 
     # ---------------- attention: norm -> qkv group --------------------------
     attn_norm = blk.attn_norm.astype(jnp.float32)
-    attn_in = rms_norm(x, blk.attn_norm, cfg.rms_norm_eps)
+    attn_norm_bias = (
+        None if blk.attn_norm_bias is None
+        else blk.attn_norm_bias.astype(jnp.float32)
+    )
+    attn_in = norm_fwd(x, blk.attn_norm, blk.attn_norm_bias)
     qkv_w = blk.attn.qkv_proj.weight
 
     s_qkv = search_scale(
@@ -225,8 +239,11 @@ def awq_quantize_block(
         loss_forward=lambda ws: attn_fwd(ws[0], attn_in),
         group_size=G, zero_point=zp,
     )
-    # apply: norm /= s, qkv *= s (reference scale_ln_fcs, scale.py:71-98)
+    # apply: norm (weight AND bias) /= s, qkv *= s (reference scale_ln_fcs,
+    # scale.py:71-98 divides both ln.weight and ln.bias)
     attn_norm = attn_norm / s_qkv
+    if attn_norm_bias is not None:
+        attn_norm_bias = attn_norm_bias / s_qkv
     qkv_w = (qkv_w.astype(jnp.float32) * s_qkv[:, None]).astype(qkv_w.dtype)
     attn_in = attn_in / s_qkv.astype(attn_in.dtype)
 
@@ -263,15 +280,19 @@ def awq_quantize_block(
 
     # ---------------- MLP ---------------------------------------------------
     mlp_norm = blk.mlp_norm.astype(jnp.float32)
-    mlp_in = rms_norm(x_mid, blk.mlp_norm, cfg.rms_norm_eps)
+    mlp_norm_bias = (
+        None if blk.mlp_norm_bias is None
+        else blk.mlp_norm_bias.astype(jnp.float32)
+    )
+    mlp_in = norm_fwd(x_mid, blk.mlp_norm, blk.mlp_norm_bias)
 
     if isinstance(blk.mlp, MoEParams):
-        new_mlp, mlp_out, mlp_norm = _awq_moe(
-            blk.mlp, cfg, mlp_in, mlp_norm, qcfg, apply_clips
+        new_mlp, mlp_out, mlp_norm_scale = _awq_moe(
+            blk.mlp, cfg, mlp_in, jnp.ones_like(mlp_norm), qcfg, apply_clips
         )
     else:
-        new_mlp, mlp_out, mlp_norm = _awq_mlp(
-            blk.mlp, cfg, mlp_in, mlp_norm, qcfg, apply_clips
+        new_mlp, mlp_out, mlp_norm_scale = _awq_mlp(
+            blk.mlp, cfg, mlp_in, jnp.ones_like(mlp_norm), qcfg, apply_clips
         )
         # pack dense mlp
         new_mlp = MLPParams(
@@ -281,7 +302,13 @@ def awq_quantize_block(
             down_proj=QuantLinear.from_float(
                 new_mlp.down_proj.weight, new_mlp.down_proj.bias, G, zp
             ),
+            act_scale=new_mlp.act_scale,
         )
+    # _awq_mlp/_awq_moe return the multiplicative norm adjustment (1/s_gu);
+    # apply it to weight AND bias
+    mlp_norm = mlp_norm * mlp_norm_scale
+    if mlp_norm_bias is not None:
+        mlp_norm_bias = mlp_norm_bias * mlp_norm_scale
 
     if cfg.parallel_residual:
         x_next = x + attn_out + mlp_out
@@ -297,8 +324,14 @@ def awq_quantize_block(
         attn=new_attn,
         mlp_norm=mlp_norm.astype(blk.mlp_norm.dtype),
         mlp=new_mlp,
-        attn_norm_bias=blk.attn_norm_bias,
-        mlp_norm_bias=blk.mlp_norm_bias,
+        attn_norm_bias=(
+            None if attn_norm_bias is None
+            else attn_norm_bias.astype(blk.attn_norm_bias.dtype)
+        ),
+        mlp_norm_bias=(
+            None if mlp_norm_bias is None
+            else mlp_norm_bias.astype(blk.mlp_norm_bias.dtype)
+        ),
     )
     return AwqBlockResult(block=new_block, x_next=x_next)
 
@@ -342,9 +375,15 @@ def _awq_mlp(mlp: MLPParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
         loss_forward=lambda ws: dn_in @ ws[0].astype(dn_in.dtype),
         group_size=G, zero_point=zp,
     )
+    act_scale = None
     if cfg.gated_mlp:
         up_cols = slice(F, 2 * F)
         gu_w = gu_w.at[:, up_cols].divide(s_dn[None, :].astype(gu_w.dtype))
+    else:
+        # the scale cannot be folded through the nonlinearity — record it as
+        # a post-activation divisor (reference inserts ScaledActivation here,
+        # quick/awq/quantize/scale.py:56-68, models/base.py:443-457)
+        act_scale = s_dn.astype(jnp.float32)
     dn_w = (dn_w.astype(jnp.float32) * s_dn[:, None]).astype(dn_w.dtype)
     dn_in = dn_in / s_dn.astype(dn_in.dtype)
 
@@ -361,6 +400,7 @@ def _awq_mlp(mlp: MLPParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
         MLPParams(
             gate_up_proj=Linear(gu_w, mlp.gate_up_proj.bias),
             down_proj=Linear(dn_w, mlp.down_proj.bias),
+            act_scale=act_scale,
         ),
         mlp_out,
         mlp_norm,

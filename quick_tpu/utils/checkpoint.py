@@ -76,6 +76,8 @@ def params_to_flat(params: ModelParams) -> Dict[str, np.ndarray]:
         else:
             _lin_to_flat(f"{p}.mlp.gate_up", blk.mlp.gate_up_proj, out)
             _lin_to_flat(f"{p}.mlp.down", blk.mlp.down_proj, out)
+            if blk.mlp.act_scale is not None:
+                out[f"{p}.mlp.act_scale"] = np.asarray(blk.mlp.act_scale)
     out["final_norm"] = np.asarray(params.final_norm)
     if params.final_norm_bias is not None:
         out["final_norm_bias"] = np.asarray(params.final_norm_bias)
@@ -124,6 +126,10 @@ def flat_to_params(
             mlp = MLPParams(
                 gate_up_proj=_flat_to_lin(f"{p}.mlp.gate_up", flat, group_size),
                 down_proj=_flat_to_lin(f"{p}.mlp.down", flat, group_size),
+                act_scale=(
+                    jnp.asarray(flat[f"{p}.mlp.act_scale"])
+                    if f"{p}.mlp.act_scale" in flat else None
+                ),
             )
         blocks.append(
             BlockParams(
