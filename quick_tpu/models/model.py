@@ -49,12 +49,20 @@ def model_forward(
     cache: Optional[KVCache] = None,
     positions: Optional[jax.Array] = None,
     ctx: ParallelContext = ParallelContext(),
+    advance: Optional[jax.Array] = None,  # [B] valid-token counts (chunked
+    # serving steps advance per-slot lengths by this instead of S)
 ) -> Tuple[jax.Array, Optional[KVCache]]:
-    """Returns (logits [B, S, V], updated cache)."""
+    """Returns (logits [B, S, V], updated cache).
+
+    ``cache`` is either the dense KVCache (scalar length) or a PagedKVCache
+    ([B] per-slot lengths); both expose update/layer/length/with_length."""
     B, S = tokens.shape
     if positions is None:
-        start = cache.length if cache is not None else 0
-        positions = jnp.arange(S)[None, :] + start  # [1, S] broadcasts over B
+        start = cache.length if cache is not None else jnp.zeros((), jnp.int32)
+        start2 = start.reshape(-1, 1) if getattr(start, "ndim", 0) == 1 else start
+        positions = jnp.arange(S)[None, :] + start2  # broadcasts over B
+        # clamp: padded chunk positions must not overrun the rope table
+        positions = jnp.minimum(positions, cfg.max_position_embeddings - 1)
         positions = jnp.broadcast_to(positions, (B, S))
     x = params.embed[tokens].astype(jnp.bfloat16)
     for i, blk in enumerate(params.blocks):
@@ -63,7 +71,9 @@ def model_forward(
             ctx,
         )
     if cache is not None:
-        cache = cache.with_length(cache.length + S)
+        cache = cache.with_length(
+            cache.length + (S if advance is None else advance)
+        )
     if cfg.layernorm == "rmsnorm":
         x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
     else:

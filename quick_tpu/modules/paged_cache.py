@@ -1,0 +1,143 @@
+"""Paged KV cache with block tables — the production serving cache.
+
+The reference's only cache is a dense preallocated ``WindowedCache``
+(quick/awq/modules/fused/cache.py:3-59) that discards old context by rolling.
+The TPU build replaces it with paged attention storage (SURVEY.md section 5,
+"TPU equivalent to build: paged KV cache"):
+
+- K/V live in fixed-size pages ``[L, n_pages, page_size, H_kv, D]`` in HBM.
+- Each batch slot owns a row of a block table mapping logical position
+  ``p`` to physical page ``block_table[slot, p // page_size]``.
+- Page 0 is a reserved TRASH page: unallocated table entries point at it, so
+  padded/out-of-range writes land harmlessly (attention masks them by
+  per-slot length, and real writes never alias it — the allocator starts
+  handing out pages at index 1).
+
+All updates are pure scatters under jit; page allocation is a host-side
+free-list (``PageAllocator``) because admission control is inherently
+data-dependent and belongs outside the compiled step.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TRASH_PAGE = 0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PagedKVCache:
+    """Block-table KV cache for ``max_slots`` concurrent sequences.
+
+    k_pages/v_pages: [L, n_pages, page_size, H_kv, D]
+    block_table:     [max_slots, max_pages_per_seq] int32 physical page ids
+    length:          [max_slots] int32 valid tokens per slot
+    """
+
+    k_pages: jax.Array
+    v_pages: jax.Array
+    block_table: jax.Array
+    length: jax.Array
+
+    @classmethod
+    def create(
+        cls,
+        n_layers: int,
+        n_pages: int,
+        page_size: int,
+        max_slots: int,
+        max_seq: int,
+        n_kv: int,
+        head_dim: int,
+        dtype=jnp.bfloat16,
+    ) -> "PagedKVCache":
+        max_pages_per_seq = (max_seq + page_size - 1) // page_size
+        shape = (n_layers, n_pages, page_size, n_kv, head_dim)
+        return cls(
+            k_pages=jnp.zeros(shape, dtype),
+            v_pages=jnp.zeros(shape, dtype),
+            block_table=jnp.full(
+                (max_slots, max_pages_per_seq), TRASH_PAGE, jnp.int32
+            ),
+            length=jnp.zeros((max_slots,), jnp.int32),
+        )
+
+    # -- geometry -------------------------------------------------------------
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[2]
+
+    @property
+    def max_slots(self) -> int:
+        return self.block_table.shape[0]
+
+    @property
+    def max_seq(self) -> int:
+        return self.block_table.shape[1] * self.page_size
+
+    # -- jit-side ops ----------------------------------------------------------
+    def update(
+        self, layer: int, k_new: jax.Array, v_new: jax.Array, start: jax.Array
+    ) -> "PagedKVCache":
+        """Scatter k_new/v_new [B, S, H_kv, D] at logical positions
+        ``start[b] + j``. Out-of-range positions hit allocated-or-trash pages
+        and are masked by ``length`` at read time."""
+        B, S = k_new.shape[:2]
+        pos = start.reshape(-1, 1) + jnp.arange(S, dtype=jnp.int32)[None, :]
+        page_slot = jnp.minimum(
+            pos // self.page_size, self.block_table.shape[1] - 1
+        )
+        page = jnp.take_along_axis(self.block_table, page_slot, axis=1)  # [B,S]
+        off = pos % self.page_size
+        return dataclasses.replace(
+            self,
+            k_pages=self.k_pages.at[layer, page, off].set(k_new),
+            v_pages=self.v_pages.at[layer, page, off].set(v_new),
+        )
+
+    def layer(self, i: int) -> Tuple[jax.Array, jax.Array]:
+        """Dense [B, max_seq, H_kv, D] gather of layer ``i``'s pages.
+
+        This is the XLA-gather baseline; the fused paged-attention kernel
+        (ops/paged_attention.py) reads pages directly with scalar prefetch."""
+        B = self.max_slots
+        k = self.k_pages[i][self.block_table]  # [B, P_seq, page, H, D]
+        v = self.v_pages[i][self.block_table]
+        H, D = k.shape[-2], k.shape[-1]
+        return k.reshape(B, -1, H, D), v.reshape(B, -1, H, D)
+
+    def with_length(self, length) -> "PagedKVCache":
+        return dataclasses.replace(
+            self, length=jnp.asarray(length, jnp.int32)
+        )
+
+
+class PageAllocator:
+    """Host-side page free-list. Page 0 is never handed out (trash page)."""
+
+    def __init__(self, n_pages: int):
+        if n_pages < 2:
+            raise ValueError("need at least 2 pages (page 0 is reserved)")
+        self._free: List[int] = list(range(1, n_pages))
+
+    @property
+    def n_free(self) -> int:
+        return len(self._free)
+
+    def alloc(self, n: int) -> Optional[List[int]]:
+        """Allocate n pages, or None if not enough free."""
+        if n > len(self._free):
+            return None
+        pages, self._free = self._free[:n], self._free[n:]
+        return pages
+
+    def release(self, pages: List[int]) -> None:
+        for p in pages:
+            if p == TRASH_PAGE:
+                raise ValueError("cannot release the trash page")
+        self._free.extend(pages)

@@ -6,6 +6,7 @@ from quick_tpu.runtime.generate import (
     make_cache,
     prefill,
 )
+from quick_tpu.runtime.serving import Engine, Request
 
 __all__ = [
     "SamplingParams",
@@ -14,4 +15,6 @@ __all__ = [
     "decode_loop",
     "generate",
     "make_cache",
+    "Engine",
+    "Request",
 ]

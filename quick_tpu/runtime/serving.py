@@ -1,0 +1,206 @@
+"""Continuous-batching inference engine over the paged KV cache.
+
+The reference serves through HF ``model.generate`` with a fixed batch
+(quick/awq/models/base.py:87-89) — every sequence in a batch must share its
+lifetime. This engine replaces that with the TPU-native serving loop the
+port target mandates (SURVEY.md sections 2.3 and 5): requests are admitted
+and retired independently (continuous batching), and prefill is CHUNKED so
+one compiled step function serves every mix of prefilling and decoding
+slots — no separate prefill/decode programs, no recompiles, static shapes.
+
+Per step, each active slot contributes up to ``chunk`` tokens: a prefilling
+slot consumes the next ``chunk`` prompt tokens, a decoding slot contributes
+its single last sampled token, and idle slots contribute padding that lands
+on the trash page. Scheduling (admission, page allocation, retirement) is
+host-side; everything numeric is one jitted XLA program.
+"""
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Deque, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quick_tpu.config import ModelConfig
+from quick_tpu.models.model import ModelParams, model_forward
+from quick_tpu.modules.paged_cache import PageAllocator, PagedKVCache
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: List[int]
+    max_new_tokens: int
+    eos_token_id: Optional[int] = None
+    # runtime state
+    output: List[int] = dataclasses.field(default_factory=list)
+    prefill_cursor: int = 0
+
+    @property
+    def prefill_done(self) -> bool:
+        return self.prefill_cursor >= len(self.prompt)
+
+    @property
+    def done(self) -> bool:
+        if len(self.output) >= self.max_new_tokens:
+            return True
+        return bool(
+            self.output
+            and self.eos_token_id is not None
+            and self.output[-1] == self.eos_token_id
+        )
+
+
+class Engine:
+    """Continuous-batching engine.
+
+    Usage::
+
+        eng = Engine(params, cfg, max_slots=4, max_seq=512)
+        eng.submit([1, 2, 3], max_new_tokens=32)
+        outputs = eng.run()          # {uid: [token, ...]}
+    """
+
+    def __init__(
+        self,
+        params: ModelParams,
+        cfg: ModelConfig,
+        max_slots: int = 4,
+        max_seq: int = 512,
+        page_size: int = 16,
+        chunk: int = 16,
+        n_pages: Optional[int] = None,
+        dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.max_slots = max_slots
+        self.chunk = chunk
+        self.page_size = page_size
+        pages_per_seq = (max_seq + page_size - 1) // page_size
+        if n_pages is None:
+            n_pages = max_slots * pages_per_seq + 1  # +1 trash page
+        self.cache = PagedKVCache.create(
+            cfg.num_hidden_layers, n_pages, page_size, max_slots, max_seq,
+            cfg.num_key_value_heads, cfg.head_dim, dtype,
+        )
+        self.alloc = PageAllocator(n_pages)
+        self.queue: Deque[Request] = deque()
+        self.slots: List[Optional[Request]] = [None] * max_slots
+        self.slot_pages: List[List[int]] = [[] for _ in range(max_slots)]
+        self.finished: Dict[int, List[int]] = {}
+        self._uid = 0
+
+        def step_fn(params, cache, tokens, valid):
+            logits, cache = model_forward(
+                params, cfg, tokens, cache, advance=valid
+            )
+            last = jnp.maximum(valid - 1, 0)
+            row = jnp.take_along_axis(
+                logits, last[:, None, None], axis=1
+            )[:, 0]  # [B, V] logits at each slot's last valid token
+            return jnp.argmax(row, axis=-1).astype(jnp.int32), cache
+
+        self._step_fn = jax.jit(step_fn)
+
+    # -- submission -------------------------------------------------------------
+    def submit(
+        self,
+        prompt: List[int],
+        max_new_tokens: int,
+        eos_token_id: Optional[int] = None,
+    ) -> int:
+        uid = self._uid
+        self._uid += 1
+        self.queue.append(
+            Request(uid, list(prompt), max_new_tokens, eos_token_id)
+        )
+        return uid
+
+    # -- scheduling -------------------------------------------------------------
+    def _admit(self) -> None:
+        for slot in range(self.max_slots):
+            if self.slots[slot] is not None or not self.queue:
+                continue
+            req = self.queue[0]
+            need = -(-(len(req.prompt) + req.max_new_tokens) // self.page_size)
+            max_pages = self.cache.block_table.shape[1]
+            if need > max_pages:
+                raise ValueError(
+                    f"request {req.uid} needs {need} pages > table width "
+                    f"{max_pages}; raise max_seq"
+                )
+            pages = self.alloc.alloc(need)
+            if pages is None:
+                return  # no memory — retry after a retirement
+            self.queue.popleft()
+            self.slots[slot] = req
+            self.slot_pages[slot] = pages
+            row = np.full((max_pages,), 0, np.int32)
+            row[: len(pages)] = pages
+            self.cache = dataclasses.replace(
+                self.cache,
+                block_table=self.cache.block_table.at[slot].set(
+                    jnp.asarray(row)
+                ),
+                length=self.cache.length.at[slot].set(0),
+            )
+
+    def _retire(self, slot: int) -> None:
+        req = self.slots[slot]
+        self.finished[req.uid] = req.output
+        self.alloc.release(self.slot_pages[slot])
+        self.slot_pages[slot] = []
+        self.slots[slot] = None
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self.queue) or any(r is not None for r in self.slots)
+
+    # -- the step ----------------------------------------------------------------
+    def step(self) -> None:
+        """Admit, run one chunked mixed prefill/decode step, retire."""
+        self._admit()
+        B, C = self.max_slots, self.chunk
+        tokens = np.zeros((B, C), np.int32)
+        valid = np.zeros((B,), np.int32)
+        for slot, req in enumerate(self.slots):
+            if req is None:
+                continue
+            if not req.prefill_done:
+                nxt = req.prompt[req.prefill_cursor : req.prefill_cursor + C]
+                tokens[slot, : len(nxt)] = nxt
+                valid[slot] = len(nxt)
+            else:
+                tokens[slot, 0] = (
+                    req.output[-1] if req.output else req.prompt[-1]
+                )
+                valid[slot] = 1
+        sampled, self.cache = self._step_fn(
+            self.params, self.cache, jnp.asarray(tokens), jnp.asarray(valid)
+        )
+        sampled = np.asarray(sampled)
+        for slot, req in enumerate(self.slots):
+            if req is None:
+                continue
+            if not req.prefill_done:
+                req.prefill_cursor += int(valid[slot])
+                if req.prefill_done:
+                    req.output.append(int(sampled[slot]))
+            else:
+                req.output.append(int(sampled[slot]))
+            if req.done:
+                self._retire(slot)
+
+    def run(self, max_steps: int = 100_000) -> Dict[int, List[int]]:
+        """Step until all submitted work is finished; returns uid -> tokens."""
+        steps = 0
+        while self.has_work:
+            self.step()
+            steps += 1
+            if steps > max_steps:
+                raise RuntimeError("engine exceeded max_steps")
+        return dict(self.finished)

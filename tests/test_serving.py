@@ -1,0 +1,146 @@
+"""Paged KV cache + continuous-batching engine tests (CPU, tiny model)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quick_tpu import ModelConfig
+from quick_tpu.models import init_float_params, model_forward
+from quick_tpu.modules.cache import KVCache
+from quick_tpu.modules.paged_cache import PageAllocator, PagedKVCache
+from quick_tpu.runtime import SamplingParams, generate, make_cache
+from quick_tpu.runtime.serving import Engine
+
+TINY = ModelConfig(
+    vocab_size=256, hidden_size=128, intermediate_size=256,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    max_position_embeddings=128,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_float_params(TINY, jax.random.PRNGKey(0))
+
+
+# ---------------------------------------------------------------------------
+# PagedKVCache
+# ---------------------------------------------------------------------------
+
+def test_paged_update_and_gather(rng):
+    L, P, page, H, D = 2, 9, 4, 2, 8
+    cache = PagedKVCache.create(L, P, page, max_slots=2, max_seq=16,
+                                n_kv=H, head_dim=D, dtype=jnp.float32)
+    # slot 0 owns pages 1..4, slot 1 owns 5..8
+    bt = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 8]], jnp.int32)
+    cache = jax.tree_util.tree_map(lambda x: x, cache)
+    import dataclasses
+    cache = dataclasses.replace(cache, block_table=bt)
+    k = jnp.asarray(rng.standard_normal((2, 6, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 6, H, D)), jnp.float32)
+    cache = cache.update(0, k, v, jnp.asarray([0, 2]))
+    kd, vd = cache.layer(0)
+    np.testing.assert_allclose(np.asarray(kd[0, :6]), np.asarray(k[0]))
+    np.testing.assert_allclose(np.asarray(kd[1, 2:8]), np.asarray(k[1]))
+    np.testing.assert_allclose(np.asarray(vd[1, 2:8]), np.asarray(v[1]))
+
+
+def test_paged_matches_dense_forward(params, rng):
+    """Prefill+decode through the paged cache must equal the dense cache."""
+    toks = jax.random.randint(jax.random.PRNGKey(2), (1, 10), 0, 256)
+    dense = KVCache.create(2, 1, 32, TINY.num_key_value_heads, TINY.head_dim)
+    ld, dense = model_forward(params, TINY, toks[:, :6], dense)
+    paged = PagedKVCache.create(
+        2, 9, 4, max_slots=1, max_seq=32,
+        n_kv=TINY.num_key_value_heads, head_dim=TINY.head_dim,
+    )
+    import dataclasses
+    paged = dataclasses.replace(
+        paged, block_table=jnp.asarray([[1, 2, 3, 4, 5, 6, 7, 8]], jnp.int32)
+    )
+    lp, paged = model_forward(params, TINY, toks[:, :6], paged)
+    np.testing.assert_allclose(
+        np.asarray(ld), np.asarray(lp), atol=1e-3, rtol=1e-3
+    )
+    for t in range(6, 10):
+        ld, dense = model_forward(params, TINY, toks[:, t : t + 1], dense)
+        lp, paged = model_forward(params, TINY, toks[:, t : t + 1], paged)
+        np.testing.assert_allclose(
+            np.asarray(ld), np.asarray(lp), atol=1e-3, rtol=1e-3
+        )
+
+
+def test_allocator():
+    a = PageAllocator(8)
+    p1 = a.alloc(3)
+    p2 = a.alloc(4)
+    assert p1 is not None and p2 is not None
+    assert 0 not in p1 + p2  # trash page never allocated
+    assert a.alloc(1) is None
+    a.release(p1)
+    assert sorted(a.alloc(3)) == sorted(p1)
+    with pytest.raises(ValueError):
+        a.release([0])
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+def _greedy_reference(params, prompt, n_new):
+    toks = jnp.asarray([prompt], jnp.int32)
+    out = generate(
+        params, TINY, toks, max_new_tokens=n_new,
+        sampling=SamplingParams(temperature=0.0),
+    )
+    return list(np.asarray(out)[0, len(prompt):])
+
+
+def test_engine_matches_generate(params):
+    prompt = list(range(7, 20))
+    ref = _greedy_reference(params, prompt, 8)
+    eng = Engine(params, TINY, max_slots=2, max_seq=64, page_size=4, chunk=8,
+                 dtype=jnp.float32)
+    uid = eng.submit(prompt, max_new_tokens=8)
+    outs = eng.run()
+    assert outs[uid] == ref
+
+
+def test_engine_continuous_batching(params):
+    """Requests submitted at different times, different lengths — each must
+    match its independent greedy generation (the continuous-batching
+    isolation property)."""
+    p1 = list(range(3, 12))
+    p2 = list(range(40, 45))
+    ref1 = _greedy_reference(params, p1, 6)
+    ref2 = _greedy_reference(params, p2, 4)
+    eng = Engine(params, TINY, max_slots=2, max_seq=64, page_size=4, chunk=4,
+                 dtype=jnp.float32)
+    u1 = eng.submit(p1, max_new_tokens=6)
+    eng.step()  # p1 mid-prefill
+    u2 = eng.submit(p2, max_new_tokens=4)
+    outs = eng.run()
+    assert outs[u1] == ref1
+    assert outs[u2] == ref2
+
+
+def test_engine_queue_overflow(params):
+    """More requests than slots: later requests wait and still finish."""
+    eng = Engine(params, TINY, max_slots=2, max_seq=32, page_size=4, chunk=4,
+                 dtype=jnp.float32)
+    uids = [eng.submit(list(range(5 + i, 10 + i)), max_new_tokens=3)
+            for i in range(5)]
+    outs = eng.run()
+    assert set(outs) == set(uids)
+    assert all(len(v) == 3 for v in outs.values())
+
+
+def test_engine_eos(params):
+    """EOS retirement: find the greedy first token, then use it as EOS."""
+    prompt = list(range(7, 20))
+    ref = _greedy_reference(params, prompt, 1)
+    eng = Engine(params, TINY, max_slots=1, max_seq=64, page_size=4, chunk=8,
+                 dtype=jnp.float32)
+    uid = eng.submit(prompt, max_new_tokens=50, eos_token_id=ref[0])
+    outs = eng.run()
+    assert outs[uid][-1] == ref[0] and len(outs[uid]) < 50
