@@ -9,12 +9,27 @@ instead of the reference's ``repeat_interleave`` materialization
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e9
+
+
+def _use_flash(S: int, T: int, D: int) -> bool:
+    """Dispatch to the Pallas flash kernel when the score matrix is big
+    enough to matter and shapes are TPU-tileable. QUICK_TPU_FLASH=0 forces
+    the einsum path; =1 forces flash (used by equivalence tests)."""
+    env = os.environ.get("QUICK_TPU_FLASH", "")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    if jax.default_backend() == "cpu":
+        return False
+    return S >= 64 and T >= 128 and D % 8 == 0
 
 
 def _group_query(q: jax.Array, n_kv: int) -> jax.Array:
@@ -42,6 +57,14 @@ def causal_attention(
     n_kv = k.shape[2]
     if scale is None:
         scale = D ** -0.5
+    if _use_flash(S, T, D):
+        from quick_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(
+            q, k, v, q_offset=q_offset, kv_len=kv_len, scale=scale,
+            alibi_slopes=alibi_slopes,
+            interpret=jax.default_backend() == "cpu",
+        )
     qg = _group_query(q, n_kv).astype(jnp.float32)  # [B,S,kv,G,D]
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
