@@ -72,10 +72,33 @@ def apply_model_type(cfg: ModelConfig) -> ModelConfig:
 class AutoQuickModel:
     """Stateful convenience wrapper over the functional core."""
 
-    def __init__(self, params, cfg: ModelConfig, qcfg: Optional[QuantConfig] = None):
+    def __init__(
+        self,
+        params,
+        cfg: ModelConfig,
+        qcfg: Optional[QuantConfig] = None,
+        model_dir: Optional[str] = None,
+    ):
         self.params = params
         self.cfg = cfg
         self.qcfg = qcfg
+        self.model_dir = model_dir
+        self._tokenizer = None
+
+    @property
+    def tokenizer(self):
+        """Lazy HF tokenizer from the checkpoint dir (the reference returns
+        the tokenizer separately; here it rides along, auto.py:47-52)."""
+        if self._tokenizer is None:
+            if self.model_dir is None:
+                raise ValueError(
+                    "no model_dir — construct via from_pretrained/"
+                    "from_quantized or set .model_dir"
+                )
+            from transformers import AutoTokenizer
+
+            self._tokenizer = AutoTokenizer.from_pretrained(self.model_dir)
+        return self._tokenizer
 
     # -- constructors --------------------------------------------------------
     @classmethod
@@ -85,7 +108,7 @@ class AutoQuickModel:
 
         params, cfg = load_hf_float(model_dir, dtype)
         check_and_get_model_type(cfg.model_type)
-        return cls(params, apply_model_type(cfg))
+        return cls(params, apply_model_type(cfg), model_dir=model_dir)
 
     @classmethod
     def from_quantized(cls, model_dir: str) -> "AutoQuickModel":
@@ -100,7 +123,7 @@ class AutoQuickModel:
         else:
             params, cfg, qcfg = load_quantized(model_dir)
         check_and_get_model_type(cfg.model_type)
-        return cls(params, apply_model_type(cfg), qcfg)
+        return cls(params, apply_model_type(cfg), qcfg, model_dir=model_dir)
 
     @classmethod
     def from_random(
@@ -153,6 +176,26 @@ class AutoQuickModel:
         from quick_tpu.runtime.generate import generate
 
         return generate(self.params, self.cfg, tokens, max_new_tokens, **kw)
+
+    def generate_text(
+        self, prompt: str, max_new_tokens: int = 128, sampling=None,
+        seed: int = 0,
+    ) -> str:
+        """Tokenize → generate → decode (convenience; needs a tokenizer)."""
+        import numpy as np
+
+        from quick_tpu.runtime.generate import SamplingParams
+
+        tok = self.tokenizer
+        ids = tok.encode(prompt)
+        out = self.generate(
+            jnp.asarray([ids], jnp.int32), max_new_tokens,
+            sampling=sampling or SamplingParams(),
+            key=jax.random.PRNGKey(seed),
+            eos_token_id=tok.eos_token_id,
+        )
+        new = np.asarray(out)[0, len(ids):]
+        return tok.decode(new, skip_special_tokens=True)
 
     def forward(self, tokens, cache=None):
         from quick_tpu.models.model import model_forward
