@@ -19,7 +19,7 @@ QUANT_CONFIG_FILENAME = "quant_config.json"
 #: Kernel/layout family names. "qtpu" is this framework's native layout (the
 #: TPU analog of the reference's "QUICK" version string); "gemm" designates an
 #: imported AutoAWQ GEMM-layout checkpoint (converted to qtpu at load).
-KNOWN_VERSIONS = ("qtpu", "gemm", "gemv", "quick")
+KNOWN_VERSIONS = ("qtpu", "gemm", "gemv", "quick", "exllama", "exllamav2")
 
 
 @dataclass

@@ -117,7 +117,7 @@ class AutoQuickModel:
         from quick_tpu.utils.checkpoint import load_autoawq, load_quantized
 
         qcfg = QuantConfig.from_pretrained(model_dir)
-        if qcfg.version in ("gemm", "GEMM"):
+        if qcfg.version.lower() in ("gemm", "exllama", "exllamav2"):
             params, cfg, qcfg = load_autoawq(model_dir)
             qcfg = dataclasses.replace(qcfg, version="qtpu")
         else:

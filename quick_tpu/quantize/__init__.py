@@ -6,10 +6,14 @@ from quick_tpu.quantize.numerics import (
 )
 from quick_tpu.quantize.packing import (
     export_awq_gemm,
+    gemm_to_exllama,
     import_awq_gemm,
+    import_exllama,
     pack_awq_gemm,
+    pack_exllama,
     pack_qtpu,
     unpack_awq_gemm,
+    unpack_exllama,
     unpack_qtpu,
 )
 
@@ -24,4 +28,8 @@ __all__ = [
     "unpack_awq_gemm",
     "import_awq_gemm",
     "export_awq_gemm",
+    "pack_exllama",
+    "unpack_exllama",
+    "gemm_to_exllama",
+    "import_exllama",
 ]

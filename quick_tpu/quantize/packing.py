@@ -154,3 +154,72 @@ def export_awq_gemm(
     s = scales.astype(np.float32)
     z = np.round(zeros_x_scales / np.clip(s, 1e-10, None)).astype(np.uint8)
     return pack_awq_gemm(q), pack_awq_gemm(z), s.astype(np.float16)
+
+
+# ---------------------------------------------------------------------------
+# Exllama(v1/v2) layout interop
+# ---------------------------------------------------------------------------
+# Exllama/GPTQ convention (reference quick/awq/utils/packing_utils.py:42-80
+# ``pack_exllama``/``unpack_reorder_pack``): qweight packs 8 consecutive K
+# rows per int32 in natural nibble order (rowwise); qzeros packs 8
+# consecutive N columns per int32 (columnwise) with the zero point stored
+# MINUS 1 (exllama adds 1 in its kernel).
+
+def pack_exllama(q: np.ndarray, zeros: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Codes [K, N] + integer zeros [K//G, N] -> exllama (qweight [K//8, N],
+    qzeros [K//G, N//8])."""
+    K, N = q.shape
+    if K % PACK or N % PACK:
+        raise ValueError(f"K={K}, N={N} must be divisible by {PACK}")
+    rows = q.reshape(K // PACK, PACK, N).astype(np.uint32)
+    qweight = np.zeros((K // PACK, N), np.uint32)
+    for j in range(PACK):
+        qweight |= rows[:, j, :] << np.uint32(4 * j)
+    iz = (zeros.astype(np.int64) - 1).astype(np.uint32) & np.uint32(0xF)
+    cols = iz.reshape(zeros.shape[0], N // PACK, PACK)
+    qzeros = np.zeros((zeros.shape[0], N // PACK), np.uint32)
+    for j in range(PACK):
+        qzeros |= cols[:, :, j] << np.uint32(4 * j)
+    return qweight.view(np.int32), qzeros.view(np.int32)
+
+
+def unpack_exllama(
+    qweight: np.ndarray, qzeros: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exllama (qweight [K//8, N], qzeros [K//G, N//8]) -> codes [K, N] +
+    integer zeros [K//G, N] (the +1 restored)."""
+    K8, N = qweight.shape
+    words = qweight.view(np.uint32)
+    q = np.empty((K8, PACK, N), np.uint8)
+    for j in range(PACK):
+        q[:, j, :] = ((words >> np.uint32(4 * j)) & np.uint32(0xF)).astype(np.uint8)
+    zw = qzeros.view(np.uint32)
+    z = np.empty((qzeros.shape[0], qzeros.shape[1], PACK), np.uint8)
+    for j in range(PACK):
+        z[:, :, j] = ((zw >> np.uint32(4 * j)) & np.uint32(0xF)).astype(np.uint8)
+    zeros = (z.reshape(qzeros.shape[0], -1).astype(np.int64) + 1) & 0xF
+    return q.reshape(K8 * PACK, N), zeros.astype(np.uint8)
+
+
+def gemm_to_exllama(
+    qweight: np.ndarray, qzeros: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """AutoAWQ GEMM tensors -> exllama tensors (reference
+    ``unpack_reorder_pack``, packing_utils.py:65-80): unpack + un-interleave,
+    subtract 1 from zeros, repack row/columnwise."""
+    q = unpack_awq_gemm(qweight)
+    z = unpack_awq_gemm(qzeros)
+    return pack_exllama(q, z)
+
+
+def import_exllama(
+    qweight: np.ndarray,
+    qzeros: np.ndarray,
+    scales: np.ndarray,
+    group_size: int = 128,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Convert an exllama/GPTQ-layout tensor triple to QTPU arrays
+    (same return contract as :func:`import_awq_gemm`)."""
+    q, z = unpack_exllama(qweight, qzeros)
+    s = scales.astype(np.float32)
+    return pack_qtpu(q, group_size), s, z.astype(np.float32) * s

@@ -357,18 +357,23 @@ def load_autoawq(model_dir: str) -> Tuple[ModelParams, ModelConfig, QuantConfig]
 
     AutoAWQ stores per linear: qweight int32 [K, N//8] (AWQ column
     interleave), qzeros int32 [K//G, N//8], scales fp16 [K//G, N]
-    (reference quick/awq/modules/linear/gemm.py:14-36)."""
-    from quick_tpu.quantize.packing import import_awq_gemm
+    (reference quick/awq/modules/linear/gemm.py:14-36). Exllama/GPTQ-layout
+    checkpoints (version "exllama"/"exllamav2": qweight row-packed
+    [K//8, N], qzeros column-packed minus-one) convert through
+    import_exllama (reference linear/exllama.py:15-136 repack path)."""
+    from quick_tpu.quantize.packing import import_awq_gemm, import_exllama
 
     with open(os.path.join(model_dir, "config.json")) as f:
         hf_cfg = json.load(f)
     cfg = ModelConfig.from_hf_config(hf_cfg)
     qcfg = QuantConfig.from_pretrained(model_dir)
     G = qcfg.q_group_size
+    exllama = qcfg.version.lower().startswith("exllama")
     raw: Dict[str, np.ndarray] = dict(_hf_tensor_iter(model_dir))
 
     def qlin(base: str) -> QuantLinear:
-        qw, s, zs = import_awq_gemm(
+        importer = import_exllama if exllama else import_awq_gemm
+        qw, s, zs = importer(
             raw.pop(base + ".qweight"),
             raw.pop(base + ".qzeros"),
             raw.pop(base + ".scales").astype(np.float32),

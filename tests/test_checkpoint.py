@@ -208,3 +208,78 @@ def test_unknown_model_type_rejected():
 
     with pytest.raises(TypeError):
         check_and_get_model_type("not_a_model")
+
+
+def test_exllama_import(tmp_path, rng):
+    """An exllama/GPTQ-layout checkpoint must import identically to the same
+    weights written in GEMM layout (reference exllama repack path,
+    linear/exllama.py:15-136)."""
+    from quick_tpu.quantize.numerics import quantize_tensor
+    from quick_tpu.quantize.packing import pack_awq_gemm, pack_exllama
+
+    D, F, L, V = 64, 128, 1, 128
+    hq, hkv, hd = 4, 4, 16
+    G = 32
+    cfg = {
+        "model_type": "llama", "vocab_size": V, "hidden_size": D,
+        "intermediate_size": F, "num_hidden_layers": L,
+        "num_attention_heads": hq, "num_key_value_heads": hkv,
+        "max_position_embeddings": 32, "rms_norm_eps": 1e-5,
+    }
+    common = {
+        "model.embed_tokens.weight": rng.standard_normal((V, D)).astype(np.float32) * 0.02,
+        "model.norm.weight": np.ones(D, np.float32),
+        "lm_head.weight": rng.standard_normal((V, D)).astype(np.float32) * 0.02,
+        "model.layers.0.input_layernorm.weight": np.ones(D, np.float32),
+        "model.layers.0.post_attention_layernorm.weight": np.ones(D, np.float32),
+    }
+    t_gemm, t_exl = dict(common), dict(common)
+
+    def add_qlin(base, K, N):
+        w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+        qt = quantize_tensor(jnp.asarray(w), group_size=G)
+        q = np.asarray(qt.q, np.uint8)
+        z = np.asarray(qt.zeros, np.uint8)
+        s = np.asarray(qt.scales, np.float16)
+        t_gemm[base + ".qweight"] = pack_awq_gemm(q)
+        t_gemm[base + ".qzeros"] = pack_awq_gemm(z)
+        t_gemm[base + ".scales"] = s
+        qe, ze = pack_exllama(q, z)
+        t_exl[base + ".qweight"] = qe
+        t_exl[base + ".qzeros"] = ze
+        t_exl[base + ".scales"] = s
+
+    p = "model.layers.0"
+    for name, K, N in [
+        ("self_attn.q_proj", D, hq * hd), ("self_attn.k_proj", D, hkv * hd),
+        ("self_attn.v_proj", D, hkv * hd), ("self_attn.o_proj", hq * hd, D),
+        ("mlp.gate_proj", D, F), ("mlp.up_proj", D, F), ("mlp.down_proj", F, D),
+    ]:
+        add_qlin(f"{p}.{name}", K, N)
+
+    dirs = {}
+    for version, tensors in (("gemm", t_gemm), ("exllama", t_exl)):
+        d = tmp_path / version
+        os.makedirs(d, exist_ok=True)
+        save_file(tensors, os.path.join(d, "model.safetensors"))
+        with open(os.path.join(d, "config.json"), "w") as f:
+            json.dump(cfg, f)
+        QuantConfig(q_group_size=G, version=version).save_pretrained(str(d))
+        dirs[version] = str(d)
+
+    pg, cg, _ = load_autoawq(dirs["gemm"])
+    pe, ce, _ = load_autoawq(dirs["exllama"])
+    for attr in ("qweight", "scales", "zeros_x_scales"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(pg.blocks[0].attn.qkv_proj, attr)),
+            np.asarray(getattr(pe.blocks[0].attn.qkv_proj, attr)),
+        )
+    tg, _ = model_forward(pg, cg, jnp.ones((1, 4), jnp.int32))
+    te, _ = model_forward(pe, ce, jnp.ones((1, 4), jnp.int32))
+    np.testing.assert_allclose(np.asarray(tg), np.asarray(te), atol=1e-5)
+
+    # auto API routes exllama through the same converter
+    from quick_tpu.models.auto import AutoQuickModel
+
+    m = AutoQuickModel.from_quantized(dirs["exllama"])
+    assert m.qcfg.version == "qtpu"

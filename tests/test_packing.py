@@ -53,3 +53,54 @@ def test_awq_import_export_round_trip(rng):
     np.testing.assert_array_equal(qw_back, qw_awq)
     np.testing.assert_array_equal(qz_back, qz_awq)
     np.testing.assert_allclose(s_back.astype(np.float32), s, rtol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# Exllama layout
+# ---------------------------------------------------------------------------
+
+def test_exllama_round_trip(rng):
+    from quick_tpu.quantize.packing import pack_exllama, unpack_exllama
+
+    K, N, G = 256, 64, 128
+    q = rng.integers(0, 16, (K, N), dtype=np.uint8)
+    z = rng.integers(0, 16, (K // G, N), dtype=np.uint8)
+    qw, qz = pack_exllama(q, z)
+    assert qw.shape == (K // 8, N) and qz.shape == (K // G, N // 8)
+    q2, z2 = unpack_exllama(qw, qz)
+    np.testing.assert_array_equal(q2, q)
+    np.testing.assert_array_equal(z2, z)
+
+
+def test_exllama_minus_one_convention(rng):
+    """qzeros must store z-1 (exllama kernels add 1; reference
+    packing_utils.py:76-78)."""
+    from quick_tpu.quantize.packing import pack_exllama
+
+    z = np.full((1, 8), 5, np.uint8)
+    q = np.zeros((8, 8), np.uint8)
+    _, qz = pack_exllama(q, z)
+    word = qz.view(np.uint32)[0, 0]
+    for j in range(8):
+        assert (word >> (4 * j)) & 0xF == 4  # 5 - 1
+
+
+def test_gemm_to_exllama_consistent(rng):
+    """GEMM -> exllama repack must preserve the dequantized weights
+    (reference unpack_reorder_pack semantics)."""
+    from quick_tpu.quantize.packing import (
+        gemm_to_exllama,
+        import_awq_gemm,
+        import_exllama,
+    )
+
+    K, N, G = 256, 64, 128
+    q = rng.integers(0, 16, (K, N), dtype=np.uint8)
+    z = rng.integers(1, 15, (K // G, N), dtype=np.uint8)
+    s = rng.random((K // G, N)).astype(np.float32) * 0.02 + 1e-3
+    qw_g, qz_g = pack_awq_gemm(q), pack_awq_gemm(z)
+    qw_e, qz_e = gemm_to_exllama(qw_g, qz_g)
+    a = import_awq_gemm(qw_g, qz_g, s, G)
+    b = import_exllama(qw_e, qz_e, s, G)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_allclose(a[2], b[2], rtol=1e-6)
