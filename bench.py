@@ -72,6 +72,15 @@ def main():
     weight_gbs = (K * N / 2 + 2 * (K // GROUP) * N * 4) / per_iter / 1e9
     log(f"fused W4A16 GEMM M={M} K={K} N={N}: {per_iter*1e6:.1f} us/iter, "
         f"{tflops:.1f} TFLOPS, weight stream {weight_gbs:.0f} GB/s")
+    try:
+        from quick_tpu.utils.profiling import roofline, w4a16_gemm_counters
+
+        c = w4a16_gemm_counters(M, K, N, GROUP)
+        r = roofline(c["flops"], c["hbm_bytes"], per_iter)
+        log(f"roofline: {r['bound']}-bound, {r['fraction_of_light']:.2f} of "
+            f"light, MXU {r['mxu_utilization']:.0%}, HBM {r['hbm_utilization']:.0%}")
+    except Exception as e:
+        log(f"(roofline report unavailable: {e})")
     print(json.dumps({
         "metric": f"fused_w4a16_gemm_tflops_m{M}_k{K}_n{N}",
         "value": round(tflops, 2),
