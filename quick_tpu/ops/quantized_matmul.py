@@ -78,47 +78,61 @@ def _quantized_matmul_jnp(
     out_dtype,
 ) -> jax.Array:
     """Dequant + matmul through XLA; numerics contract identical to the
-    Pallas kernel (bf16 weights = q*s, f32 accumulation, factored zp)."""
+    Pallas kernel (integer-valued bf16 codes into the dot, f32 accumulation,
+    per-group OUTPUT-side scaling, factored zp)."""
     K = x.shape[-1]
     ng = K // group_size
     nib = unpack_qtpu_jax(qweight, group_size).reshape(ng, group_size, -1)
-    w = (nib.astype(jnp.float32) * scales[:, None, :]).astype(jnp.bfloat16)
     xb = x.astype(jnp.bfloat16)
-    y = jnp.dot(
-        xb, w.reshape(K, -1), preferred_element_type=jnp.float32
+    xg = xb.reshape(-1, ng, group_size)
+    # [ng, M, N] per-group integer dots, scaled on the output side
+    y = jnp.einsum(
+        "mgk,gkn->gmn", xg, nib.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
     )
+    y = (y * scales[:, None, :]).sum(0)
     xsum = xb.astype(jnp.float32).reshape(-1, ng, group_size).sum(-1)
     y = y - jnp.dot(xsum, zeros_x_scales)
     return y.astype(out_dtype)
 
 
 def _make_kernel(gpb: int, slab: int, bn: int):
-    """Kernel for one (bm, bn) output tile, stepping gpb quant groups per call."""
+    """Kernel for one (bm, bn) output tile, stepping gpb quant groups per call.
+
+    Group-dot form: per quant group, unpack (shift/mask/convert only — 3 VPU
+    ops per weight) and matmul the *integer-valued* bf16 codes, then scale
+    the [bm, bn] partial product on the OUTPUT side:
+
+        acc += (x_g @ q_g) * s_g - rowsum(x_g) * (z_g*s_g)
+
+    Scale cost is bm*bn per group (not G*bn — 25% less VPU work than
+    scaling the weights), the zero-point rowsum is computed IN-kernel from
+    the x tile (no extra input, no XLA fusion barrier before the call).
+    At M=1 this makes the kernel HBM-bound at ~speed-of-light on the packed
+    weight stream (the reference's m1 kernel has the same property on GPU,
+    csrc/gemm_cuda_quick.cu:1199-1242); at large M the MXU dominates and the
+    reduced VPU work keeps unpacking hidden under the matmuls."""
     G = slab * PACK
 
-    def kernel(x_ref, qw_ref, s_ref, zs_ref, xs_ref, o_ref, acc):
+    def kernel(x_ref, qw_ref, s_ref, zs_ref, o_ref, acc):
         k = pl.program_id(2)
 
         @pl.when(k == 0)
         def _():
             acc[:] = jnp.zeros_like(acc)
 
-        # unpack: [gpb*slab, bn] int32 -> [gpb, 8, slab, bn] nibbles, j-major
-        shifts = jax.lax.broadcasted_iota(jnp.int32, (1, PACK, 1, 1), 1) * 4
-        qw = qw_ref[:].reshape(gpb, 1, slab, bn)
-        nib = (qw >> shifts) & 0xF
-        # per-element scale (broadcast along the group), then one big dot
-        w = nib.astype(jnp.bfloat16) * s_ref[:].reshape(gpb, 1, 1, bn)
-        w = w.reshape(gpb * G, bn)
-        partial = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
-        # zero-point correction: xsum[g, m] x zs[g, n] contraction over g
-        corr = jax.lax.dot_general(
-            xs_ref[:, :, 0],
-            zs_ref[:].reshape(gpb, bn),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc[:] += partial - corr
+        part = jnp.zeros_like(acc)
+        for g in range(gpb):  # static unroll over groups in this K-step
+            qg = qw_ref[g * slab : (g + 1) * slab, :]  # [slab, bn] int32
+            nib = [(qg >> (4 * j)) & 0xF for j in range(PACK)]
+            wg = jnp.concatenate(nib, axis=0).astype(jnp.bfloat16)  # [G, bn]
+            xg = x_ref[:, g * G : (g + 1) * G]
+            y = jnp.dot(xg, wg, preferred_element_type=jnp.float32)
+            xsum = jnp.sum(
+                xg.astype(jnp.float32), axis=1, keepdims=True
+            )  # [bm, 1]
+            part += y * s_ref[g, :, :] - xsum * zs_ref[g, :, :]
+        acc[:] += part
 
         @pl.when(k == pl.num_programs(2) - 1)
         def _():
@@ -180,7 +194,9 @@ def _quantized_matmul_2d(
         )
 
     # --- tile selection (reference's M-based kernel mux, csrc:1488-1514) ---
-    Mp = M if M <= 8 else _round_up(M, 8)
+    # pad rows to the 8-sublane granule: a [8, G] x [G, bn] dot per group is
+    # the smallest MXU-shaped op; M=1 decode rides the same kernel
+    Mp = _round_up(M, 8)
     if bm is None:
         bm = Mp if Mp <= 128 else (128 if Mp % 128 == 0 else _round_up_pow2_div(Mp))
     if bn is None:
@@ -192,9 +208,6 @@ def _quantized_matmul_2d(
     if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
 
-    xsum = (
-        x.astype(jnp.float32).reshape(Mp, ng, G).sum(-1).T.reshape(ng, Mp, 1)
-    )
     s3 = scales.reshape(ng, 1, N)
     zs3 = zeros_x_scales.reshape(ng, 1, N)
 
@@ -206,7 +219,6 @@ def _quantized_matmul_2d(
             pl.BlockSpec((gpb * slab, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((gpb, 1, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((gpb, 1, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((gpb, bm, 1), lambda i, j, k: (k, i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
@@ -220,7 +232,7 @@ def _quantized_matmul_2d(
             transcendentals=0,
         ),
         interpret=_impl_mode() == "interpret",
-    )(x, qweight, s3, zs3, xsum)
+    )(x, qweight, s3, zs3)
     return out[:M] if Mp != M else out
 
 
