@@ -133,8 +133,14 @@ class ModelConfig:
     alibi_total_heads: Optional[int] = None
     parallel_residual: bool = False       # gptj / gpt-neox / falcon style
     use_rope: bool = True                 # opt/bloom use learned/alibi instead
+    rotary_dim: Optional[int] = None      # partial rotary (gpt-neox/gptj);
+    # None = full head_dim
+    learned_pos: bool = False             # learned position embeddings
+    # (opt / gpt_bigcode); table lives in ModelParams.pos_embed
+    embed_norm: bool = False              # layernorm right after the token
+    # embedding (bloom's word_embeddings_layernorm)
     layernorm: str = "rmsnorm"            # "rmsnorm" | "layernorm"
-    act_fn: str = "silu"                  # "silu" | "gelu"
+    act_fn: str = "silu"                  # "silu" | "gelu" | "relu"
     gated_mlp: bool = True                # swiglu vs plain 2-layer mlp
     # MoE (mixtral)
     num_local_experts: int = 0
@@ -184,4 +190,71 @@ class ModelConfig:
         if mt == "mixtral":
             kw["num_local_experts"] = hf.get("num_local_experts", 8)
             kw["num_experts_per_tok"] = hf.get("num_experts_per_tok", 2)
+
+        # -- family-specific HF config translations -------------------------
+        # (authoritative: AutoQuickModel trusts these over the static
+        # MODEL_TYPE_MAP, which only serves from_random/validation)
+        D = kw["hidden_size"]
+        H = kw["num_attention_heads"]
+        if mt in ("mpt", "falcon", "gpt_neox", "gptj", "opt", "bloom",
+                  "gpt_bigcode"):
+            kw["layernorm"] = "layernorm"
+            kw["act_fn"] = "gelu"
+            kw["gated_mlp"] = False
+        if mt == "mpt":
+            kw["intermediate_size"] = int(hf.get("expansion_ratio", 4)) * D
+            kw["max_position_embeddings"] = hf.get("max_seq_len", 2048)
+            attn_cfg = hf.get("attn_config", {}) or {}
+            kw["num_key_value_heads"] = attn_cfg.get("kv_n_heads", H)
+            kw["use_alibi"] = bool(attn_cfg.get("alibi", True))
+            kw["use_rope"] = not kw["use_alibi"]
+        elif mt == "falcon":
+            if hf.get("new_decoder_architecture", False):
+                kw["num_key_value_heads"] = hf.get("num_kv_heads", H)
+            elif hf.get("multi_query", True):
+                kw["num_key_value_heads"] = 1
+            kw["use_alibi"] = bool(hf.get("alibi", False))
+            kw["use_rope"] = not kw["use_alibi"]
+            kw["parallel_residual"] = bool(hf.get("parallel_attn", True))
+            kw["intermediate_size"] = hf.get("ffn_hidden_size", 4 * D)
+        elif mt == "gpt_neox":
+            hd = D // H
+            kw["rotary_dim"] = max(2, int(hd * hf.get("rotary_pct", 1.0)))
+            kw["parallel_residual"] = bool(hf.get("use_parallel_residual", True))
+            kw["rope_theta"] = hf.get("rotary_emb_base", 10000.0)
+        elif mt == "gptj":
+            kw["rotary_dim"] = hf.get("rotary_dim") or (D // H)
+            kw["intermediate_size"] = hf.get("n_inner") or 4 * D
+            kw["max_position_embeddings"] = hf.get("n_positions", 2048)
+            kw["parallel_residual"] = True
+        elif mt == "opt":
+            kw["intermediate_size"] = hf.get("ffn_dim", 4 * D)
+            kw["act_fn"] = (
+                "relu" if hf.get("activation_function", "relu") == "relu"
+                else "gelu"
+            )
+            kw["learned_pos"] = True
+            kw["use_rope"] = False
+            kw["tie_word_embeddings"] = hf.get("tie_word_embeddings", True)
+        elif mt == "bloom":
+            kw["embed_norm"] = True
+            kw["use_alibi"] = True
+            kw["use_rope"] = False
+        elif mt == "gpt_bigcode":
+            if hf.get("multi_query", True):
+                kw["num_key_value_heads"] = 1
+            kw["intermediate_size"] = hf.get("n_inner") or 4 * D
+            kw["learned_pos"] = True
+            kw["use_rope"] = False
+            kw["max_position_embeddings"] = hf.get("n_positions", 2048)
+        elif mt == "qwen":
+            # HF Qwen-1 halves intermediate_size in code (modeling_qwen
+            # ff dims = intermediate_size // 2)
+            kw["intermediate_size"] = kw["intermediate_size"] // 2
+        elif mt == "baichuan":
+            # Baichuan-13B is the ALiBi variant (reference models/baichuan.py:116);
+            # the 7B uses RoPE. Distinguish by width.
+            if D >= 5120:
+                kw["use_alibi"] = True
+                kw["use_rope"] = False
         return cls(**kw)

@@ -1,6 +1,7 @@
 from quick_tpu.models.model import (
     ModelParams,
     init_float_params,
+    init_quant_params,
     model_forward,
     quantize_params,
 )
@@ -9,5 +10,6 @@ __all__ = [
     "ModelParams",
     "model_forward",
     "init_float_params",
+    "init_quant_params",
     "quantize_params",
 ]

@@ -108,7 +108,9 @@ class AutoQuickModel:
 
         params, cfg = load_hf_float(model_dir, dtype)
         check_and_get_model_type(cfg.model_type)
-        return cls(params, apply_model_type(cfg), model_dir=model_dir)
+        # cfg comes from ModelConfig.from_hf_config, which is authoritative
+        # for family switches — MODEL_TYPE_MAP is not re-applied here
+        return cls(params, cfg, model_dir=model_dir)
 
     @classmethod
     def from_quantized(cls, model_dir: str) -> "AutoQuickModel":
@@ -123,7 +125,7 @@ class AutoQuickModel:
         else:
             params, cfg, qcfg = load_quantized(model_dir)
         check_and_get_model_type(cfg.model_type)
-        return cls(params, apply_model_type(cfg), qcfg, model_dir=model_dir)
+        return cls(params, cfg, qcfg, model_dir=model_dir)
 
     @classmethod
     def from_random(

@@ -40,6 +40,13 @@ class ModelParams:
     rope_cos: jax.Array
     rope_sin: jax.Array
     final_norm_bias: Optional[jax.Array] = None
+    #: learned position embedding table [P, D] (opt / gpt_bigcode); any
+    #: position-id offset (OPT's +2) is applied at import time
+    pos_embed: Optional[jax.Array] = None
+    #: post-embedding layernorm (bloom word_embeddings_layernorm)
+    embed_norm: Optional[jax.Array] = None
+    embed_norm_bias: Optional[jax.Array] = None
+    lm_head_bias_unused: Optional[jax.Array] = None
 
 
 def model_forward(
@@ -51,8 +58,11 @@ def model_forward(
     ctx: ParallelContext = ParallelContext(),
     advance: Optional[jax.Array] = None,  # [B] valid-token counts (chunked
     # serving steps advance per-slot lengths by this instead of S)
+    last_token_only: bool = False,  # lm_head on the final position only —
+    # prefill needs one next-token distribution, not [B, S, V] f32 logits
+    # (at 7B/bs=64 that tensor alone is ~1GB)
 ) -> Tuple[jax.Array, Optional[KVCache]]:
-    """Returns (logits [B, S, V], updated cache).
+    """Returns (logits [B, S, V] or [B, 1, V], updated cache).
 
     ``cache`` is either the dense KVCache (scalar length) or a PagedKVCache
     ([B] per-slot lengths); both expose update/layer/length/with_length."""
@@ -65,6 +75,13 @@ def model_forward(
         positions = jnp.minimum(positions, cfg.max_position_embeddings - 1)
         positions = jnp.broadcast_to(positions, (B, S))
     x = params.embed[tokens].astype(jnp.bfloat16)
+    if params.pos_embed is not None:
+        P = params.pos_embed.shape[0]
+        x = x + params.pos_embed[jnp.minimum(positions, P - 1)].astype(x.dtype)
+    if params.embed_norm is not None:
+        x = layer_norm(
+            x, params.embed_norm, params.embed_norm_bias, cfg.rms_norm_eps
+        )
     for i, blk in enumerate(params.blocks):
         x, cache = block_forward(
             blk, cfg, x, params.rope_cos, params.rope_sin, cache, i, positions,
@@ -74,6 +91,8 @@ def model_forward(
         cache = cache.with_length(
             cache.length + (S if advance is None else advance)
         )
+    if last_token_only:
+        x = x[:, -1:]
     if cfg.layernorm == "rmsnorm":
         x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
     else:
@@ -137,7 +156,9 @@ def init_float_params(
                 mlp=mlp,
             )
         )
-    cos, sin = rope_table(cfg.max_position_embeddings, hd, cfg.rope_theta)
+    cos, sin = rope_table(
+        cfg.max_position_embeddings, cfg.rotary_dim or hd, cfg.rope_theta
+    )
     embed = jax.random.normal(keys[-1], (cfg.vocab_size, D), dtype) * 0.02
     lm_head = (
         Linear(embed.T) if cfg.tie_word_embeddings
@@ -148,6 +169,89 @@ def init_float_params(
         blocks=blocks,
         final_norm=jnp.ones(D, dtype),
         lm_head=lm_head,
+        rope_cos=cos,
+        rope_sin=sin,
+        pos_embed=(
+            jax.random.normal(
+                keys[-3], (cfg.max_position_embeddings, D), dtype
+            ) * 0.02 if cfg.learned_pos else None
+        ),
+        embed_norm=jnp.ones(D, dtype) if cfg.embed_norm else None,
+        embed_norm_bias=jnp.zeros(D, dtype) if cfg.embed_norm else None,
+    )
+
+
+def init_quant_params(
+    cfg: ModelConfig, key: jax.Array, group_size: int = 128,
+    dtype=jnp.bfloat16,
+) -> ModelParams:
+    """Random-init an ALREADY-QUANTIZED model (packed int32 qweights).
+
+    Used for hermetic large-model benchmarking: a 7B W4A16 model
+    materializes ~4GB instead of the 14GB a float init would need before
+    packing (the reference benchmarks load real checkpoints; this framework
+    must bench without network access)."""
+    D, F = cfg.hidden_size, cfg.intermediate_size
+    hq, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    keys = jax.random.split(key, cfg.num_hidden_layers + 3)
+    G = group_size
+
+    def qlin(k, kin, kout, experts=None):
+        lead = () if experts is None else (experts,)
+        k1, k2, k3 = jax.random.split(k, 3)
+        qweight = jax.random.randint(
+            k1, lead + (kin // 8, kout), jnp.iinfo(jnp.int32).min,
+            jnp.iinfo(jnp.int32).max, jnp.int32,
+        )
+        scales = (
+            jax.random.uniform(k2, lead + (kin // G, kout), jnp.float32)
+            * 0.004 + 0.001
+        ) / jnp.sqrt(kin)
+        zeros = jnp.round(
+            jax.random.uniform(k3, lead + (kin // G, kout), jnp.float32) * 15
+        )
+        return QuantLinear(
+            qweight=qweight, scales=scales, zeros_x_scales=zeros * scales,
+            bias=None, group_size=G,
+        )
+
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        ks = jax.random.split(keys[i], 8)
+        attn = AttentionParams(
+            qkv_proj=qlin(ks[0], D, (hq + 2 * hkv) * hd),
+            o_proj=qlin(ks[1], hq * hd, D),
+        )
+        if cfg.is_moe:
+            E = cfg.num_local_experts
+            mlp = MoEParams(
+                router=Linear(
+                    jax.random.normal(ks[4], (D, E), dtype) / jnp.sqrt(D)
+                ),
+                gate_up_proj=qlin(ks[2], D, 2 * F, experts=E),
+                down_proj=qlin(ks[3], F, D, experts=E),
+            )
+        else:
+            width = 2 * F if cfg.gated_mlp else F
+            mlp = MLPParams(
+                gate_up_proj=qlin(ks[2], D, width),
+                down_proj=qlin(ks[3], F, D),
+            )
+        blocks.append(
+            BlockParams(
+                attn_norm=jnp.ones(D, dtype),
+                attn=attn,
+                mlp_norm=jnp.ones(D, dtype),
+                mlp=mlp,
+            )
+        )
+    cos, sin = rope_table(cfg.max_position_embeddings, hd, cfg.rope_theta)
+    embed = jax.random.normal(keys[-1], (cfg.vocab_size, D), dtype) * 0.02
+    return ModelParams(
+        embed=embed,
+        blocks=blocks,
+        final_norm=jnp.ones(D, dtype),
+        lm_head=Linear(embed.T),
         rope_cos=cos,
         rope_sin=sin,
     )

@@ -135,6 +135,8 @@ def attention_forward(
 def _act(x, cfg: ModelConfig):
     if cfg.act_fn == "silu":
         return jax.nn.silu(x)
+    if cfg.act_fn == "relu":
+        return jax.nn.relu(x)
     return jax.nn.gelu(x)
 
 

@@ -54,8 +54,12 @@ class KVCache:
         idx = (jnp.asarray(layer, jnp.int32), zeros[0], jnp.asarray(start, jnp.int32)) + zeros[1:]
         return dataclasses.replace(
             self,
-            k=jax.lax.dynamic_update_slice(self.k, k_new[None], idx),
-            v=jax.lax.dynamic_update_slice(self.v, v_new[None], idx),
+            k=jax.lax.dynamic_update_slice(
+                self.k, k_new[None].astype(self.k.dtype), idx
+            ),
+            v=jax.lax.dynamic_update_slice(
+                self.v, v_new[None].astype(self.v.dtype), idx
+            ),
         )
 
     def layer(self, i: int) -> Tuple[jax.Array, jax.Array]:

@@ -96,8 +96,12 @@ class PagedKVCache:
         off = pos % self.page_size
         return dataclasses.replace(
             self,
-            k_pages=self.k_pages.at[layer, page, off].set(k_new),
-            v_pages=self.v_pages.at[layer, page, off].set(v_new),
+            k_pages=self.k_pages.at[layer, page, off].set(
+                k_new.astype(self.k_pages.dtype)
+            ),
+            v_pages=self.v_pages.at[layer, page, off].set(
+                v_new.astype(self.v_pages.dtype)
+            ),
         )
 
     def layer(self, i: int) -> Tuple[jax.Array, jax.Array]:

@@ -27,15 +27,26 @@ def rope_table(
 def apply_rope(
     x: jax.Array,  # [B, S, H, D]
     positions: jax.Array,  # [B, S] absolute positions
-    cos: jax.Array,  # [max_seq, D/2]
+    cos: jax.Array,  # [max_seq, Dr/2] — Dr = 2*cos.shape[-1] <= D rotated dims
     sin: jax.Array,
 ) -> jax.Array:
-    """Rotate-half RoPE: out = x*cos + rotate_half(x)*sin."""
+    """Rotate-half RoPE: out = x*cos + rotate_half(x)*sin.
+
+    Partial rotary (gpt-neox rotary_pct / gptj rotary_dim): when the table
+    covers fewer dims than head_dim, only the first ``2*cos.shape[-1]`` dims
+    rotate; the rest pass through. (GPT-J's interleaved convention is
+    converted to rotate-half by an import-time channel permutation —
+    see utils/checkpoint.py — so one runtime convention serves all.)"""
     D = x.shape[-1]
-    c = cos[positions][:, :, None, :]  # [B, S, 1, D/2]
+    Dr = 2 * cos.shape[-1]
+    xr, xp = (x, None) if Dr == D else (x[..., :Dr], x[..., Dr:])
+    c = cos[positions][:, :, None, :]  # [B, S, 1, Dr/2]
     s = sin[positions][:, :, None, :]
-    x1 = x[..., : D // 2].astype(jnp.float32)
-    x2 = x[..., D // 2 :].astype(jnp.float32)
+    x1 = xr[..., : Dr // 2].astype(jnp.float32)
+    x2 = xr[..., Dr // 2 :].astype(jnp.float32)
     o1 = x1 * c - x2 * s
     o2 = x2 * c + x1 * s
-    return jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
+    out = jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
+    if xp is not None:
+        out = jnp.concatenate([out, xp], axis=-1)
+    return out

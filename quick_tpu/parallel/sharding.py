@@ -131,6 +131,9 @@ def param_specs(params: "ModelParams", cfg: ModelConfig) -> "ModelParams":
         rope_cos=P(None, None),
         rope_sin=P(None, None),
         final_norm_bias=None if params.final_norm_bias is None else rep1,
+        pos_embed=None if params.pos_embed is None else P(None, None),
+        embed_norm=None if params.embed_norm is None else rep1,
+        embed_norm_bias=None if params.embed_norm_bias is None else rep1,
     )
 
 

@@ -60,7 +60,7 @@ def prefill(
     params: ModelParams, cfg: ModelConfig, tokens: jax.Array, cache: KVCache
 ) -> Tuple[jax.Array, KVCache]:
     """Process the prompt; returns (last-position logits [B, V], cache)."""
-    logits, cache = model_forward(params, cfg, tokens, cache)
+    logits, cache = model_forward(params, cfg, tokens, cache, last_token_only=True)
     return logits[:, -1], cache
 
 

@@ -81,6 +81,12 @@ def params_to_flat(params: ModelParams) -> Dict[str, np.ndarray]:
     out["final_norm"] = np.asarray(params.final_norm)
     if params.final_norm_bias is not None:
         out["final_norm_bias"] = np.asarray(params.final_norm_bias)
+    if params.pos_embed is not None:
+        out["pos_embed"] = np.asarray(params.pos_embed)
+    if params.embed_norm is not None:
+        out["embed_norm"] = np.asarray(params.embed_norm)
+    if params.embed_norm_bias is not None:
+        out["embed_norm_bias"] = np.asarray(params.embed_norm_bias)
     _lin_to_flat("lm_head", params.lm_head, out)
     return out
 
@@ -148,8 +154,10 @@ def flat_to_params(
             )
         )
     cos, sin = rope_table(
-        cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta
+        cfg.max_position_embeddings, cfg.rotary_dim or cfg.head_dim,
+        cfg.rope_theta,
     )
+    opt = lambda k: jnp.asarray(flat[k]) if k in flat else None
     return ModelParams(
         embed=jnp.asarray(flat["embed"]),
         blocks=blocks,
@@ -157,10 +165,10 @@ def flat_to_params(
         lm_head=_flat_to_lin("lm_head", flat, group_size),
         rope_cos=cos,
         rope_sin=sin,
-        final_norm_bias=(
-            jnp.asarray(flat["final_norm_bias"])
-            if "final_norm_bias" in flat else None
-        ),
+        final_norm_bias=opt("final_norm_bias"),
+        pos_embed=opt("pos_embed"),
+        embed_norm=opt("embed_norm"),
+        embed_norm_bias=opt("embed_norm_bias"),
     )
 
 
@@ -261,16 +269,28 @@ def _hf_tensor_iter(model_dir: str) -> Iterator[Tuple[str, np.ndarray]]:
 
 
 def load_hf_float(model_dir: str, dtype=jnp.bfloat16) -> Tuple[ModelParams, ModelConfig]:
-    """Import an HF float checkpoint (Llama/Mistral/Qwen2/Yi/Vicuna/Mixtral
-    layouts) into ModelParams, fusing q/k/v and gate/up offline."""
+    """Import an HF float checkpoint into ModelParams, fusing q/k/v and
+    gate/up offline. Dispatches on model_type: the Llama family
+    (Llama/Mistral/Qwen2/Yi/Vicuna/Aquila/Mixtral) shares one layout;
+    mpt/falcon/gpt_neox/gptj/opt/bloom/gpt_bigcode/baichuan/qwen each get a
+    schema importer (the analog of the reference's 15 per-arch adapter
+    classes, quick/awq/models/*.py)."""
     with open(os.path.join(model_dir, "config.json")) as f:
         hf_cfg = json.load(f)
     cfg = ModelConfig.from_hf_config(hf_cfg)
-    L = cfg.num_hidden_layers
 
     raw: Dict[str, np.ndarray] = {}
     for key, tensor in _hf_tensor_iter(model_dir):
         raw[key] = tensor
+
+    importer = _HF_IMPORTERS.get(cfg.model_type, _import_llama_family)
+    return importer(raw, cfg, dtype), cfg
+
+
+def _import_llama_family(
+    raw: Dict[str, np.ndarray], cfg: ModelConfig, dtype
+) -> ModelParams:
+    L = cfg.num_hidden_layers
 
     def W(key):  # HF stores [out, in]; we use [in, out]
         t = raw.pop(key)
@@ -333,19 +353,577 @@ def load_hf_float(model_dir: str, dtype=jnp.bfloat16) -> Tuple[ModelParams, Mode
     else:
         lm_head = Linear(W("lm_head.weight"))
     cos, sin = rope_table(
+        cfg.max_position_embeddings, cfg.rotary_dim or cfg.head_dim,
+        cfg.rope_theta,
+    )
+    return ModelParams(
+        embed=embed,
+        blocks=blocks,
+        final_norm=V("model.norm.weight"),
+        lm_head=lm_head,
+        rope_cos=cos,
+        rope_sin=sin,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-llama HF family importers
+# ---------------------------------------------------------------------------
+
+def _mk_wv(raw: Dict[str, np.ndarray], dtype):
+    """(W, V, maybe_bias) helpers bound to one raw tensor dict."""
+
+    def W(key):  # HF linear [out, in] -> ours [in, out]
+        t = raw.pop(key)
+        return jnp.asarray(
+            np.ascontiguousarray(np.swapaxes(t, -1, -2))
+        ).astype(dtype)
+
+    def V(key):
+        return jnp.asarray(raw.pop(key)).astype(dtype)
+
+    def B(base):
+        k = base + ".bias"
+        return V(k) if k in raw else None
+
+    return W, V, B
+
+
+def _deinterleave_qkv(w, b, hq: int, hkv: int, hd: int):
+    """HF per-head-fused qkv (columns ordered [H, 3, hd] — gpt-neox/bloom
+    convention) -> straight [q | k | v] concat (ours). MHA only
+    (hq == hkv for these families)."""
+    D = w.shape[0]
+    w3 = w.reshape(D, hq, 3, hd)
+    wq = w3[:, :, 0].reshape(D, hq * hd)
+    wk = w3[:, :, 1].reshape(D, hq * hd)
+    wv = w3[:, :, 2].reshape(D, hq * hd)
+    out_w = jnp.concatenate([wq, wk, wv], axis=1)
+    out_b = None
+    if b is not None:
+        b3 = b.reshape(hq, 3, hd)
+        out_b = jnp.concatenate(
+            [b3[:, 0].reshape(-1), b3[:, 1].reshape(-1), b3[:, 2].reshape(-1)]
+        )
+    return out_w, out_b
+
+
+def _degroup_falcon_qkv(w, hq: int, hkv: int, hd: int):
+    """Falcon new-decoder fused qkv (columns [kv_groups, q_per_group+2, hd])
+    -> straight [q | k | v]."""
+    D = w.shape[0]
+    g = hq // hkv
+    w4 = w.reshape(D, hkv, g + 2, hd)
+    wq = w4[:, :, :g].reshape(D, hq * hd)
+    wk = w4[:, :, g].reshape(D, hkv * hd)
+    wv = w4[:, :, g + 1].reshape(D, hkv * hd)
+    return jnp.concatenate([wq, wk, wv], axis=1)
+
+
+def _gptj_rope_permute(w, hq: int, hd: int, rotary_dim: int):
+    """Permute q/k output channels so GPT-J's interleaved rotary convention
+    becomes rotate-half: within the rotary dims of each head, channel order
+    [0,2,4,...,1,3,5,...]. Scores are invariant because q and k get the same
+    permutation."""
+    r = rotary_dim
+    perm = np.concatenate(
+        [np.arange(0, r, 2), np.arange(1, r, 2), np.arange(r, hd)]
+    )
+    D = w.shape[0]
+    wh = w.reshape(D, hq, hd)
+    return wh[:, :, perm].reshape(D, hq * hd)
+
+
+def _import_mpt(raw, cfg: ModelConfig, dtype) -> ModelParams:
+    """MPT: transformer.blocks.{i}.{norm_1, attn.Wqkv, attn.out_proj,
+    norm_2, ffn.up_proj, ffn.down_proj} (reference models/mpt.py)."""
+    W, V, B = _mk_wv(raw, dtype)
+    D = cfg.hidden_size
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"transformer.blocks.{i}"
+        qkv = Linear(W(f"{p}.attn.Wqkv.weight"), B(f"{p}.attn.Wqkv"))
+        blocks.append(
+            BlockParams(
+                attn_norm=V(f"{p}.norm_1.weight"),
+                attn_norm_bias=B(f"{p}.norm_1"),
+                attn=AttentionParams(
+                    qkv_proj=qkv,
+                    o_proj=Linear(
+                        W(f"{p}.attn.out_proj.weight"), B(f"{p}.attn.out_proj")
+                    ),
+                ),
+                mlp_norm=V(f"{p}.norm_2.weight"),
+                mlp_norm_bias=B(f"{p}.norm_2"),
+                mlp=MLPParams(
+                    gate_up_proj=Linear(
+                        W(f"{p}.ffn.up_proj.weight"), B(f"{p}.ffn.up_proj")
+                    ),
+                    down_proj=Linear(
+                        W(f"{p}.ffn.down_proj.weight"), B(f"{p}.ffn.down_proj")
+                    ),
+                ),
+            )
+        )
+    embed = V("transformer.wte.weight")
+    cos, sin = rope_table(
+        cfg.max_position_embeddings, cfg.rotary_dim or cfg.head_dim,
+        cfg.rope_theta,
+    )
+    return ModelParams(
+        embed=embed,
+        blocks=blocks,
+        final_norm=V("transformer.norm_f.weight"),
+        final_norm_bias=B("transformer.norm_f"),
+        lm_head=Linear(embed.T),  # MPT ties embeddings
+        rope_cos=cos,
+        rope_sin=sin,
+    )
+
+
+def _import_falcon(raw, cfg: ModelConfig, dtype) -> ModelParams:
+    """Falcon: transformer.h.{i}.{input_layernorm | ln_attn/ln_mlp,
+    self_attention.query_key_value, self_attention.dense, mlp.dense_h_to_4h,
+    mlp.dense_4h_to_h} (reference models/falcon.py)."""
+    W, V, B = _mk_wv(raw, dtype)
+    hq, hkv, hd = (
+        cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    )
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"transformer.h.{i}"
+        wqkv = W(f"{p}.self_attention.query_key_value.weight")
+        if hkv not in (1, hq):  # new decoder architecture: grouped layout
+            wqkv = _degroup_falcon_qkv(wqkv, hq, hkv, hd)
+        new_arch = f"{p}.ln_attn.weight" in raw
+        if new_arch:
+            a_n, a_b = V(f"{p}.ln_attn.weight"), B(f"{p}.ln_attn")
+            m_n, m_b = V(f"{p}.ln_mlp.weight"), B(f"{p}.ln_mlp")
+        else:
+            a_n, a_b = V(f"{p}.input_layernorm.weight"), B(f"{p}.input_layernorm")
+            if f"{p}.post_attention_layernorm.weight" in raw:
+                m_n = V(f"{p}.post_attention_layernorm.weight")
+                m_b = B(f"{p}.post_attention_layernorm")
+            else:  # parallel_attn: one shared norm — duplicate it
+                m_n, m_b = a_n, a_b
+        blocks.append(
+            BlockParams(
+                attn_norm=a_n, attn_norm_bias=a_b,
+                attn=AttentionParams(
+                    qkv_proj=Linear(wqkv, B(f"{p}.self_attention.query_key_value")),
+                    o_proj=Linear(
+                        W(f"{p}.self_attention.dense.weight"),
+                        B(f"{p}.self_attention.dense"),
+                    ),
+                ),
+                mlp_norm=m_n, mlp_norm_bias=m_b,
+                mlp=MLPParams(
+                    gate_up_proj=Linear(
+                        W(f"{p}.mlp.dense_h_to_4h.weight"),
+                        B(f"{p}.mlp.dense_h_to_4h"),
+                    ),
+                    down_proj=Linear(
+                        W(f"{p}.mlp.dense_4h_to_h.weight"),
+                        B(f"{p}.mlp.dense_4h_to_h"),
+                    ),
+                ),
+            )
+        )
+    embed = V("transformer.word_embeddings.weight")
+    cos, sin = rope_table(
+        cfg.max_position_embeddings, cfg.rotary_dim or cfg.head_dim,
+        cfg.rope_theta,
+    )
+    lm_head = (
+        Linear(W("lm_head.weight")) if "lm_head.weight" in raw
+        else Linear(embed.T)
+    )
+    return ModelParams(
+        embed=embed,
+        blocks=blocks,
+        final_norm=V("transformer.ln_f.weight"),
+        final_norm_bias=B("transformer.ln_f"),
+        lm_head=lm_head,
+        rope_cos=cos,
+        rope_sin=sin,
+    )
+
+
+def _import_gpt_neox(raw, cfg: ModelConfig, dtype) -> ModelParams:
+    """GPT-NeoX/Pythia: gpt_neox.layers.{i}.{input_layernorm,
+    attention.query_key_value (per-head interleaved), attention.dense,
+    post_attention_layernorm, mlp.dense_h_to_4h, mlp.dense_4h_to_h}
+    (reference models/gpt_neox.py)."""
+    W, V, B = _mk_wv(raw, dtype)
+    hq, hkv, hd = (
+        cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    )
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"gpt_neox.layers.{i}"
+        wqkv, bqkv = _deinterleave_qkv(
+            W(f"{p}.attention.query_key_value.weight"),
+            B(f"{p}.attention.query_key_value"),
+            hq, hkv, hd,
+        )
+        blocks.append(
+            BlockParams(
+                attn_norm=V(f"{p}.input_layernorm.weight"),
+                attn_norm_bias=B(f"{p}.input_layernorm"),
+                attn=AttentionParams(
+                    qkv_proj=Linear(wqkv, bqkv),
+                    o_proj=Linear(
+                        W(f"{p}.attention.dense.weight"),
+                        B(f"{p}.attention.dense"),
+                    ),
+                ),
+                mlp_norm=V(f"{p}.post_attention_layernorm.weight"),
+                mlp_norm_bias=B(f"{p}.post_attention_layernorm"),
+                mlp=MLPParams(
+                    gate_up_proj=Linear(
+                        W(f"{p}.mlp.dense_h_to_4h.weight"),
+                        B(f"{p}.mlp.dense_h_to_4h"),
+                    ),
+                    down_proj=Linear(
+                        W(f"{p}.mlp.dense_4h_to_h.weight"),
+                        B(f"{p}.mlp.dense_4h_to_h"),
+                    ),
+                ),
+            )
+        )
+    embed = V("gpt_neox.embed_in.weight")
+    cos, sin = rope_table(
+        cfg.max_position_embeddings, cfg.rotary_dim or cfg.head_dim,
+        cfg.rope_theta,
+    )
+    lm_head = (
+        Linear(W("embed_out.weight")) if "embed_out.weight" in raw
+        else Linear(embed.T)
+    )
+    return ModelParams(
+        embed=embed,
+        blocks=blocks,
+        final_norm=V("gpt_neox.final_layer_norm.weight"),
+        final_norm_bias=B("gpt_neox.final_layer_norm"),
+        lm_head=lm_head,
+        rope_cos=cos,
+        rope_sin=sin,
+    )
+
+
+def _import_gptj(raw, cfg: ModelConfig, dtype) -> ModelParams:
+    """GPT-J: transformer.h.{i}.{ln_1 (shared), attn.{q,k,v,out}_proj,
+    mlp.fc_in, mlp.fc_out}; interleaved rotary converted to rotate-half by
+    channel permutation (reference models/gptj.py)."""
+    W, V, B = _mk_wv(raw, dtype)
+    hq, hd = cfg.num_attention_heads, cfg.head_dim
+    r = cfg.rotary_dim or hd
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"transformer.h.{i}"
+        wq = _gptj_rope_permute(W(f"{p}.attn.q_proj.weight"), hq, hd, r)
+        wk = _gptj_rope_permute(W(f"{p}.attn.k_proj.weight"), hq, hd, r)
+        wv = W(f"{p}.attn.v_proj.weight")
+        ln1, ln1b = V(f"{p}.ln_1.weight"), B(f"{p}.ln_1")
+        blocks.append(
+            BlockParams(
+                attn_norm=ln1, attn_norm_bias=ln1b,
+                attn=AttentionParams(
+                    qkv_proj=Linear(jnp.concatenate([wq, wk, wv], axis=1)),
+                    o_proj=Linear(W(f"{p}.attn.out_proj.weight")),
+                ),
+                mlp_norm=ln1, mlp_norm_bias=ln1b,  # single shared norm
+                mlp=MLPParams(
+                    gate_up_proj=Linear(
+                        W(f"{p}.mlp.fc_in.weight"), B(f"{p}.mlp.fc_in")
+                    ),
+                    down_proj=Linear(
+                        W(f"{p}.mlp.fc_out.weight"), B(f"{p}.mlp.fc_out")
+                    ),
+                ),
+            )
+        )
+    embed = V("transformer.wte.weight")
+    cos, sin = rope_table(cfg.max_position_embeddings, r, cfg.rope_theta)
+    lm_head = (
+        Linear(W("lm_head.weight"), B("lm_head"))
+        if "lm_head.weight" in raw else Linear(embed.T)
+    )
+    return ModelParams(
+        embed=embed,
+        blocks=blocks,
+        final_norm=V("transformer.ln_f.weight"),
+        final_norm_bias=B("transformer.ln_f"),
+        lm_head=lm_head,
+        rope_cos=cos,
+        rope_sin=sin,
+    )
+
+
+def _import_opt(raw, cfg: ModelConfig, dtype) -> ModelParams:
+    """OPT: model.decoder.layers.{i}.{self_attn.{q,k,v,out}_proj,
+    self_attn_layer_norm, fc1, fc2, final_layer_norm}; learned positions
+    with the +2 offset folded in at import (reference models/opt.py)."""
+    W, V, B = _mk_wv(raw, dtype)
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.decoder.layers.{i}"
+        wq, wk, wv = (
+            W(f"{p}.self_attn.q_proj.weight"),
+            W(f"{p}.self_attn.k_proj.weight"),
+            W(f"{p}.self_attn.v_proj.weight"),
+        )
+        bq, bk, bv = (
+            B(f"{p}.self_attn.q_proj"),
+            B(f"{p}.self_attn.k_proj"),
+            B(f"{p}.self_attn.v_proj"),
+        )
+        bias = jnp.concatenate([bq, bk, bv]) if bq is not None else None
+        blocks.append(
+            BlockParams(
+                attn_norm=V(f"{p}.self_attn_layer_norm.weight"),
+                attn_norm_bias=B(f"{p}.self_attn_layer_norm"),
+                attn=AttentionParams(
+                    qkv_proj=Linear(
+                        jnp.concatenate([wq, wk, wv], axis=1), bias
+                    ),
+                    o_proj=Linear(
+                        W(f"{p}.self_attn.out_proj.weight"),
+                        B(f"{p}.self_attn.out_proj"),
+                    ),
+                ),
+                mlp_norm=V(f"{p}.final_layer_norm.weight"),
+                mlp_norm_bias=B(f"{p}.final_layer_norm"),
+                mlp=MLPParams(
+                    gate_up_proj=Linear(W(f"{p}.fc1.weight"), B(f"{p}.fc1")),
+                    down_proj=Linear(W(f"{p}.fc2.weight"), B(f"{p}.fc2")),
+                ),
+            )
+        )
+    embed = V("model.decoder.embed_tokens.weight")
+    # OPT's learned positional table has a +2 offset quirk
+    pos = V("model.decoder.embed_positions.weight")[2:]
+    cos, sin = rope_table(cfg.max_position_embeddings, cfg.head_dim, 10000.0)
+    lm_head = (
+        Linear(W("lm_head.weight")) if "lm_head.weight" in raw
+        else Linear(embed.T)
+    )
+    return ModelParams(
+        embed=embed,
+        blocks=blocks,
+        final_norm=V("model.decoder.final_layer_norm.weight"),
+        final_norm_bias=B("model.decoder.final_layer_norm"),
+        lm_head=lm_head,
+        rope_cos=cos,
+        rope_sin=sin,
+        pos_embed=pos,
+    )
+
+
+def _import_bloom(raw, cfg: ModelConfig, dtype) -> ModelParams:
+    """Bloom: transformer.h.{i}.{input_layernorm, self_attention.query_key_value
+    (per-head interleaved), self_attention.dense, post_attention_layernorm,
+    mlp.dense_h_to_4h, mlp.dense_4h_to_h} + word_embeddings_layernorm
+    (reference models/bloom.py)."""
+    W, V, B = _mk_wv(raw, dtype)
+    hq, hkv, hd = (
+        cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    )
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"transformer.h.{i}"
+        wqkv, bqkv = _deinterleave_qkv(
+            W(f"{p}.self_attention.query_key_value.weight"),
+            B(f"{p}.self_attention.query_key_value"),
+            hq, hkv, hd,
+        )
+        blocks.append(
+            BlockParams(
+                attn_norm=V(f"{p}.input_layernorm.weight"),
+                attn_norm_bias=B(f"{p}.input_layernorm"),
+                attn=AttentionParams(
+                    qkv_proj=Linear(wqkv, bqkv),
+                    o_proj=Linear(
+                        W(f"{p}.self_attention.dense.weight"),
+                        B(f"{p}.self_attention.dense"),
+                    ),
+                ),
+                mlp_norm=V(f"{p}.post_attention_layernorm.weight"),
+                mlp_norm_bias=B(f"{p}.post_attention_layernorm"),
+                mlp=MLPParams(
+                    gate_up_proj=Linear(
+                        W(f"{p}.mlp.dense_h_to_4h.weight"),
+                        B(f"{p}.mlp.dense_h_to_4h"),
+                    ),
+                    down_proj=Linear(
+                        W(f"{p}.mlp.dense_4h_to_h.weight"),
+                        B(f"{p}.mlp.dense_4h_to_h"),
+                    ),
+                ),
+            )
+        )
+    embed = V("transformer.word_embeddings.weight")
+    cos, sin = rope_table(cfg.max_position_embeddings, cfg.head_dim, 10000.0)
+    return ModelParams(
+        embed=embed,
+        blocks=blocks,
+        final_norm=V("transformer.ln_f.weight"),
+        final_norm_bias=B("transformer.ln_f"),
+        lm_head=Linear(embed.T),
+        rope_cos=cos,
+        rope_sin=sin,
+        embed_norm=V("transformer.word_embeddings_layernorm.weight"),
+        embed_norm_bias=B("transformer.word_embeddings_layernorm"),
+    )
+
+
+def _import_gpt_bigcode(raw, cfg: ModelConfig, dtype) -> ModelParams:
+    """GPT-BigCode/StarCoder: transformer.h.{i}.{ln_1, attn.c_attn (MQA
+    fused), attn.c_proj, ln_2, mlp.c_fc, mlp.c_proj} + wpe learned positions
+    (reference models/gpt_bigcode.py)."""
+    W, V, B = _mk_wv(raw, dtype)
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"transformer.h.{i}"
+        blocks.append(
+            BlockParams(
+                attn_norm=V(f"{p}.ln_1.weight"),
+                attn_norm_bias=B(f"{p}.ln_1"),
+                attn=AttentionParams(
+                    # c_attn columns are [q (H*hd) | k (hkv*hd) | v] straight
+                    qkv_proj=Linear(
+                        W(f"{p}.attn.c_attn.weight"), B(f"{p}.attn.c_attn")
+                    ),
+                    o_proj=Linear(
+                        W(f"{p}.attn.c_proj.weight"), B(f"{p}.attn.c_proj")
+                    ),
+                ),
+                mlp_norm=V(f"{p}.ln_2.weight"),
+                mlp_norm_bias=B(f"{p}.ln_2"),
+                mlp=MLPParams(
+                    gate_up_proj=Linear(
+                        W(f"{p}.mlp.c_fc.weight"), B(f"{p}.mlp.c_fc")
+                    ),
+                    down_proj=Linear(
+                        W(f"{p}.mlp.c_proj.weight"), B(f"{p}.mlp.c_proj")
+                    ),
+                ),
+            )
+        )
+    embed = V("transformer.wte.weight")
+    cos, sin = rope_table(cfg.max_position_embeddings, cfg.head_dim, 10000.0)
+    return ModelParams(
+        embed=embed,
+        blocks=blocks,
+        final_norm=V("transformer.ln_f.weight"),
+        final_norm_bias=B("transformer.ln_f"),
+        lm_head=Linear(embed.T),
+        rope_cos=cos,
+        rope_sin=sin,
+        pos_embed=V("transformer.wpe.weight"),
+    )
+
+
+def _import_baichuan(raw, cfg: ModelConfig, dtype) -> ModelParams:
+    """Baichuan: llama layout with a fused W_pack qkv
+    (reference models/baichuan.py)."""
+    W, V, B = _mk_wv(raw, dtype)
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        gate = W(f"{p}.mlp.gate_proj.weight")
+        up = W(f"{p}.mlp.up_proj.weight")
+        blocks.append(
+            BlockParams(
+                attn_norm=V(f"{p}.input_layernorm.weight"),
+                attn=AttentionParams(
+                    qkv_proj=Linear(W(f"{p}.self_attn.W_pack.weight")),
+                    o_proj=Linear(W(f"{p}.self_attn.o_proj.weight")),
+                ),
+                mlp_norm=V(f"{p}.post_attention_layernorm.weight"),
+                mlp=MLPParams(
+                    gate_up_proj=Linear(jnp.concatenate([gate, up], axis=1)),
+                    down_proj=Linear(W(f"{p}.mlp.down_proj.weight")),
+                ),
+            )
+        )
+    embed = V("model.embed_tokens.weight")
+    cos, sin = rope_table(
         cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta
     )
-    return (
-        ModelParams(
-            embed=embed,
-            blocks=blocks,
-            final_norm=V("model.norm.weight"),
-            lm_head=lm_head,
-            rope_cos=cos,
-            rope_sin=sin,
-        ),
-        cfg,
+    lm_head = (
+        Linear(W("lm_head.weight")) if "lm_head.weight" in raw
+        else Linear(embed.T)
     )
+    return ModelParams(
+        embed=embed,
+        blocks=blocks,
+        final_norm=V("model.norm.weight"),
+        lm_head=lm_head,
+        rope_cos=cos,
+        rope_sin=sin,
+    )
+
+
+def _import_qwen(raw, cfg: ModelConfig, dtype) -> ModelParams:
+    """Qwen v1: transformer.h.{i}.{ln_1, attn.c_attn (fused, bias), attn.c_proj,
+    ln_2, mlp.w1, mlp.w2, mlp.c_proj} — rmsnorm + swiglu
+    (reference models/qwen.py)."""
+    W, V, B = _mk_wv(raw, dtype)
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"transformer.h.{i}"
+        # HF Qwen computes a1=w1(x), a2=w2(x), out=c_proj(a1 * silu(a2)):
+        # w2 is the GATE (silu) and w1 the UP — concat [gate|up] = [w2|w1]
+        w2 = W(f"{p}.mlp.w2.weight")
+        w1 = W(f"{p}.mlp.w1.weight")
+        blocks.append(
+            BlockParams(
+                attn_norm=V(f"{p}.ln_1.weight"),
+                attn=AttentionParams(
+                    qkv_proj=Linear(
+                        W(f"{p}.attn.c_attn.weight"), B(f"{p}.attn.c_attn")
+                    ),
+                    o_proj=Linear(W(f"{p}.attn.c_proj.weight")),
+                ),
+                mlp_norm=V(f"{p}.ln_2.weight"),
+                mlp=MLPParams(
+                    gate_up_proj=Linear(jnp.concatenate([w2, w1], axis=1)),
+                    down_proj=Linear(W(f"{p}.mlp.c_proj.weight")),
+                ),
+            )
+        )
+    embed = V("transformer.wte.weight")
+    cos, sin = rope_table(
+        cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta
+    )
+    lm_head = (
+        Linear(W("lm_head.weight")) if "lm_head.weight" in raw
+        else Linear(embed.T)
+    )
+    return ModelParams(
+        embed=embed,
+        blocks=blocks,
+        final_norm=V("transformer.ln_f.weight"),
+        lm_head=lm_head,
+        rope_cos=cos,
+        rope_sin=sin,
+    )
+
+
+_HF_IMPORTERS = {
+    "mpt": _import_mpt,
+    "falcon": _import_falcon,
+    "RefinedWeb": _import_falcon,
+    "RefinedWebModel": _import_falcon,
+    "gpt_neox": _import_gpt_neox,
+    "gptj": _import_gptj,
+    "opt": _import_opt,
+    "bloom": _import_bloom,
+    "gpt_bigcode": _import_gpt_bigcode,
+    "baichuan": _import_baichuan,
+    "qwen": _import_qwen,
+}
 
 
 # ---------------------------------------------------------------------------

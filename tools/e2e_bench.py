@@ -1,0 +1,77 @@
+"""End-to-end generation benchmark on a randomly-initialized quantized model.
+
+Reference protocol (README.md:120): prefill len = decode len = 128, report
+prefill and decode tok/s. Run from repo root on TPU:
+    python tools/e2e_bench.py --model mistral7b --batch 1
+"""
+import argparse, functools, sys, time
+import numpy as np, jax, jax.numpy as jnp
+
+sys.path.insert(0, ".")
+from quick_tpu import ModelConfig
+from quick_tpu.models import init_quant_params
+from quick_tpu.runtime import decode_loop, make_cache, prefill
+from quick_tpu.runtime.generate import SamplingParams
+
+SHAPES = {
+    "mistral7b": dict(vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+                      num_hidden_layers=32, num_attention_heads=32,
+                      num_key_value_heads=8, max_position_embeddings=4096,
+                      model_type="mistral"),
+    "llama13b": dict(vocab_size=32000, hidden_size=5120, intermediate_size=13824,
+                     num_hidden_layers=40, num_attention_heads=40,
+                     num_key_value_heads=40, max_position_embeddings=4096),
+    "tiny": dict(vocab_size=1024, hidden_size=512, intermediate_size=1024,
+                 num_hidden_layers=4, num_attention_heads=8,
+                 num_key_value_heads=4, max_position_embeddings=512),
+}
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="mistral7b")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--ctx", type=int, default=128)
+    ap.add_argument("--gen", type=int, default=128)
+    args = ap.parse_args()
+    cfg = ModelConfig(**SHAPES[args.model])
+    t0 = time.time()
+    params = init_quant_params(cfg, jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(lambda x: jax.device_put(x), params)
+    print(f"init: {time.time()-t0:.1f}s", flush=True)
+
+    B, C, Gn = args.batch, args.ctx, args.gen
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, C)), jnp.int32)
+    max_seq = C + Gn
+
+    @jax.jit
+    def prefill_fn(params, toks):
+        cache = make_cache(cfg, B, max_seq)
+        return prefill(params, cfg, toks, cache)
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def decode_fn(params, first, cache, n):
+        return decode_loop(params, cfg, first, cache, n,
+                           SamplingParams(temperature=0.0), jax.random.PRNGKey(0))
+
+    # warm
+    logits, cache0 = prefill_fn(params, toks)
+    first = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32).reshape(B)
+    def timed(fn, *a, reps=3):
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*a)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])[:1]
+            best = min(best, time.perf_counter() - t0)
+        return best, out
+    tp, (logits, cache0) = timed(prefill_fn, params, toks)
+    # decode: two lengths, differential
+    _, _ = timed(decode_fn, params, first, cache0, 8, reps=1)   # compile short
+    t8, _ = timed(decode_fn, params, first, cache0, 8)
+    tg, _ = timed(decode_fn, params, first, cache0, Gn)
+    per_tok = (tg - t8) / (Gn - 8)
+    print(f"{args.model} bs={B} {C}/{Gn}:")
+    print(f"  prefill: {tp*1e3:.1f} ms -> {B*C/tp:.1f} tok/s")
+    print(f"  decode:  {per_tok*1e3:.2f} ms/tok -> {B/per_tok:.1f} tok/s")
+main()
