@@ -171,6 +171,12 @@ class ModelConfig:
         if not isinstance(hf, dict):
             hf = hf.to_dict()
         mt = hf.get("model_type", "llama")
+        if mt == "llava" and isinstance(hf.get("text_config"), dict):
+            # vision2seq: architecture params come from the language tower
+            cfg = cls.from_hf_config({**hf["text_config"], "model_type": "llama"})
+            import dataclasses as _dc
+
+            return _dc.replace(cfg, model_type="llava")
         kw: Dict[str, Any] = dict(
             vocab_size=hf.get("vocab_size", 32000),
             hidden_size=hf.get("hidden_size", hf.get("n_embd", hf.get("d_model", 4096))),

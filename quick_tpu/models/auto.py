@@ -119,7 +119,7 @@ class AutoQuickModel:
         from quick_tpu.utils.checkpoint import load_autoawq, load_quantized
 
         qcfg = QuantConfig.from_pretrained(model_dir)
-        if qcfg.version.lower() in ("gemm", "exllama", "exllamav2"):
+        if qcfg.version.lower() in ("gemm", "gemv", "exllama", "exllamav2"):
             params, cfg, qcfg = load_autoawq(model_dir)
             qcfg = dataclasses.replace(qcfg, version="qtpu")
         else:
@@ -161,7 +161,8 @@ class AutoQuickModel:
             )
         else:
             self.params = quantize_params(
-                self.params, self.cfg, qcfg.q_group_size, qcfg.zero_point
+                self.params, self.cfg, qcfg.q_group_size, qcfg.zero_point,
+                modules_to_not_convert=qcfg.modules_to_not_convert,
             )
         self.qcfg = qcfg
         return self

@@ -257,19 +257,50 @@ def init_quant_params(
     )
 
 
+#: user-facing / HF-style layer names -> this framework's fused linears
+#: (used by modules_to_not_convert matching, reference utils/module.py:44-54)
+_NAME_ALIASES = {
+    "q_proj": "qkv", "k_proj": "qkv", "v_proj": "qkv", "qkv_proj": "qkv",
+    "W_pack": "qkv", "query_key_value": "qkv", "Wqkv": "qkv", "c_attn": "qkv",
+    "o_proj": "o", "out_proj": "o", "dense": "o", "c_proj": "o",
+    "gate_proj": "gate_up", "up_proj": "gate_up", "w1": "gate_up",
+    "w3": "gate_up", "fc1": "gate_up", "fc_in": "gate_up",
+    "dense_h_to_4h": "gate_up", "c_fc": "gate_up",
+    "down_proj": "down", "w2": "down", "fc2": "down", "fc_out": "down",
+    "dense_4h_to_h": "down",
+    "gate": "router",
+}
+
+
+def canonical_skips(modules_to_not_convert) -> frozenset:
+    """Translate a modules_to_not_convert list into canonical fused-linear
+    names ({'qkv', 'o', 'gate_up', 'down', 'router'})."""
+    out = set()
+    for pat in modules_to_not_convert or ():
+        out.add(_NAME_ALIASES.get(pat, pat))
+    return frozenset(out)
+
+
 def quantize_params(
     params: ModelParams,
     cfg: ModelConfig,
     group_size: int = 128,
     zero_point: bool = True,
+    modules_to_not_convert=None,
 ) -> ModelParams:
     """RTN-quantize every block linear to W4A16 (AWQ scale search is applied
     beforehand by quick_tpu.quantize.awq — this is the pack step, the analog
     of BaseAWQForCausalLM.pack, reference models/base.py:123-138).
 
-    lm_head/embedding stay float (reference leaves them unconverted)."""
+    lm_head/embedding stay float (reference leaves them unconverted);
+    ``modules_to_not_convert`` entries (our names or HF names like
+    "down_proj") keep the matching fused linears float, the analog of
+    exclude_layers_to_not_quantize (reference utils/module.py:44-54)."""
+    skip = canonical_skips(modules_to_not_convert)
 
-    def q(lin: Linear) -> QuantLinear:
+    def q(lin: Linear, name: str = "") -> "QuantLinear | Linear":
+        if name in skip:
+            return lin
         return QuantLinear.from_float(
             lin.weight, lin.bias, group_size, zero_point
         )
@@ -294,16 +325,25 @@ def quantize_params(
 
     new_blocks = []
     for blk in params.blocks:
-        attn = AttentionParams(q(blk.attn.qkv_proj), q(blk.attn.o_proj))
+        attn = AttentionParams(
+            q(blk.attn.qkv_proj, "qkv"), q(blk.attn.o_proj, "o")
+        )
         if isinstance(blk.mlp, MoEParams):
             mlp = MoEParams(
                 router=blk.mlp.router,  # router stays float (mixtral.py:58)
-                gate_up_proj=q_stacked(blk.mlp.gate_up_proj),
-                down_proj=q_stacked(blk.mlp.down_proj),
+                gate_up_proj=(
+                    blk.mlp.gate_up_proj if "gate_up" in skip
+                    else q_stacked(blk.mlp.gate_up_proj)
+                ),
+                down_proj=(
+                    blk.mlp.down_proj if "down" in skip
+                    else q_stacked(blk.mlp.down_proj)
+                ),
             )
         else:
             mlp = MLPParams(
-                q(blk.mlp.gate_up_proj), q(blk.mlp.down_proj),
+                q(blk.mlp.gate_up_proj, "gate_up"),
+                q(blk.mlp.down_proj, "down"),
                 act_scale=blk.mlp.act_scale,
             )
         new_blocks.append(dataclasses.replace(blk, attn=attn, mlp=mlp))

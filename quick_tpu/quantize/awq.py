@@ -186,12 +186,16 @@ def awq_quantize_block(
     rope_sin: jax.Array,
     qcfg: QuantConfig,
     apply_clips: bool = True,
+    skip: frozenset = frozenset(),
 ) -> AwqBlockResult:
     """Search + apply AWQ scales/clips for one block, then quantize+pack.
 
     Mirrors the per-layer hot loop of AwqQuantizer.quantize
     (reference quantizer.py:87-146) with the Llama scaling groups
-    (reference models/llama.py:37-73)."""
+    (reference models/llama.py:37-73). ``skip`` holds canonical linear names
+    ('qkv'/'o'/'gate_up'/'down') to leave float (modules_to_not_convert,
+    reference utils/module.py:44-54; AWQ scales are still applied — an exact
+    float transform)."""
     G = qcfg.q_group_size
     zp = qcfg.zero_point
     B, S, D = x.shape
@@ -295,13 +299,14 @@ def awq_quantize_block(
             blk.mlp, cfg, mlp_in, jnp.ones_like(mlp_norm), qcfg, apply_clips
         )
         # pack dense mlp
+        def pack(name, lin):
+            if name in skip:
+                return lin
+            return QuantLinear.from_float(lin.weight, lin.bias, G, zp)
+
         new_mlp = MLPParams(
-            gate_up_proj=QuantLinear.from_float(
-                new_mlp.gate_up_proj.weight, new_mlp.gate_up_proj.bias, G, zp
-            ),
-            down_proj=QuantLinear.from_float(
-                new_mlp.down_proj.weight, new_mlp.down_proj.bias, G, zp
-            ),
+            gate_up_proj=pack("gate_up", new_mlp.gate_up_proj),
+            down_proj=pack("down", new_mlp.down_proj),
             act_scale=new_mlp.act_scale,
         )
     # _awq_mlp/_awq_moe return the multiplicative norm adjustment (1/s_gu);
@@ -316,8 +321,18 @@ def awq_quantize_block(
         x_next = x_mid + mlp_out
 
     new_attn = AttentionParams(
-        qkv_proj=QuantLinear.from_float(qkv_w, blk.attn.qkv_proj.bias, G, zp),
-        o_proj=QuantLinear.from_float(o_w, blk.attn.o_proj.bias, G, zp),
+        qkv_proj=(
+            Linear(qkv_w.astype(blk.attn.qkv_proj.weight.dtype),
+                   blk.attn.qkv_proj.bias)
+            if "qkv" in skip
+            else QuantLinear.from_float(qkv_w, blk.attn.qkv_proj.bias, G, zp)
+        ),
+        o_proj=(
+            Linear(o_w.astype(blk.attn.o_proj.weight.dtype),
+                   blk.attn.o_proj.bias)
+            if "o" in skip
+            else QuantLinear.from_float(o_w, blk.attn.o_proj.bias, G, zp)
+        ),
     )
     new_block = BlockParams(
         attn_norm=attn_norm.astype(blk.attn_norm.dtype),
@@ -492,15 +507,27 @@ def awq_quantize_model(
     (the analog of BaseAWQForCausalLM.quantize, reference models/base.py:91)."""
     from quick_tpu.models.model import ModelParams  # noqa: F401
 
+    from quick_tpu.models.model import canonical_skips
+    from quick_tpu.ops.norms import layer_norm
+
     qcfg = qcfg or QuantConfig()
+    skip = canonical_skips(qcfg.modules_to_not_convert)
     B, S = calib_tokens.shape
     positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
     x = params.embed[calib_tokens].astype(jnp.bfloat16)
+    # mirror model_forward's embedding path (opt/bigcode positions,
+    # bloom embedding layernorm) so calibration activations are faithful
+    if params.pos_embed is not None:
+        x = x + params.pos_embed[positions].astype(x.dtype)
+    if params.embed_norm is not None:
+        x = layer_norm(
+            x, params.embed_norm, params.embed_norm_bias, cfg.rms_norm_eps
+        )
     new_blocks = []
     for i, blk in enumerate(params.blocks):
         res = awq_quantize_block(
             blk, cfg, x, positions, params.rope_cos, params.rope_sin,
-            qcfg, apply_clips,
+            qcfg, apply_clips, skip=skip,
         )
         new_blocks.append(res.block)
         x = res.x_next

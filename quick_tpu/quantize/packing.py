@@ -157,6 +157,59 @@ def export_awq_gemm(
 
 
 # ---------------------------------------------------------------------------
+# AutoAWQ GEMV layout interop
+# ---------------------------------------------------------------------------
+# GEMV convention (reference quick/awq/modules/linear/gemv.py:15-27, 80-157):
+# qweight int32 [OC, IC//8] with natural nibble order along IC; qzeros
+# int32 [OC, zw] (zw = zeros width padded to pack/size multiples); scales
+# fp16 [OC, zw*8] zero-padded beyond the true n_groups columns.
+
+def calculate_zeros_width(in_features: int, group_size: int = 128,
+                          pack_num: int = PACK) -> int:
+    """Padded zeros width (reference gemv.py:15-27)."""
+    if group_size >= 128:
+        size_multiplier = 1
+    elif group_size == 64:
+        size_multiplier = 2
+    elif group_size == 32:
+        size_multiplier = 4
+    else:
+        raise NotImplementedError(f"group_size={group_size}")
+    base = -(-(in_features // group_size) // pack_num)
+    return -(-base // size_multiplier) * size_multiplier
+
+
+def _unpack_words_lastdim(words: np.ndarray) -> np.ndarray:
+    """int32 [..., W] -> uint8 nibbles [..., W*8], natural order."""
+    w = words.view(np.uint32)
+    out = np.empty(w.shape + (PACK,), np.uint8)
+    for j in range(PACK):
+        out[..., j] = ((w >> np.uint32(4 * j)) & np.uint32(0xF)).astype(np.uint8)
+    return out.reshape(*w.shape[:-1], w.shape[-1] * PACK)
+
+
+def import_awq_gemv(
+    qweight: np.ndarray,
+    qzeros: np.ndarray,
+    scales: np.ndarray,
+    group_size: int = 128,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Convert an AutoAWQ GEMV-layout tensor triple to QTPU arrays
+    (same return contract as :func:`import_awq_gemm`)."""
+    OC, IC8 = qweight.shape
+    IC = IC8 * PACK
+    ng = IC // group_size
+    q = _unpack_words_lastdim(qweight).T            # [IC, OC]
+    z = _unpack_words_lastdim(qzeros)[:, :ng].T     # [ng, OC]
+    s = scales[:, :ng].astype(np.float32).T         # [ng, OC]
+    return (
+        pack_qtpu(np.ascontiguousarray(q), group_size),
+        np.ascontiguousarray(s),
+        np.ascontiguousarray(z.astype(np.float32) * s),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exllama(v1/v2) layout interop
 # ---------------------------------------------------------------------------
 # Exllama/GPTQ convention (reference quick/awq/utils/packing_utils.py:42-80

@@ -911,7 +911,22 @@ def _import_qwen(raw, cfg: ModelConfig, dtype) -> ModelParams:
     )
 
 
+def _import_llava(raw, cfg: ModelConfig, dtype) -> ModelParams:
+    """LLaVA: quantize/serve the language tower only, like the reference
+    (models/llava.py:13-129 — the vision tower stays an external HF module).
+    Tensors live under a ``language_model.`` prefix."""
+    lang = {
+        k[len("language_model."):]: v
+        for k, v in raw.items()
+        if k.startswith("language_model.")
+    }
+    if not lang:
+        raise ValueError("no language_model.* tensors found in llava checkpoint")
+    return _import_llama_family(lang, cfg, dtype)
+
+
 _HF_IMPORTERS = {
+    "llava": _import_llava,
     "mpt": _import_mpt,
     "falcon": _import_falcon,
     "RefinedWeb": _import_falcon,
@@ -939,18 +954,27 @@ def load_autoawq(model_dir: str) -> Tuple[ModelParams, ModelConfig, QuantConfig]
     checkpoints (version "exllama"/"exllamav2": qweight row-packed
     [K//8, N], qzeros column-packed minus-one) convert through
     import_exllama (reference linear/exllama.py:15-136 repack path)."""
-    from quick_tpu.quantize.packing import import_awq_gemm, import_exllama
+    from quick_tpu.quantize.packing import (
+        import_awq_gemm,
+        import_awq_gemv,
+        import_exllama,
+    )
 
     with open(os.path.join(model_dir, "config.json")) as f:
         hf_cfg = json.load(f)
     cfg = ModelConfig.from_hf_config(hf_cfg)
     qcfg = QuantConfig.from_pretrained(model_dir)
     G = qcfg.q_group_size
-    exllama = qcfg.version.lower().startswith("exllama")
+    version = qcfg.version.lower()
     raw: Dict[str, np.ndarray] = dict(_hf_tensor_iter(model_dir))
 
     def qlin(base: str) -> QuantLinear:
-        importer = import_exllama if exllama else import_awq_gemm
+        if version.startswith("exllama"):
+            importer = import_exllama
+        elif version == "gemv":
+            importer = import_awq_gemv
+        else:
+            importer = import_awq_gemm
         qw, s, zs = importer(
             raw.pop(base + ".qweight"),
             raw.pop(base + ".qzeros"),

@@ -143,3 +143,33 @@ def test_rolling_window_cache(float_params):
         float_params, TINY, jnp.ones((1, 1), jnp.int32), cache
     )
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_modules_to_not_convert(float_params):
+    """Excluded linears stay float (reference exclude_layers_to_not_quantize,
+    utils/module.py:44-54); both our names and HF names match."""
+    from quick_tpu.modules.linear import Linear, QuantLinear
+
+    qp = quantize_params(
+        float_params, TINY, modules_to_not_convert=["down_proj"]
+    )
+    for blk in qp.blocks:
+        assert isinstance(blk.mlp.down_proj, Linear)
+        assert isinstance(blk.mlp.gate_up_proj, QuantLinear)
+        assert isinstance(blk.attn.qkv_proj, QuantLinear)
+    logits, _ = model_forward(qp, TINY, jnp.zeros((1, 4), jnp.int32))
+    assert bool(jnp.isfinite(logits).all())
+
+
+def test_modules_to_not_convert_awq():
+    from quick_tpu.config import QuantConfig
+    from quick_tpu.modules.linear import Linear, QuantLinear
+    from quick_tpu.quantize.awq import awq_quantize_model
+
+    params = init_float_params(TINY, jax.random.PRNGKey(0))
+    calib = jax.random.randint(jax.random.PRNGKey(1), (1, 32), 0, 256)
+    qcfg = QuantConfig(q_group_size=32, modules_to_not_convert=["o_proj"])
+    qp = awq_quantize_model(params, TINY, calib, qcfg, verbose=False)
+    for blk in qp.blocks:
+        assert isinstance(blk.attn.o_proj, Linear)
+        assert isinstance(blk.attn.qkv_proj, QuantLinear)

@@ -104,3 +104,40 @@ def test_gemm_to_exllama_consistent(rng):
     b = import_exllama(qw_e, qz_e, s, G)
     np.testing.assert_array_equal(a[0], b[0])
     np.testing.assert_allclose(a[2], b[2], rtol=1e-6)
+
+
+def test_gemv_import(rng):
+    """AutoAWQ GEMV layout (row-major along IC, padded zeros width) must
+    import to the same QTPU arrays as the GEMM layout of the same codes."""
+    from quick_tpu.quantize.packing import (
+        calculate_zeros_width,
+        import_awq_gemm,
+        import_awq_gemv,
+    )
+
+    K, N, G = 256, 64, 128
+    ng = K // G
+    q = rng.integers(0, 16, (K, N), dtype=np.uint8)
+    z = rng.integers(0, 16, (ng, N), dtype=np.uint8)
+    s = rng.random((ng, N)).astype(np.float32) * 0.02 + 1e-3
+
+    # build GEMV tensors: qweight [N, K//8] natural, scales/zeros transposed+padded
+    qw = np.zeros((N, K // 8), np.uint32)
+    for j in range(8):
+        qw |= q.T[:, j::8].astype(np.uint32) << np.uint32(4 * j)
+    zw = calculate_zeros_width(K, G)
+    qz = np.zeros((N, zw), np.uint32)
+    zt = z.T  # [N, ng]
+    for col in range(zw):
+        for j in range(8):
+            idx = col * 8 + j
+            if idx < ng:
+                qz[:, col] |= zt[:, idx].astype(np.uint32) << np.uint32(4 * j)
+    sc = np.zeros((N, zw * 8), np.float16)
+    sc[:, :ng] = s.T
+
+    a = import_awq_gemv(qw.view(np.int32), qz.view(np.int32), sc, G)
+    b = import_awq_gemm(pack_awq_gemm(q), pack_awq_gemm(z), s, G)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_allclose(a[1], b[1], rtol=1e-3)
+    np.testing.assert_allclose(a[2], b[2], rtol=1e-3)
