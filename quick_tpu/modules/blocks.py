@@ -124,6 +124,14 @@ def attention_forward(
             q, k_all, v_all, q_offset=start, kv_len=start + S,
             alibi_slopes=slopes,
         )
+    elif ctx.seq_axis is not None:
+        # context parallel: q stays sequence-sharded, K/V gather over ICI
+        k_all = ctx.all_gather_seq(k)
+        v_all = ctx.all_gather_seq(v)
+        out = causal_attention(
+            q, k_all, v_all, q_offset=ctx.seq_index() * S,
+            alibi_slopes=slopes,
+        )
     else:
         out = causal_attention(q, k, v, alibi_slopes=slopes)
     out = out.reshape(B, S, hq * hd)

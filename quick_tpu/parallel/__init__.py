@@ -10,7 +10,19 @@ from quick_tpu.parallel.sharding import (
     shard_params,
     sharded_forward_fn,
 )
+from quick_tpu.parallel.context_parallel import (
+    SEQ_AXIS,
+    context_parallel_forward_fn,
+    create_seq_mesh,
+)
 from quick_tpu.parallel.permute import permute_fused_for_tp, tp_permutation
+from quick_tpu.parallel.pipeline import (
+    PIPE_AXIS,
+    create_pipe_mesh,
+    pipeline_forward_fn,
+    shard_stacked_blocks,
+    stack_blocks,
+)
 
 __all__ = [
     "ParallelContext",
@@ -24,4 +36,12 @@ __all__ = [
     "tp_permutation",
     "MODEL_AXIS",
     "DATA_AXIS",
+    "PIPE_AXIS",
+    "SEQ_AXIS",
+    "create_pipe_mesh",
+    "pipeline_forward_fn",
+    "stack_blocks",
+    "shard_stacked_blocks",
+    "create_seq_mesh",
+    "context_parallel_forward_fn",
 ]

@@ -26,10 +26,26 @@ class ParallelContext(NamedTuple):
     model_axis: Optional[str] = None
     data_axis: Optional[str] = None
     expert_axis: Optional[str] = None
+    #: sequence/context-parallel axis: prefill activations are sharded along
+    #: S; attention all-gathers K/V over this axis (no reference analog —
+    #: the reference is single-device, SURVEY.md section 5 "long-context /
+    #: sequence parallelism: none")
+    seq_axis: Optional[str] = None
 
     @property
     def tp(self) -> bool:
         return self.model_axis is not None
+
+    def seq_index(self) -> jax.Array:
+        if self.seq_axis is None:
+            return jnp.zeros((), jnp.int32)
+        return jax.lax.axis_index(self.seq_axis)
+
+    def all_gather_seq(self, x: jax.Array, axis: int = 1) -> jax.Array:
+        """Gather a [B, S_local, ...] shard into [B, S_global, ...]."""
+        if self.seq_axis is None:
+            return x
+        return jax.lax.all_gather(x, self.seq_axis, axis=axis, tiled=True)
 
     def psum_model(self, x: jax.Array) -> jax.Array:
         if self.model_axis is None:
