@@ -79,6 +79,22 @@ def _norm(x, w, b, cfg: ModelConfig):
     return layer_norm(x, w, b, cfg.rms_norm_eps)
 
 
+def _use_paged_kernel(cache) -> bool:
+    """Route paged-cache decode to the scalar-prefetch Pallas kernel on TPU
+    (QUICK_TPU_PAGED=1 forces it in interpret mode for CPU tests; =0
+    forces the XLA gather baseline)."""
+    import os
+
+    if not hasattr(cache, "block_table"):
+        return False
+    env = os.environ.get("QUICK_TPU_PAGED", "")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return jax.default_backend() != "cpu"
+
+
 def attention_forward(
     p: AttentionParams,
     cfg: ModelConfig,
@@ -119,11 +135,20 @@ def attention_forward(
     if cache is not None:
         start = cache.length
         cache = cache.update(layer_idx, k, v, start)
-        k_all, v_all = cache.layer(layer_idx)
-        out = causal_attention(
-            q, k_all, v_all, q_offset=start, kv_len=start + S,
-            alibi_slopes=slopes,
-        )
+        if S == 1 and _use_paged_kernel(cache):
+            from quick_tpu.ops.paged_attention import paged_decode_attention
+
+            out = paged_decode_attention(
+                q[:, 0], cache.k_pages[layer_idx], cache.v_pages[layer_idx],
+                cache.block_table, start + 1, alibi_slopes=slopes,
+                interpret=jax.default_backend() == "cpu",
+            )[:, None]
+        else:
+            k_all, v_all = cache.layer(layer_idx)
+            out = causal_attention(
+                q, k_all, v_all, q_offset=start, kv_len=start + S,
+                alibi_slopes=slopes,
+            )
     elif ctx.seq_axis is not None:
         # context parallel: q stays sequence-sharded, K/V gather over ICI
         k_all = ctx.all_gather_seq(k)

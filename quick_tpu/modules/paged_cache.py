@@ -34,7 +34,10 @@ TRASH_PAGE = 0
 class PagedKVCache:
     """Block-table KV cache for ``max_slots`` concurrent sequences.
 
-    k_pages/v_pages: [L, n_pages, page_size, H_kv, D]
+    k_pages/v_pages: [L, n_pages, H_kv, page_size, D] — heads BEFORE the
+    page dimension so a single (page, D) tile per (slot, head) is a
+    TPU-aligned DMA block for the paged-attention kernel
+    (ops/paged_attention.py).
     block_table:     [max_slots, max_pages_per_seq] int32 physical page ids
     length:          [max_slots] int32 valid tokens per slot
     """
@@ -57,7 +60,7 @@ class PagedKVCache:
         dtype=jnp.bfloat16,
     ) -> "PagedKVCache":
         max_pages_per_seq = (max_seq + page_size - 1) // page_size
-        shape = (n_layers, n_pages, page_size, n_kv, head_dim)
+        shape = (n_layers, n_pages, n_kv, page_size, head_dim)
         return cls(
             k_pages=jnp.zeros(shape, dtype),
             v_pages=jnp.zeros(shape, dtype),
@@ -70,7 +73,7 @@ class PagedKVCache:
     # -- geometry -------------------------------------------------------------
     @property
     def page_size(self) -> int:
-        return self.k_pages.shape[2]
+        return self.k_pages.shape[3]
 
     @property
     def max_slots(self) -> int:
@@ -94,12 +97,15 @@ class PagedKVCache:
         )
         page = jnp.take_along_axis(self.block_table, page_slot, axis=1)  # [B,S]
         off = pos % self.page_size
+        # layout [L, P, H, page, D]: advanced indices (page, off) straddle
+        # the ':' head axis, so the result axes are [B, S, H, D] — matching
+        # k_new directly
         return dataclasses.replace(
             self,
-            k_pages=self.k_pages.at[layer, page, off].set(
+            k_pages=self.k_pages.at[layer, page, :, off].set(
                 k_new.astype(self.k_pages.dtype)
             ),
-            v_pages=self.v_pages.at[layer, page, off].set(
+            v_pages=self.v_pages.at[layer, page, :, off].set(
                 v_new.astype(self.v_pages.dtype)
             ),
         )
@@ -110,10 +116,12 @@ class PagedKVCache:
         This is the XLA-gather baseline; the fused paged-attention kernel
         (ops/paged_attention.py) reads pages directly with scalar prefetch."""
         B = self.max_slots
-        k = self.k_pages[i][self.block_table]  # [B, P_seq, page, H, D]
+        k = self.k_pages[i][self.block_table]  # [B, P_seq, H, page, D]
         v = self.v_pages[i][self.block_table]
-        H, D = k.shape[-2], k.shape[-1]
-        return k.reshape(B, -1, H, D), v.reshape(B, -1, H, D)
+        H, D = k.shape[-3], k.shape[-1]
+        k = jnp.moveaxis(k, 2, 3).reshape(B, -1, H, D)
+        v = jnp.moveaxis(v, 2, 3).reshape(B, -1, H, D)
+        return k, v
 
     def with_length(self, length) -> "PagedKVCache":
         return dataclasses.replace(

@@ -1,0 +1,157 @@
+"""Paged decode attention — Pallas TPU kernel with scalar-prefetched
+block tables.
+
+The serving engine's baseline reads the paged KV cache through an XLA
+gather that materializes a dense [B, max_seq, H, D] view per layer
+(quick_tpu/modules/paged_cache.py:layer). This kernel is the production
+path: the block table and per-slot lengths are scalar-prefetched into SMEM
+and drive the BlockSpec index maps directly, so each grid step DMAs ONE
+physical page — all kv heads at once, [Hkv, page, D] — for one slot.
+Steps past a slot's length clamp their index map to the slot's last valid
+page: Mosaic elides the DMA when consecutive steps reference the same
+block, so HBM traffic is proportional to tokens actually attended, and the
+compute is skipped with @pl.when.
+
+This replaces the reference's FasterTransformer decode attention
+(``awq_ft_ext.single_query_attention``, quick/awq/modules/fused/attn.py:
+211-230) — which reads a dense padded cache — with a paged-native design.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _paged_kernel(
+    bt_ref, len_ref, slope_ref,       # SMEM: [B, n_pt], [B], [Hq or 1]
+    q_ref, k_ref, v_ref,              # VMEM: [1,Hq,D], [1,Hkv,page,D] x2
+    o_ref,                            # VMEM: [1,Hq,D]
+    m_scr, l_scr, acc_scr,            # VMEM: [Hq,1], [Hq,1], [Hq,D]
+    *, page: int, gq: int, hkv: int, scale: float, use_alibi: bool,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    length = len_ref[b]
+
+    @pl.when(i == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(i * page < length)
+    def _compute():
+        hq = hkv * gq
+        T = hkv * page
+        q = q_ref[0].astype(jnp.float32)                 # [Hq, D]
+        k = k_ref[0].reshape(T, -1).astype(jnp.float32)  # [Hkv*page, D]
+        # ONE MXU-shaped dot for all heads; cross-head products are removed
+        # by a static block-diagonal mask (rows h*gq..(h+1)*gq attend only
+        # to columns h*page..(h+1)*page)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                        # [Hq, Hkv*page]
+        head_q = jax.lax.broadcasted_iota(jnp.int32, (hq, T), 0) // gq
+        head_k = jax.lax.broadcasted_iota(jnp.int32, (hq, T), 1) // page
+        pos_k = i * page + (
+            jax.lax.broadcasted_iota(jnp.int32, (hq, T), 1) % page
+        )
+        mask = jnp.logical_and(head_q == head_k, pos_k < length)
+        if use_alibi:
+            sl = jnp.stack([slope_ref[g] for g in range(hq)])
+            s = s + sl.reshape(hq, 1) * (pos_k - (length - 1)).astype(
+                jnp.float32
+            )
+        s = jnp.where(mask, s, NEG_INF)
+        m_prev = m_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0].reshape(T, -1).astype(jnp.float32)  # [Hkv*page, D]
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = m_new
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _finish():
+        l = l_scr[:]
+        o_ref[0] = (acc_scr[:] / jnp.where(l == 0.0, 1.0, l)).astype(
+            o_ref.dtype
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "interpret")
+)
+def paged_decode_attention(
+    q: jax.Array,            # [B, Hq, D] one decode step's queries
+    k_pages: jax.Array,      # [P, Hkv, page, D] (one layer's pages)
+    v_pages: jax.Array,
+    block_table: jax.Array,  # [B, n_pt] int32 physical page ids
+    lengths: jax.Array,      # [B] int32 valid tokens per slot (incl. current)
+    scale: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns [B, Hq, D]. The current step's K/V must already be written
+    into the pages (the cache updates before attention)."""
+    B, Hq, D = q.shape
+    P, Hkv, page, _ = k_pages.shape
+    n_pt = block_table.shape[1]
+    gq = Hq // Hkv
+    if scale is None:
+        scale = D ** -0.5
+    use_alibi = alibi_slopes is not None
+    slopes = (
+        jnp.asarray(alibi_slopes, jnp.float32) if use_alibi
+        else jnp.zeros((Hq,), jnp.float32)
+    )
+
+    def kv_index(b, i, bt, ln, sl):
+        # clamp steps past the slot's last valid page to that page:
+        # repeated block index -> Mosaic skips the DMA re-issue
+        last = jnp.maximum(ln[b] - 1, 0) // page
+        return (bt[b, jnp.minimum(i, last)], 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, n_pt),
+        in_specs=[
+            pl.BlockSpec((1, Hq, D), lambda b, i, bt, ln, sl: (b, 0, 0)),
+            pl.BlockSpec((1, Hkv, page, D), kv_index),
+            pl.BlockSpec((1, Hkv, page, D), kv_index),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Hq, D), lambda b, i, bt, ln, sl: (b, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Hq, 1), jnp.float32),
+            pltpu.VMEM((Hq, 1), jnp.float32),
+            pltpu.VMEM((Hq, D), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _paged_kernel, page=page, gq=gq, hkv=Hkv, scale=float(scale),
+            use_alibi=use_alibi,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(block_table.astype(jnp.int32), lengths.astype(jnp.int32), slopes,
+      q, k_pages, v_pages)
+    return out

