@@ -81,9 +81,13 @@ class QuantLinear:
         zero_point: bool = True,
     ) -> "QuantLinear":
         """Quantize + pack a float weight (packer, analog of
-        WQLinear_QUICK.from_linear, reference linear/quick.py:61-156)."""
+        WQLinear_QUICK.from_linear, reference linear/quick.py:61-156).
+        Pure-jnp pack so it traces under jit (the AWQ pipeline jits the
+        whole search+pack per block)."""
+        from quick_tpu.ops.quantized_matmul import pack_qtpu_jax
+
         qt = quantize_tensor(weight, group_size=group_size, zero_point=zero_point)
-        qw = pack_qtpu(np.asarray(qt.q), group_size)
+        qw = pack_qtpu_jax(qt.q, group_size)
         return cls(
             qweight=jnp.asarray(qw),
             scales=qt.scales,

@@ -69,6 +69,22 @@ def unpack_qtpu_jax(qweight: jax.Array, group_size: int = 128) -> jax.Array:
     return nib.reshape(K, N)
 
 
+def pack_qtpu_jax(q: jax.Array, group_size: int = 128) -> jax.Array:
+    """Traceable QTPU pack: uint8 codes [K, N] -> int32 [K//8, N]
+    (inverse of unpack_qtpu_jax; same layout as packing.pack_qtpu). Used by
+    QuantLinear.from_float so the whole AWQ search+pack jits into one XLA
+    program."""
+    K, N = q.shape
+    slab = group_size // PACK
+    ng = K // group_size
+    nib = q.reshape(ng, PACK, slab, N).astype(jnp.uint32)
+    shifts = (jnp.arange(PACK, dtype=jnp.uint32) * 4).reshape(1, PACK, 1, 1)
+    words = jnp.sum(nib << shifts, axis=1, dtype=jnp.uint32)  # nibbles disjoint
+    return jax.lax.bitcast_convert_type(
+        words.reshape(K // PACK, N), jnp.int32
+    )
+
+
 def _quantized_matmul_jnp(
     x: jax.Array,
     qweight: jax.Array,

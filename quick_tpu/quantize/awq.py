@@ -523,14 +523,29 @@ def awq_quantize_model(
         x = layer_norm(
             x, params.embed_norm, params.embed_norm_bias, cfg.rms_norm_eps
         )
+    # One jitted program covers the whole per-block search+pack: 20-point
+    # scale grids, clip grids, and packing all trace into a single XLA
+    # executable, compiled once and reused for every same-shaped block.
+    # (Eager execution would be thousands of dispatches per block — the
+    # reference's torch version has the same hot loop, quantizer.py:87-146.)
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def _jitted():
+        def run(blk, x, positions, rc, rs):
+            res = awq_quantize_block(
+                blk, cfg, x, positions, rc, rs, qcfg, apply_clips, skip=skip
+            )
+            return res.block, res.x_next
+
+        return jax.jit(run)
+
     new_blocks = []
     for i, blk in enumerate(params.blocks):
-        res = awq_quantize_block(
-            blk, cfg, x, positions, params.rope_cos, params.rope_sin,
-            qcfg, apply_clips, skip=skip,
+        new_blk, x = _jitted()(
+            blk, x, positions, params.rope_cos, params.rope_sin
         )
-        new_blocks.append(res.block)
-        x = res.x_next
+        new_blocks.append(new_blk)
         if verbose:
             print(f"[awq] block {i + 1}/{len(params.blocks)} quantized", flush=True)
     return dataclasses.replace(params, blocks=new_blocks)

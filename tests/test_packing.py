@@ -141,3 +141,14 @@ def test_gemv_import(rng):
     np.testing.assert_array_equal(a[0], b[0])
     np.testing.assert_allclose(a[1], b[1], rtol=1e-3)
     np.testing.assert_allclose(a[2], b[2], rtol=1e-3)
+
+
+def test_pack_qtpu_jax_matches_numpy(rng):
+    from quick_tpu.ops.quantized_matmul import pack_qtpu_jax
+    import jax.numpy as jnp
+
+    for G in (32, 128):
+        q = rng.integers(0, 16, (256, 16), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            np.asarray(pack_qtpu_jax(jnp.asarray(q), G)), pack_qtpu(q, G)
+        )
