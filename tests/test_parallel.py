@@ -102,3 +102,25 @@ def test_decode_with_cache_tp(fparams):
     np.testing.assert_allclose(
         np.asarray(step_s), np.asarray(sr), atol=0.05, rtol=0.05
     )
+
+
+def test_hybrid_mesh_single_slice(cpu_mesh_devices):
+    from quick_tpu.parallel.multihost import create_hybrid_mesh
+
+    mesh = create_hybrid_mesh(tp=4, devices=cpu_mesh_devices)
+    assert mesh.shape == {"data": 2, "model": 4}
+    mesh2 = create_hybrid_mesh(tp=2, dp=2, devices=cpu_mesh_devices[:4])
+    assert mesh2.shape == {"data": 2, "model": 2}
+
+
+def test_initialize_runtime_single_process_noop():
+    from quick_tpu.parallel.multihost import initialize_runtime
+
+    assert initialize_runtime() is False  # no coordinator -> single process
+
+
+def test_process_local_batch():
+    from quick_tpu.parallel.multihost import process_local_batch
+
+    local, idx = process_local_batch(8)
+    assert local == 8 and idx == 0  # single process
