@@ -171,6 +171,8 @@ class ModelConfig:
         if not isinstance(hf, dict):
             hf = hf.to_dict()
         mt = hf.get("model_type", "llama")
+        if mt in ("RefinedWeb", "RefinedWebModel"):  # pre-rename falcon
+            mt = "falcon"
         if mt == "llava" and isinstance(hf.get("text_config"), dict):
             # vision2seq: architecture params come from the language tower
             cfg = cls.from_hf_config({**hf["text_config"], "model_type": "llama"})

@@ -52,15 +52,24 @@ def build_prompt(row: Dict, shots: Sequence[Dict] = (),
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _continuation_logprob(
-    params: ModelParams, cfg: ModelConfig, tokens: jax.Array, cont_start: jax.Array
+    params: ModelParams,
+    cfg: ModelConfig,
+    tokens: jax.Array,       # [1, S_padded]
+    cont_start: jax.Array,   # first continuation index
+    total_len: jax.Array,    # true (unpadded) token count
 ) -> jax.Array:
-    """Sum logprob of tokens[cont_start:] given the prefix, for one [1, S] row."""
+    """Sum logprob of tokens[cont_start:total_len] given the prefix."""
     logits, _ = model_forward(params, cfg, tokens)
     logp = jax.nn.log_softmax(logits[0, :-1].astype(jnp.float32), axis=-1)
     tgt = tokens[0, 1:]
     per_tok = jnp.take_along_axis(logp, tgt[:, None], axis=-1)[:, 0]
     idx = jnp.arange(per_tok.shape[0])
-    return jnp.where(idx >= cont_start - 1, per_tok, 0.0).sum()
+    keep = jnp.logical_and(idx >= cont_start - 1, idx < total_len - 1)
+    return jnp.where(keep, per_tok, 0.0).sum()
+
+
+def _bucket(n: int, quantum: int = 64) -> int:
+    return -(-n // quantum) * quantum
 
 
 def score_choices(
@@ -71,18 +80,26 @@ def score_choices(
     choices: Sequence[str],
     max_len: int = 2048,
 ) -> np.ndarray:
-    """Loglikelihood of each choice continuation given the prompt."""
+    """Loglikelihood of each choice continuation given the prompt.
+
+    Token arrays are right-padded to 64-token buckets so the jitted scorer
+    compiles once per bucket, not once per (prompt, choice) length — the
+    20-40s-per-shape compile cost on the TPU tunnel makes raw shapes
+    unusable (see CLAUDE.md)."""
     scores = []
     ptoks = tokenize(prompt)
     for choice in choices:
-        full = ptoks + tokenize(" " + choice.strip())
-        full = full[-max_len:]
-        cont_start = len(full) - len(tokenize(" " + choice.strip()))
-        toks = jnp.asarray([full], jnp.int32)
+        cont = tokenize(" " + choice.strip())
+        full = (ptoks + cont)[-max_len:]
+        cont_start = len(full) - len(cont)
+        padded = full + [0] * (_bucket(len(full)) - len(full))
+        toks = jnp.asarray([padded], jnp.int32)
         scores.append(
             float(
                 _continuation_logprob(
-                    params, cfg, toks, jnp.asarray(max(cont_start, 1))
+                    params, cfg, toks,
+                    jnp.asarray(max(cont_start, 1)),
+                    jnp.asarray(len(full)),
                 )
             )
         )

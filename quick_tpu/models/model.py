@@ -245,7 +245,9 @@ def init_quant_params(
                 mlp=mlp,
             )
         )
-    cos, sin = rope_table(cfg.max_position_embeddings, hd, cfg.rope_theta)
+    cos, sin = rope_table(
+        cfg.max_position_embeddings, cfg.rotary_dim or hd, cfg.rope_theta
+    )
     embed = jax.random.normal(keys[-1], (cfg.vocab_size, D), dtype) * 0.02
     return ModelParams(
         embed=embed,
@@ -254,6 +256,13 @@ def init_quant_params(
         lm_head=Linear(embed.T),
         rope_cos=cos,
         rope_sin=sin,
+        pos_embed=(
+            jax.random.normal(
+                keys[-2], (cfg.max_position_embeddings, D), dtype
+            ) * 0.02 if cfg.learned_pos else None
+        ),
+        embed_norm=jnp.ones(D, dtype) if cfg.embed_norm else None,
+        embed_norm_bias=jnp.zeros(D, dtype) if cfg.embed_norm else None,
     )
 
 

@@ -96,6 +96,9 @@ class PagedKVCache:
             pos // self.page_size, self.block_table.shape[1] - 1
         )
         page = jnp.take_along_axis(self.block_table, page_slot, axis=1)  # [B,S]
+        # positions past the table's capacity must go to the TRASH page —
+        # clamping alone would overwrite the slot's own last real page
+        page = jnp.where(pos < self.max_seq, page, TRASH_PAGE)
         off = pos % self.page_size
         # layout [L, P, H, page, D]: advanced indices (page, off) straddle
         # the ':' head axis, so the result axes are [B, S, H, D] — matching

@@ -254,6 +254,7 @@ def awq_quantize_block(
     # o_proj group: prev_op = v section (only when shapes match, i.e. MHA —
     # reference models/llama.py:52-58 guard)
     o_w = blk.attn.o_proj.weight
+    qkv_b = blk.attn.qkv_proj.bias
     o_in = attn_fwd(qkv_w, attn_in)
     if hq == hkv:
         s_o = search_scale(
@@ -261,9 +262,12 @@ def awq_quantize_block(
             loss_forward=lambda ws: o_in @ ws[0].astype(o_in.dtype),
             group_size=G, zero_point=zp,
         )
-        # v-section output channels /= s_o ; o rows *= s_o
+        # v-section output channels /= s_o (weight AND bias — reference
+        # scale_fc_fc divides prev_op.bias, scale.py:100-117); o rows *= s_o
         v_cols = slice((hq + hkv) * hd, (hq + 2 * hkv) * hd)
         qkv_w = qkv_w.at[:, v_cols].divide(s_o[None, :].astype(qkv_w.dtype))
+        if qkv_b is not None:
+            qkv_b = qkv_b.at[v_cols].divide(s_o.astype(qkv_b.dtype))
         o_w = (o_w.astype(jnp.float32) * s_o[:, None]).astype(o_w.dtype)
         o_in = o_in / s_o.astype(o_in.dtype)
 
@@ -322,10 +326,9 @@ def awq_quantize_block(
 
     new_attn = AttentionParams(
         qkv_proj=(
-            Linear(qkv_w.astype(blk.attn.qkv_proj.weight.dtype),
-                   blk.attn.qkv_proj.bias)
+            Linear(qkv_w.astype(blk.attn.qkv_proj.weight.dtype), qkv_b)
             if "qkv" in skip
-            else QuantLinear.from_float(qkv_w, blk.attn.qkv_proj.bias, G, zp)
+            else QuantLinear.from_float(qkv_w, qkv_b, G, zp)
         ),
         o_proj=(
             Linear(o_w.astype(blk.attn.o_proj.weight.dtype),
@@ -356,11 +359,14 @@ def _awq_mlp(mlp: MLPParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
     G, zp = qcfg.q_group_size, qcfg.zero_point
     F = cfg.intermediate_size
     gu_w = mlp.gate_up_proj.weight
+    gu_b = mlp.gate_up_proj.bias
     dn_w = mlp.down_proj.weight
     flat = lambda a: a.reshape(-1, a.shape[-1])
 
-    def mlp_fwd(gu, dn, h):
+    def mlp_fwd(gu, dn, h, b=None):
         z = h @ gu.astype(h.dtype)
+        if b is not None:
+            z = z + b.astype(z.dtype)
         if cfg.gated_mlp:
             gate, up = jnp.split(z, 2, axis=-1)
             z = jax.nn.silu(gate) * up if cfg.act_fn == "silu" else jax.nn.gelu(gate) * up
@@ -370,7 +376,7 @@ def _awq_mlp(mlp: MLPParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
 
     s_gu = search_scale(
         flat(mlp_in), [gu_w],
-        loss_forward=lambda ws: mlp_fwd(ws[0], dn_w, mlp_in),
+        loss_forward=lambda ws: mlp_fwd(ws[0], dn_w, mlp_in, gu_b),
         group_size=G, zero_point=zp,
     )
     mlp_norm = mlp_norm / s_gu
@@ -379,6 +385,8 @@ def _awq_mlp(mlp: MLPParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
 
     # down group: prev_op = up half (reference models/llama.py:64-71)
     z = mlp_in @ gu_w.astype(mlp_in.dtype)
+    if gu_b is not None:
+        z = z + gu_b.astype(z.dtype)
     if cfg.gated_mlp:
         gate, up = jnp.split(z, 2, axis=-1)
         act = jax.nn.silu(gate) if cfg.act_fn == "silu" else jax.nn.gelu(gate)
@@ -392,8 +400,12 @@ def _awq_mlp(mlp: MLPParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
     )
     act_scale = None
     if cfg.gated_mlp:
+        # up half (weight AND bias) /= s_dn — reference scale_fc_fc divides
+        # prev_op.bias too (scale.py:100-117)
         up_cols = slice(F, 2 * F)
         gu_w = gu_w.at[:, up_cols].divide(s_dn[None, :].astype(gu_w.dtype))
+        if gu_b is not None:
+            gu_b = gu_b.at[up_cols].divide(s_dn.astype(gu_b.dtype))
     else:
         # the scale cannot be folded through the nonlinearity — record it as
         # a post-activation divisor (reference inserts ScaledActivation here,
@@ -413,7 +425,7 @@ def _awq_mlp(mlp: MLPParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
         mlp_out = mlp_out + mlp.down_proj.bias.astype(mlp_out.dtype)
     return (
         MLPParams(
-            gate_up_proj=Linear(gu_w, mlp.gate_up_proj.bias),
+            gate_up_proj=Linear(gu_w, gu_b),
             down_proj=Linear(dn_w, mlp.down_proj.bias),
             act_scale=act_scale,
         ),

@@ -106,7 +106,9 @@ class Engine:
             )[:, 0]  # [B, V] logits at each slot's last valid token
             return jnp.argmax(row, axis=-1).astype(jnp.int32), cache
 
-        self._step_fn = jax.jit(step_fn)
+        # donate the cache so XLA aliases k_pages/v_pages in place instead of
+        # copying GBs of cache every step
+        self._step_fn = jax.jit(step_fn, donate_argnums=(1,))
 
     # -- submission -------------------------------------------------------------
     def submit(
@@ -157,6 +159,18 @@ class Engine:
         self.alloc.release(self.slot_pages[slot])
         self.slot_pages[slot] = []
         self.slots[slot] = None
+        # CRITICAL: reset the slot's table row and length. An idle slot still
+        # participates in every batched step (padding tokens), and its
+        # scatter-writes must land on the trash page — a stale row would
+        # write into pages since reallocated to other requests.
+        max_pages = self.cache.block_table.shape[1]
+        self.cache = dataclasses.replace(
+            self.cache,
+            block_table=self.cache.block_table.at[slot].set(
+                jnp.zeros((max_pages,), jnp.int32)
+            ),
+            length=self.cache.length.at[slot].set(0),
+        )
 
     @property
     def has_work(self) -> bool:
@@ -166,7 +180,14 @@ class Engine:
     def step(self) -> None:
         """Admit, run one chunked mixed prefill/decode step, retire."""
         self._admit()
-        B, C = self.max_slots, self.chunk
+        B = self.max_slots
+        # decode-only steps run at S=1: no padded chunk compute, and the
+        # paged-attention kernel path (S==1 gate, modules/blocks.py) engages.
+        # jit caches both the [B, chunk] and [B, 1] programs.
+        any_prefill = any(
+            r is not None and not r.prefill_done for r in self.slots
+        )
+        C = self.chunk if any_prefill else 1
         tokens = np.zeros((B, C), np.int32)
         valid = np.zeros((B,), np.int32)
         for slot, req in enumerate(self.slots):

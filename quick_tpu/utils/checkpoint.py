@@ -492,10 +492,16 @@ def _import_falcon(raw, cfg: ModelConfig, dtype) -> ModelParams:
     blocks = []
     for i in range(cfg.num_hidden_layers):
         p = f"transformer.h.{i}"
-        wqkv = W(f"{p}.self_attention.query_key_value.weight")
-        if hkv not in (1, hq):  # new decoder architecture: grouped layout
-            wqkv = _degroup_falcon_qkv(wqkv, hq, hkv, hd)
         new_arch = f"{p}.ln_attn.weight" in raw
+        wqkv = W(f"{p}.self_attention.query_key_value.weight")
+        if new_arch or hkv not in (1, hq):
+            # new decoder architecture: per-kv-group [q_per_group, k, v]
+            wqkv = _degroup_falcon_qkv(wqkv, hq, hkv, hd)
+        elif hkv == hq:
+            # old arch, multi_query=False (falcon-rw): per-head interleaved
+            # [H, 3, hd] like gpt-neox (HF FalconAttention._split_heads)
+            wqkv, _ = _deinterleave_qkv(wqkv, None, hq, hkv, hd)
+        # else old-arch multi_query (falcon-7b): already [q... | k | v]
         if new_arch:
             a_n, a_b = V(f"{p}.ln_attn.weight"), B(f"{p}.ln_attn")
             m_n, m_b = V(f"{p}.ln_mlp.weight"), B(f"{p}.ln_mlp")

@@ -130,3 +130,41 @@ def test_awq_moe_pipeline():
     qp = awq_quantize_model(p, cfg, calib, QuantConfig(q_group_size=32), verbose=False)
     logits, _ = model_forward(qp, cfg, calib[:, :8])
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_awq_bias_scaling_exact():
+    """The o-scale (v-section) and up-scale transforms must divide the
+    corresponding BIAS slices too (reference scale_fc_fc divides
+    prev_op.bias, scale.py:100-117). With a large qkv bias, a missing
+    bias division shows up as a large quantized-vs-float KL."""
+    import dataclasses as dc
+
+    cfg = ModelConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, attention_bias=True,
+    )
+    params = init_float_params(cfg, jax.random.PRNGKey(0))
+    # inflate the v-section bias so an unscaled bias would dominate
+    blocks = []
+    hq, hd = cfg.num_attention_heads, cfg.head_dim
+    v_cols = slice(2 * hq * hd, 3 * hq * hd)
+    for blk in params.blocks:
+        b = blk.attn.qkv_proj.bias.at[v_cols].set(3.0)
+        attn = dc.replace(
+            blk.attn, qkv_proj=dc.replace(blk.attn.qkv_proj, bias=b)
+        )
+        blocks.append(dc.replace(blk, attn=attn))
+    params = dc.replace(params, blocks=blocks)
+
+    calib = jax.random.randint(jax.random.PRNGKey(1), (1, 32), 0, 256)
+    qp = awq_quantize_model(
+        params, cfg, calib, QuantConfig(q_group_size=32), verbose=False
+    )
+    toks = jax.random.randint(jax.random.PRNGKey(2), (1, 16), 0, 256)
+    lf, _ = model_forward(params, cfg, toks)
+    lq, _ = model_forward(qp, cfg, toks)
+    pf = jax.nn.log_softmax(lf[:, -1])
+    pq = jax.nn.log_softmax(lq[:, -1])
+    kl = float(jnp.sum(jnp.exp(pf) * (pf - pq), axis=-1).mean())
+    assert np.isfinite(kl) and kl < 0.3, kl

@@ -144,3 +144,31 @@ def test_engine_eos(params):
     uid = eng.submit(prompt, max_new_tokens=50, eos_token_id=ref[0])
     outs = eng.run()
     assert outs[uid][-1] == ref[0] and len(outs[uid]) < 50
+
+
+def test_slot_reuse_no_corruption(params):
+    """Regression: a retired slot's stale block table must not scatter
+    padding K/V into pages reallocated to later requests. Run enough
+    sequential requests to force page reuse across slots and check each
+    output still matches independent greedy generation."""
+    eng = Engine(params, TINY, max_slots=3, max_seq=32, page_size=4, chunk=4,
+                 dtype=jnp.float32)
+    prompts = [list(range(5 + 3 * i, 13 + 3 * i)) for i in range(7)]
+    refs = [_greedy_reference(params, p, 5) for p in prompts]
+    uids = [eng.submit(p, max_new_tokens=5) for p in prompts]
+    outs = eng.run()
+    for uid, ref in zip(uids, refs):
+        assert outs[uid] == ref
+
+
+def test_table_capacity_overflow_writes_to_trash(params):
+    """Regression: padding positions past max_seq must hit the trash page,
+    not overwrite the slot's own last page."""
+    # prompt+max_new exactly fills the table; chunk writes pad past the end
+    prompt = list(range(3, 27))  # 24 tokens
+    ref = _greedy_reference(params, prompt, 8)
+    eng = Engine(params, TINY, max_slots=1, max_seq=32, page_size=4, chunk=8,
+                 dtype=jnp.float32)
+    uid = eng.submit(prompt, max_new_tokens=8)
+    outs = eng.run()
+    assert outs[uid] == ref
