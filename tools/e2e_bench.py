@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--ctx", type=int, default=128)
     ap.add_argument("--gen", type=int, default=128)
+    ap.add_argument("--prefill_chunk", type=int, default=0,
+                    help="sequence-chunked prefill (0 = whole ctx at once); "
+                         "bounds activation memory at large batch")
     args = ap.parse_args()
     cfg = ModelConfig(**SHAPES[args.model])
     t0 = time.time()
@@ -44,19 +47,31 @@ def main():
     toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, C)), jnp.int32)
     max_seq = C + Gn
 
+    PC = args.prefill_chunk or C
+
     @jax.jit
     def prefill_fn(params, toks):
-        cache = make_cache(cfg, B, max_seq)
-        return prefill(params, cfg, toks, cache)
+        logits, _ = prefill_fn_inner(params, toks)
+        return logits
 
     @functools.partial(jax.jit, static_argnames="n")
-    def decode_fn(params, first, cache, n):
+    def full_fn(params, toks, n):
+        # prefill + decode inside ONE program: the cache never escapes, so
+        # XLA reuses its buffers (an external cache arg would need donation
+        # or double the KV memory)
+        logits, cache = prefill_fn_inner(params, toks)
+        first = jnp.argmax(logits, -1).astype(jnp.int32).reshape(B)
         return decode_loop(params, cfg, first, cache, n,
-                           SamplingParams(temperature=0.0), jax.random.PRNGKey(0))
+                           SamplingParams(temperature=0.0),
+                           jax.random.PRNGKey(0))
 
-    # warm
-    logits, cache0 = prefill_fn(params, toks)
-    first = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32).reshape(B)
+    def prefill_fn_inner(params, toks):
+        cache = make_cache(cfg, B, max_seq)
+        logits = None
+        for i in range(0, C, PC):
+            logits, cache = prefill(params, cfg, toks[:, i : i + PC], cache)
+        return logits, cache
+
     def timed(fn, *a, reps=3):
         best = np.inf
         for _ in range(reps):
@@ -65,11 +80,11 @@ def main():
             np.asarray(jax.tree_util.tree_leaves(out)[0])[:1]
             best = min(best, time.perf_counter() - t0)
         return best, out
-    tp, (logits, cache0) = timed(prefill_fn, params, toks)
-    # decode: two lengths, differential
-    _, _ = timed(decode_fn, params, first, cache0, 8, reps=1)   # compile short
-    t8, _ = timed(decode_fn, params, first, cache0, 8)
-    tg, _ = timed(decode_fn, params, first, cache0, Gn)
+    tp, _ = timed(prefill_fn, params, toks)
+    # decode: two lengths, differential (prefill cost cancels)
+    _, _ = timed(full_fn, params, toks, 8, reps=1)  # compile
+    t8, _ = timed(full_fn, params, toks, 8)
+    tg, _ = timed(full_fn, params, toks, Gn)
     per_tok = (tg - t8) / (Gn - 8)
     print(f"{args.model} bs={B} {C}/{Gn}:")
     print(f"  prefill: {tp*1e3:.1f} ms -> {B*C/tp:.1f} tok/s")
