@@ -164,11 +164,15 @@ def flash_attention(
     kv_len: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,
-    bq: int = 128,
-    bk: int = 128,
+    bq: int = 512,
+    bk: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """Flash attention with the same contract as ops.attention.causal_attention."""
+    """Flash attention with the same contract as ops.attention.causal_attention.
+
+    Default tiles are 512x512: measured 5x faster than 128x128 on v5e at
+    S=2048 (the [bq, bk] f32 score tile plus q/k/v tiles stay ~3MB, well
+    inside VMEM, and bigger tiles amortize the per-grid-step overhead)."""
     B, S, Hq, D = q.shape
     T, Hkv = k.shape[1], k.shape[2]
     if scale is None:
