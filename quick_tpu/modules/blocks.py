@@ -213,16 +213,57 @@ def moe_forward(
         gate, up = jnp.split(gu, 2, axis=-1)
         return dnp(_act(gate, cfg) * up)  # [B,S,D]
 
-    outs = _map_experts(p, expert_fn)  # [E_local, B, S, D]
     # expert parallel: this shard holds E_local experts starting at offset
-    E_local = outs.shape[0]
+    E_local = _n_local_experts(p)
     offset = ctx.expert_axis_index() * E_local
     comb_local = (
         jax.lax.dynamic_slice_in_dim(comb, offset, E_local, axis=-1)
         if E_local != E else comb
     )
-    y = jnp.einsum("ebsd,bse->bsd", outs.astype(jnp.float32), comb_local)
+    if B * S <= 32:
+        # decode / small-batch: gate each expert behind lax.cond so an
+        # expert with no routed tokens skips BOTH its compute and its
+        # weight DMA — at bs=1 only the top-k experts' weights stream from
+        # HBM (~E/topk less traffic than dense dispatch). The reference
+        # always runs every routed expert on dense HF modules
+        # (quick/awq/models/mixtral.py:58-74).
+        y = jnp.zeros((B, S, D), jnp.float32)
+        needed = jnp.any(comb_local > 0, axis=(0, 1))  # [E_local]
+        zero = jnp.zeros((B, S, D), jnp.float32)
+
+        def one_expert(e):
+            def live(args):
+                return _apply_expert(p, e, expert_fn).astype(jnp.float32)
+
+            return jax.lax.cond(needed[e], live, lambda args: zero, ())
+
+        for e in range(E_local):  # static unroll; E is small
+            y = y + one_expert(e) * comb_local[..., e : e + 1]
+    else:
+        # prefill / large batch: dense dispatch — every expert has work, and
+        # one big einsum keeps the MXU busy
+        outs = _map_experts(p, expert_fn)  # [E_local, B, S, D]
+        y = jnp.einsum("ebsd,bse->bsd", outs.astype(jnp.float32), comb_local)
     return ctx.psum_expert(y).astype(x.dtype)
+
+
+def _n_local_experts(p: MoEParams) -> int:
+    gu = p.gate_up_proj
+    return (gu.qweight if isinstance(gu, QuantLinear) else gu.weight).shape[0]
+
+
+def _apply_expert(p: MoEParams, e: int, fn):
+    """Run fn on expert e's parameter slices (static index)."""
+    gu, dn = p.gate_up_proj, p.down_proj
+    if isinstance(gu, QuantLinear):
+        return fn(gu.qweight[e], gu.scales[e], gu.zeros_x_scales[e],
+                  None if gu.bias is None else gu.bias[e],
+                  dn.qweight[e], dn.scales[e], dn.zeros_x_scales[e],
+                  None if dn.bias is None else dn.bias[e])
+    return fn(gu.weight[e], None, None,
+              None if gu.bias is None else gu.bias[e],
+              dn.weight[e], None, None,
+              None if dn.bias is None else dn.bias[e])
 
 
 def _rebuild_linear(proto: AnyLinear, *fields):

@@ -173,3 +173,29 @@ def test_modules_to_not_convert_awq():
     for blk in qp.blocks:
         assert isinstance(blk.attn.o_proj, Linear)
         assert isinstance(blk.attn.qkv_proj, QuantLinear)
+
+
+def test_moe_sparse_dispatch_matches_dense():
+    """The cond-gated small-batch MoE path must equal the dense-einsum path
+    (and skip experts with no routed tokens)."""
+    import dataclasses as dc
+
+    from quick_tpu.modules.blocks import moe_forward
+
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=32, num_local_experts=4,
+        num_experts_per_tok=2, model_type="mixtral",
+    )
+    params = init_float_params(cfg, jax.random.PRNGKey(0))
+    moe = params.blocks[0].mlp
+    # small batch -> sparse cond path
+    x_small = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 64), jnp.float32)
+    y_small = moe_forward(moe, cfg, x_small)
+    # same tokens replicated into a big batch -> dense path; rows must agree
+    x_big = jnp.tile(x_small, (17, 1, 1))  # 34 tokens > threshold
+    y_big = moe_forward(moe, cfg, x_big)
+    np.testing.assert_allclose(
+        np.asarray(y_small[0]), np.asarray(y_big[0]), atol=2e-3, rtol=2e-3
+    )
