@@ -120,14 +120,25 @@ def param_specs(params: "ModelParams", cfg: ModelConfig) -> "ModelParams":
             mlp_norm_bias=None if blk.mlp_norm_bias is None else rep1,
         )
 
+    from quick_tpu.modules.linear import QuantLinear as _QL
+
+    if isinstance(params.lm_head, _QL):
+        lm_spec = _QL(
+            qweight=P(None, None), scales=P(None, None),
+            zeros_x_scales=P(None, None),
+            bias=None if params.lm_head.bias is None else rep1,
+            group_size=params.lm_head.group_size,
+        )
+    else:
+        lm_spec = Linear(
+            weight=P(None, None),
+            bias=None if params.lm_head.bias is None else rep1,
+        )
     return ModelParams(
         embed=P(None, None),
         blocks=[block_spec(b) for b in params.blocks],
         final_norm=rep1,
-        lm_head=Linear(
-            weight=P(None, None),
-            bias=None if params.lm_head.bias is None else rep1,
-        ),
+        lm_head=lm_spec,
         rope_cos=P(None, None),
         rope_sin=P(None, None),
         final_norm_bias=None if params.final_norm_bias is None else rep1,

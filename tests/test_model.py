@@ -199,3 +199,17 @@ def test_moe_sparse_dispatch_matches_dense():
     np.testing.assert_allclose(
         np.asarray(y_small[0]), np.asarray(y_big[0]), atol=2e-3, rtol=2e-3
     )
+
+
+def test_quantize_lm_head(float_params):
+    from quick_tpu.modules.linear import QuantLinear
+
+    qp = quantize_params(float_params, TINY, quantize_lm_head=True)
+    assert isinstance(qp.lm_head, QuantLinear)
+    toks = jax.random.randint(jax.random.PRNGKey(4), (1, 8), 0, 256)
+    lf, _ = model_forward(quantize_params(float_params, TINY), TINY, toks)
+    lq, _ = model_forward(qp, TINY, toks)
+    pf = jax.nn.log_softmax(lf[:, -1])
+    pq = jax.nn.log_softmax(lq[:, -1])
+    kl = float(jnp.sum(jnp.exp(pf) * (pf - pq), axis=-1).mean())
+    assert np.isfinite(kl) and kl < 0.2
