@@ -219,6 +219,57 @@ def local_config(cfg: ModelConfig, tp: int) -> ModelConfig:
     return dataclasses.replace(cfg, **kw)
 
 
+def paged_cache_spec():
+    """PartitionSpec pytree for a PagedKVCache: KV heads shard over the
+    model axis (each TP shard holds its own heads' pages); the block table
+    and lengths are replicated control state."""
+    from quick_tpu.modules.paged_cache import PagedKVCache
+
+    return PagedKVCache(
+        k_pages=P(None, None, MODEL_AXIS, None, None),
+        v_pages=P(None, None, MODEL_AXIS, None, None),
+        block_table=P(None, None),
+        length=P(None),
+    )
+
+
+def sharded_engine_step_fn(cfg: ModelConfig, mesh: Mesh, params_template):
+    """shard_map-wrapped continuous-batching step for TP serving:
+
+        fn(params_sharded, cache, tokens [B, C], valid [B])
+            -> (sampled [B] int32, cache)
+
+    The serving Engine uses this instead of its plain jit step when given a
+    mesh — per-shard attention heads, psum'd projections, replicated
+    sampling. (The reference has no distributed serving at all,
+    SURVEY.md section 2.3.)"""
+    import jax.numpy as jnp
+
+    from quick_tpu.models.model import model_forward
+
+    tp = mesh.shape[MODEL_AXIS]
+    lcfg = local_config(cfg, tp)
+    ctx = ParallelContext(model_axis=MODEL_AXIS, expert_axis=MODEL_AXIS)
+    specs = param_specs(params_template, cfg)
+    cspec = paged_cache_spec()
+
+    def local_fn(params, cache, tokens, valid):
+        logits, cache = model_forward(
+            params, lcfg, tokens, cache, advance=valid, ctx=ctx
+        )
+        last = jnp.maximum(valid - 1, 0)
+        row = jnp.take_along_axis(logits, last[:, None, None], axis=1)[:, 0]
+        return jnp.argmax(row, axis=-1).astype(jnp.int32), cache
+
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(specs, cspec, P(), P()),
+        out_specs=(P(), cspec),
+        check_vma=False,
+    )
+
+
 def sharded_forward_fn(cfg: ModelConfig, mesh: Mesh):
     """Build a shard_map-wrapped model forward.
 

@@ -76,6 +76,8 @@ class Engine:
         chunk: int = 16,
         n_pages: Optional[int] = None,
         dtype=jnp.bfloat16,
+        mesh=None,  # jax Mesh with a "model" axis -> TP-sharded serving;
+        # params must already be sharded (parallel.shard_params)
     ):
         self.params = params
         self.cfg = cfg
@@ -96,15 +98,28 @@ class Engine:
         self.finished: Dict[int, List[int]] = {}
         self._uid = 0
 
-        def step_fn(params, cache, tokens, valid):
-            logits, cache = model_forward(
-                params, cfg, tokens, cache, advance=valid
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from quick_tpu.parallel.sharding import (
+                paged_cache_spec,
+                sharded_engine_step_fn,
             )
-            last = jnp.maximum(valid - 1, 0)
-            row = jnp.take_along_axis(
-                logits, last[:, None, None], axis=1
-            )[:, 0]  # [B, V] logits at each slot's last valid token
-            return jnp.argmax(row, axis=-1).astype(jnp.int32), cache
+
+            self.cache = jax.tree_util.tree_map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                self.cache, paged_cache_spec(),
+            )
+            step_fn = sharded_engine_step_fn(cfg, mesh, params)
+        else:
+            def step_fn(params, cache, tokens, valid):
+                logits, cache = model_forward(
+                    params, cfg, tokens, cache, advance=valid
+                )
+                last = jnp.maximum(valid - 1, 0)
+                row = jnp.take_along_axis(
+                    logits, last[:, None, None], axis=1
+                )[:, 0]  # [B, V] logits at each slot's last valid token
+                return jnp.argmax(row, axis=-1).astype(jnp.int32), cache
 
         # donate the cache so XLA aliases k_pages/v_pages in place instead of
         # copying GBs of cache every step

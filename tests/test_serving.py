@@ -172,3 +172,31 @@ def test_table_capacity_overflow_writes_to_trash(params):
     uid = eng.submit(prompt, max_new_tokens=8)
     outs = eng.run()
     assert outs[uid] == ref
+
+
+def test_engine_tensor_parallel(cpu_mesh_devices):
+    """TP-sharded engine (4-way) must generate the same tokens as the
+    single-device engine."""
+    from quick_tpu.parallel import create_mesh, shard_params
+    from quick_tpu.parallel.permute import permute_fused_for_tp
+
+    cfg = ModelConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128,
+    )
+    params = init_float_params(cfg, jax.random.PRNGKey(0))
+    prompt = list(range(9, 21))
+
+    eng0 = Engine(params, cfg, max_slots=2, max_seq=64, page_size=4,
+                  chunk=8, dtype=jnp.float32)
+    u0 = eng0.submit(prompt, max_new_tokens=6)
+    ref = eng0.run()[u0]
+
+    mesh = create_mesh(tp=4, dp=1, devices=cpu_mesh_devices[:4])
+    tp_params = shard_params(params, cfg, mesh)  # permutes + device_puts
+    eng = Engine(tp_params, cfg, max_slots=2, max_seq=64, page_size=4,
+                 chunk=8, dtype=jnp.float32, mesh=mesh)
+    u1 = eng.submit(prompt, max_new_tokens=6)
+    out = eng.run()[u1]
+    assert out == ref
