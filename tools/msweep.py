@@ -1,4 +1,5 @@
 """Kernel M-sweep microbenchmark (run from repo root on TPU): python tools/msweep.py 1 8 64"""
+import sys; sys.path.insert(0, ".")
 import functools, time, sys
 import numpy as np, jax, jax.numpy as jnp
 from quick_tpu.ops.quantized_matmul import _quantized_matmul_2d
@@ -33,5 +34,5 @@ def timeit(M, n1, n2):
 args = sys.argv[1:]
 for a in args:
     M = int(a)
-    n1, n2 = (10, 510) if M <= 16 else (4, 104)
+    n1, n2 = (10, 510) if M <= 64 else (4, 104)
     timeit(M, n1, n2)
