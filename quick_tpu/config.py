@@ -217,8 +217,12 @@ class ModelConfig:
             kw["use_alibi"] = bool(attn_cfg.get("alibi", True))
             kw["use_rope"] = not kw["use_alibi"]
         elif mt == "falcon":
-            if hf.get("new_decoder_architecture", False):
-                kw["num_key_value_heads"] = hf.get("num_kv_heads", H)
+            if hf.get("new_decoder_architecture", False) or "n_head_kv" in hf:
+                # pre-rename RefinedWeb (falcon-40b) configs carry n_head_kv
+                # and imply the grouped qkv layout
+                kw["num_key_value_heads"] = hf.get(
+                    "num_kv_heads", hf.get("n_head_kv", H)
+                )
             elif hf.get("multi_query", True):
                 kw["num_key_value_heads"] = 1
             kw["use_alibi"] = bool(hf.get("alibi", False))

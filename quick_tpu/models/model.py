@@ -74,6 +74,11 @@ def model_forward(
         # clamp: padded chunk positions must not overrun the rope table
         positions = jnp.minimum(positions, cfg.max_position_embeddings - 1)
         positions = jnp.broadcast_to(positions, (B, S))
+    # chunked serving steps carry per-slot valid counts; the mask keeps
+    # padding tokens from electing MoE experts (sparse-dispatch DMA skip)
+    token_mask = None
+    if advance is not None:
+        token_mask = jnp.arange(S)[None, :] < jnp.reshape(advance, (-1, 1))
     x = params.embed[tokens].astype(jnp.bfloat16)
     if params.pos_embed is not None:
         P = params.pos_embed.shape[0]
@@ -85,7 +90,7 @@ def model_forward(
     for i, blk in enumerate(params.blocks):
         x, cache = block_forward(
             blk, cfg, x, params.rope_cos, params.rope_sin, cache, i, positions,
-            ctx,
+            ctx, token_mask=token_mask,
         )
     if cache is not None:
         cache = cache.with_length(
@@ -362,11 +367,15 @@ def quantize_params(
     out = dataclasses.replace(params, blocks=new_blocks)
     if quantize_lm_head and isinstance(params.lm_head, Linear):
         K = params.lm_head.weight.shape[0]
-        if K % group_size == 0:
-            out = dataclasses.replace(
-                out, lm_head=QuantLinear.from_float(
-                    params.lm_head.weight, params.lm_head.bias,
-                    group_size, zero_point,
-                )
+        if K % group_size:
+            raise ValueError(
+                f"quantize_lm_head=True but lm_head in_features {K} is not "
+                f"a multiple of group_size {group_size}"
             )
+        out = dataclasses.replace(
+            out, lm_head=QuantLinear.from_float(
+                params.lm_head.weight, params.lm_head.bias,
+                group_size, zero_point,
+            )
+        )
     return out

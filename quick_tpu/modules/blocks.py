@@ -191,11 +191,13 @@ def mlp_forward(
 def moe_forward(
     p: MoEParams, cfg: ModelConfig, x: jax.Array,
     ctx: ParallelContext = ParallelContext(),
+    token_mask: Optional[jax.Array] = None,  # [B, S] — padding tokens must
+    # not elect experts (their routing would defeat the sparse DMA skip)
 ) -> jax.Array:
-    """Dense-einsum MoE dispatch (top-k routing, all experts computed,
-    masked-weighted combine — the XLA-friendly formulation; EP sharding
-    splits the expert axis over the mesh, see quick_tpu/parallel).
-    """
+    """MoE dispatch (top-k routing; EP sharding splits the expert axis over
+    the mesh, see quick_tpu/parallel). Small batches use a cond-gated
+    per-expert path that skips unrouted experts' weight DMA; large batches
+    use dense einsum dispatch."""
     B, S, D = x.shape
     E, topk = cfg.num_local_experts, cfg.num_experts_per_tok
     logits = p.router(x.astype(jnp.float32))  # [B,S,E]
@@ -205,6 +207,8 @@ def moe_forward(
     comb = jnp.sum(
         jax.nn.one_hot(sel, E, dtype=jnp.float32) * weights[..., None], axis=2
     )  # [B,S,E]
+    if token_mask is not None:
+        comb = comb * token_mask[..., None].astype(comb.dtype)
 
     def expert_fn(gu_q, gu_s, gu_z, gu_b, dn_q, dn_s, dn_z, dn_b):
         gup = _rebuild_linear(p.gate_up_proj, gu_q, gu_s, gu_z, gu_b)
@@ -309,6 +313,7 @@ def block_forward(
     layer_idx: int,
     positions: jax.Array,
     ctx: ParallelContext = ParallelContext(),
+    token_mask: Optional[jax.Array] = None,  # [B, S] valid-token mask
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     h = _norm(x, p.attn_norm, p.attn_norm_bias, cfg)
     attn_out, cache = attention_forward(
@@ -318,7 +323,7 @@ def block_forward(
         # gptj/neox/falcon style: mlp on the same normed input, single residual
         h2 = _norm(x, p.mlp_norm, p.mlp_norm_bias, cfg)
         mlp_out = (
-            moe_forward(p.mlp, cfg, h2, ctx)
+            moe_forward(p.mlp, cfg, h2, ctx, token_mask)
             if isinstance(p.mlp, MoEParams)
             else mlp_forward(p.mlp, cfg, h2, ctx)
         )
@@ -326,7 +331,7 @@ def block_forward(
     x = x + attn_out
     h2 = _norm(x, p.mlp_norm, p.mlp_norm_bias, cfg)
     mlp_out = (
-        moe_forward(p.mlp, cfg, h2, ctx)
+        moe_forward(p.mlp, cfg, h2, ctx, token_mask)
         if isinstance(p.mlp, MoEParams)
         else mlp_forward(p.mlp, cfg, h2, ctx)
     )

@@ -494,13 +494,15 @@ def _import_falcon(raw, cfg: ModelConfig, dtype) -> ModelParams:
         p = f"transformer.h.{i}"
         new_arch = f"{p}.ln_attn.weight" in raw
         wqkv = W(f"{p}.self_attention.query_key_value.weight")
+        qkv_bias = B(f"{p}.self_attention.query_key_value")
         if new_arch or hkv not in (1, hq):
             # new decoder architecture: per-kv-group [q_per_group, k, v]
             wqkv = _degroup_falcon_qkv(wqkv, hq, hkv, hd)
         elif hkv == hq:
             # old arch, multi_query=False (falcon-rw): per-head interleaved
-            # [H, 3, hd] like gpt-neox (HF FalconAttention._split_heads)
-            wqkv, _ = _deinterleave_qkv(wqkv, None, hq, hkv, hd)
+            # [H, 3, hd] like gpt-neox (HF FalconAttention._split_heads);
+            # the BIAS is interleaved the same way
+            wqkv, qkv_bias = _deinterleave_qkv(wqkv, qkv_bias, hq, hkv, hd)
         # else old-arch multi_query (falcon-7b): already [q... | k | v]
         if new_arch:
             a_n, a_b = V(f"{p}.ln_attn.weight"), B(f"{p}.ln_attn")
@@ -516,7 +518,7 @@ def _import_falcon(raw, cfg: ModelConfig, dtype) -> ModelParams:
             BlockParams(
                 attn_norm=a_n, attn_norm_bias=a_b,
                 attn=AttentionParams(
-                    qkv_proj=Linear(wqkv, B(f"{p}.self_attention.query_key_value")),
+                    qkv_proj=Linear(wqkv, qkv_bias),
                     o_proj=Linear(
                         W(f"{p}.self_attention.dense.weight"),
                         B(f"{p}.self_attention.dense"),

@@ -344,3 +344,63 @@ def test_partial_rotary_passthrough(rng):
         np.asarray(out[..., 8:]), np.asarray(x[..., 8:]), atol=1e-6
     )
     assert float(jnp.abs(out[:, 1:, :, :8] - x[:, 1:, :, :8]).max()) > 1e-4
+
+
+def test_import_falcon_rw_interleaved_bias(tmp_path):
+    """falcon-rw (old arch, multi_query=False, bias=True): per-head
+    interleaved qkv weight AND bias must both be de-interleaved. Built by
+    interleaving known q/k/v blocks and checking exact recovery."""
+    cfg = {
+        "model_type": "falcon", "hidden_size": D, "num_attention_heads": H,
+        "num_hidden_layers": 1, "vocab_size": V, "multi_query": False,
+        "parallel_attn": False, "alibi": True, "bias": True,
+        "max_position_embeddings": 64,
+    }
+    q = _w(D, H * HD); k = _w(D, H * HD); v = _w(D, H * HD)
+    bq_, bk_, bv_ = _w(H * HD), _w(H * HD), _w(H * HD)
+    fused_w = np.stack(
+        [q.reshape(D, H, HD), k.reshape(D, H, HD), v.reshape(D, H, HD)],
+        axis=2,
+    ).reshape(D, 3 * H * HD)
+    fused_b = np.stack(
+        [bq_.reshape(H, HD), bk_.reshape(H, HD), bv_.reshape(H, HD)], axis=1
+    ).reshape(3 * H * HD)
+    t = {"transformer.word_embeddings.weight": _w(V, D),
+         "transformer.ln_f.weight": np.ones(D, np.float32),
+         "transformer.ln_f.bias": np.zeros(D, np.float32)}
+    p = "transformer.h.0"
+    t[f"{p}.input_layernorm.weight"] = np.ones(D, np.float32)
+    t[f"{p}.input_layernorm.bias"] = np.zeros(D, np.float32)
+    t[f"{p}.post_attention_layernorm.weight"] = np.ones(D, np.float32)
+    t[f"{p}.post_attention_layernorm.bias"] = np.zeros(D, np.float32)
+    t[f"{p}.self_attention.query_key_value.weight"] = fused_w.T.copy()  # HF [out,in]
+    t[f"{p}.self_attention.query_key_value.bias"] = fused_b
+    t[f"{p}.self_attention.dense.weight"] = _w(D, D)
+    t[f"{p}.self_attention.dense.bias"] = _w(D)
+    t[f"{p}.mlp.dense_h_to_4h.weight"] = _w(4 * D, D)
+    t[f"{p}.mlp.dense_h_to_4h.bias"] = _w(4 * D)
+    t[f"{p}.mlp.dense_4h_to_h.weight"] = _w(D, 4 * D)
+    t[f"{p}.mlp.dense_4h_to_h.bias"] = _w(D)
+    m = AutoQuickModel.from_pretrained(_write(tmp_path, cfg, t), jnp.float32)
+    assert m.cfg.num_key_value_heads == H  # multi_query=False -> MHA
+    lin = m.params.blocks[0].attn.qkv_proj
+    np.testing.assert_allclose(
+        np.asarray(lin.weight), np.concatenate([q, k, v], axis=1), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(lin.bias), np.concatenate([bq_, bk_, bv_]), atol=1e-6
+    )
+    _forward_ok(m, check_cache=False)
+
+
+def test_refinedweb_config_translation():
+    """Pre-rename falcon-40b configs (RefinedWeb, n_head_kv) must map to
+    the grouped-kv falcon architecture."""
+    from quick_tpu import ModelConfig
+
+    cfg = ModelConfig.from_hf_config({
+        "model_type": "RefinedWeb", "hidden_size": 256,
+        "n_head": 16, "n_layer": 2, "vocab_size": 1000, "n_head_kv": 4,
+    })
+    assert cfg.model_type == "falcon"
+    assert cfg.num_key_value_heads == 4

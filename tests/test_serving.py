@@ -178,7 +178,6 @@ def test_engine_tensor_parallel(cpu_mesh_devices):
     """TP-sharded engine (4-way) must generate the same tokens as the
     single-device engine."""
     from quick_tpu.parallel import create_mesh, shard_params
-    from quick_tpu.parallel.permute import permute_fused_for_tp
 
     cfg = ModelConfig(
         vocab_size=256, hidden_size=128, intermediate_size=256,
