@@ -124,3 +124,37 @@ def test_process_local_batch():
 
     local, idx = process_local_batch(8)
     assert local == 8 and idx == 0  # single process
+
+
+def test_llama70b_tp8_lowering(cpu_mesh_devices):
+    """AOT-lower a Llama-2-70B-shaped TP=8 sharded forward with abstract
+    params: validates shardings/shapes at full scale without materializing
+    140GB of weights (BASELINE north star: 70B on >=2 hosts)."""
+    import jax.numpy as jnp
+
+    from quick_tpu import ModelConfig
+    from quick_tpu.models.model import init_quant_params
+    from quick_tpu.modules.cache import KVCache
+    from quick_tpu.parallel import create_mesh, param_specs, sharded_forward_fn
+
+    cfg = ModelConfig(
+        vocab_size=32000, hidden_size=8192, intermediate_size=28672,
+        num_hidden_layers=80, num_attention_heads=64, num_key_value_heads=8,
+        max_position_embeddings=4096,
+    )
+    mesh = create_mesh(tp=8, dp=1, devices=cpu_mesh_devices)
+
+    # abstract quantized params (eval_shape: no memory allocated)
+    params = jax.eval_shape(
+        lambda k: init_quant_params(cfg, k), jax.random.PRNGKey(0)
+    )
+    fn = sharded_forward_fn(cfg, mesh)(params)
+    cache = jax.eval_shape(
+        lambda: KVCache.create(
+            cfg.num_hidden_layers, 1, 256,
+            cfg.num_key_value_heads, cfg.head_dim,
+        )
+    )
+    tokens = jax.ShapeDtypeStruct((1, 128), jnp.int32)
+    lowered = jax.jit(fn).lower(params, tokens, cache)  # raises on bad shardings
+    assert lowered is not None
