@@ -199,3 +199,30 @@ def test_engine_tensor_parallel(cpu_mesh_devices):
     u1 = eng.submit(prompt, max_new_tokens=6)
     out = eng.run()[u1]
     assert out == ref
+
+
+def test_engine_fuzz_schedule(params):
+    """Randomized scheduler fuzz: random prompt lengths, generation lengths
+    and arrival times over a small pool — every output must match its
+    independent greedy generation despite slot/page churn."""
+    rng = np.random.default_rng(7)
+    eng = Engine(params, TINY, max_slots=3, max_seq=48, page_size=4, chunk=4,
+                 dtype=jnp.float32)
+    reqs = []
+    for i in range(10):
+        plen = int(rng.integers(3, 20))
+        glen = int(rng.integers(1, 6))
+        prompt = [int(t) for t in rng.integers(0, 256, plen)]
+        reqs.append((prompt, glen))
+    refs = [_greedy_reference(params, p, g) for p, g in reqs]
+    uids = []
+    it = iter(reqs)
+    # interleave submissions with steps
+    for prompt, glen in it:
+        uids.append(eng.submit(prompt, max_new_tokens=glen))
+        for _ in range(int(rng.integers(0, 3))):
+            if eng.has_work:
+                eng.step()
+    outs = eng.run()
+    for uid, ref in zip(uids, refs):
+        assert outs[uid] == ref, uid
