@@ -78,7 +78,13 @@ class Engine:
         dtype=jnp.bfloat16,
         mesh=None,  # jax Mesh with a "model" axis -> TP-sharded serving;
         # params must already be sharded (parallel.shard_params)
+        sampling=None,  # SamplingParams; default greedy
+        seed: int = 0,
     ):
+        from quick_tpu.runtime.generate import SamplingParams
+
+        self.sampling = sampling or SamplingParams()
+        self._key = jax.random.PRNGKey(seed)
         self.params = params
         self.cfg = cfg
         self.max_slots = max_slots
@@ -98,7 +104,13 @@ class Engine:
         self.finished: Dict[int, List[int]] = {}
         self._uid = 0
 
+        self._tp = mesh is not None
         if mesh is not None:
+            if self.sampling.temperature != 0.0:
+                raise NotImplementedError(
+                    "TP serving currently samples greedily; "
+                    "pass sampling=None"
+                )
             from jax.sharding import NamedSharding
             from quick_tpu.parallel.sharding import (
                 paged_cache_spec,
@@ -111,7 +123,11 @@ class Engine:
             )
             step_fn = sharded_engine_step_fn(cfg, mesh, params)
         else:
-            def step_fn(params, cache, tokens, valid):
+            from quick_tpu.runtime.generate import sample_token
+
+            sampling_cfg = self.sampling
+
+            def step_fn(params, cache, tokens, valid, key):
                 logits, cache = model_forward(
                     params, cfg, tokens, cache, advance=valid
                 )
@@ -119,7 +135,7 @@ class Engine:
                 row = jnp.take_along_axis(
                     logits, last[:, None, None], axis=1
                 )[:, 0]  # [B, V] logits at each slot's last valid token
-                return jnp.argmax(row, axis=-1).astype(jnp.int32), cache
+                return sample_token(row, sampling_cfg, key), cache
 
         # donate the cache so XLA aliases k_pages/v_pages in place instead of
         # copying GBs of cache every step
@@ -217,9 +233,17 @@ class Engine:
                     req.output[-1] if req.output else req.prompt[-1]
                 )
                 valid[slot] = 1
-        sampled, self.cache = self._step_fn(
-            self.params, self.cache, jnp.asarray(tokens), jnp.asarray(valid)
-        )
+        if self._tp:
+            sampled, self.cache = self._step_fn(
+                self.params, self.cache, jnp.asarray(tokens),
+                jnp.asarray(valid),
+            )
+        else:
+            self._key, sub = jax.random.split(self._key)
+            sampled, self.cache = self._step_fn(
+                self.params, self.cache, jnp.asarray(tokens),
+                jnp.asarray(valid), sub,
+            )
         sampled = np.asarray(sampled)
         for slot, req in enumerate(self.slots):
             if req is None:

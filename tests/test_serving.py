@@ -226,3 +226,20 @@ def test_engine_fuzz_schedule(params):
     outs = eng.run()
     for uid, ref in zip(uids, refs):
         assert outs[uid] == ref, uid
+
+
+def test_engine_sampling(params):
+    """Non-greedy sampling: runs, respects max_new_tokens, and differs
+    across seeds (with overwhelming probability on random logits)."""
+    prompt = list(range(7, 20))
+
+    def run(seed):
+        eng = Engine(params, TINY, max_slots=1, max_seq=64, page_size=4,
+                     chunk=8, dtype=jnp.float32, seed=seed,
+                     sampling=SamplingParams(temperature=1.0, top_k=50))
+        uid = eng.submit(prompt, max_new_tokens=12)
+        return eng.run()[uid]
+
+    a, b = run(0), run(123)
+    assert len(a) == 12 and len(b) == 12
+    assert a != b
