@@ -11,4 +11,13 @@ __version__ = "0.1.0"
 
 from quick_tpu.config import ModelConfig, QuantConfig
 
-__all__ = ["ModelConfig", "QuantConfig", "__version__"]
+__all__ = ["ModelConfig", "QuantConfig", "AutoQuickModel", "__version__"]
+
+
+def __getattr__(name):
+    # lazy: AutoQuickModel pulls in the full model stack
+    if name == "AutoQuickModel":
+        from quick_tpu.models.auto import AutoQuickModel
+
+        return AutoQuickModel
+    raise AttributeError(f"module 'quick_tpu' has no attribute {name!r}")

@@ -33,9 +33,11 @@ def evaluate_perplexity(
     seqlen: int = 2048,
     max_windows: Optional[int] = None,
     verbose: bool = False,
+    batch: int = 1,                # windows scored per forward
 ) -> float:
     """exp(mean NLL) over non-overlapping seqlen windows
-    (reference eval_utils.py:38-57 protocol)."""
+    (reference eval_utils.py:38-57 protocol). ``batch`` > 1 scores several
+    windows per forward (same numbers, fewer dispatches)."""
     flat = np.asarray(tokens, np.int32).reshape(-1)
     n_win = len(flat) // seqlen
     if max_windows is not None:
@@ -43,12 +45,15 @@ def evaluate_perplexity(
     if n_win == 0:
         raise ValueError(f"need at least {seqlen} tokens, got {len(flat)}")
     total, count = 0.0, 0
-    for i in range(n_win):
-        w = jnp.asarray(flat[i * seqlen : (i + 1) * seqlen])[None]
+    for i in range(0, n_win, batch):
+        nb = min(batch, n_win - i)
+        w = jnp.asarray(
+            flat[i * seqlen : (i + nb) * seqlen].reshape(nb, seqlen)
+        )
         s, c = _window_nll(params, cfg, w)
         total += float(s)
         count += int(c)
         if verbose:
-            print(f"[ppl] window {i + 1}/{n_win}: {np.exp(total / count):.4f}",
+            print(f"[ppl] window {i + nb}/{n_win}: {np.exp(total / count):.4f}",
                   flush=True)
     return float(np.exp(total / count))

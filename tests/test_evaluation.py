@@ -70,3 +70,22 @@ def test_quant_ppl_close_to_float(fparams):
     ppl_q = evaluate_perplexity(qp, CFG, toks, seqlen=64)
     # random weights quantize poorly; just require same ballpark
     assert abs(np.log(ppl_q) - np.log(ppl_f)) < 0.5
+
+
+def test_ppl_batched_matches_unbatched():
+    import jax
+
+    from quick_tpu import ModelConfig
+    from quick_tpu.evaluation import evaluate_perplexity
+    from quick_tpu.models import init_float_params
+
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    params = init_float_params(cfg, jax.random.PRNGKey(0))
+    toks = np.random.default_rng(0).integers(0, 128, 64 * 5)
+    a = evaluate_perplexity(params, cfg, toks, seqlen=64)
+    b = evaluate_perplexity(params, cfg, toks, seqlen=64, batch=2)
+    np.testing.assert_allclose(a, b, rtol=1e-4)
