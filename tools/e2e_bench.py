@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--ctx", type=int, default=128)
     ap.add_argument("--gen", type=int, default=128)
+    ap.add_argument("--quantize_lm_head", action="store_true")
     ap.add_argument("--prefill_chunk", type=int, default=0,
                     help="sequence-chunked prefill (0 = whole ctx at once); "
                          "bounds activation memory at large batch")
@@ -39,6 +40,12 @@ def main():
     cfg = ModelConfig(**SHAPES[args.model])
     t0 = time.time()
     params = init_quant_params(cfg, jax.random.PRNGKey(0))
+    if args.quantize_lm_head:
+        import dataclasses
+        from quick_tpu.modules.linear import Linear, QuantLinear
+        lm = params.lm_head
+        params = dataclasses.replace(
+            params, lm_head=QuantLinear.from_float(lm.weight, lm.bias))
     params = jax.tree_util.tree_map(lambda x: jax.device_put(x), params)
     print(f"init: {time.time()-t0:.1f}s", flush=True)
 
