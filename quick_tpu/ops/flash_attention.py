@@ -12,8 +12,13 @@ Features beyond the reference (needed by this framework's serving runtime):
 - Per-batch query offset and kv length (scalar-prefetched from SMEM), so the
   same kernel serves full prefill, chunked prefill and paged decode views.
 - Optional ALiBi bias (slope per head, SMEM).
-- Causal block skipping: kv tiles entirely above the diagonal are skipped
-  per grid step (dynamic @pl.when on the SMEM offset), halving prefill work.
+- Causal block skipping: kv tiles entirely above the diagonal (or past the
+  kv length) are skipped per grid step — BOTH their compute (@pl.when) and
+  their DMA: the kv BlockSpec index maps clamp the tile index using the
+  scalar-prefetched offsets/lengths, and Mosaic elides the re-fetch when
+  consecutive steps reference the same block. Causal prefill halves K/V
+  bandwidth; chunked serving prefill over a padded cache view streams only
+  the valid prefix.
 """
 from __future__ import annotations
 
@@ -49,10 +54,10 @@ def _flash_kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     # causal block skip: this kv tile's first key position vs the q tile's
-    # last absolute query position
+    # last absolute query position, and the valid kv length
     q_last = qoff + iq * bq + bq - 1
 
-    @pl.when(ik * bk <= q_last)
+    @pl.when(jnp.logical_and(ik * bk <= q_last, ik * bk < klen))
     def _compute():
         q = q_ref[0, 0].astype(jnp.float32)          # [bq, D]
         k = k_ref[0, 0].astype(jnp.float32)          # [bk, D]
@@ -114,40 +119,37 @@ def _flash_bhsd(
     use_alibi = bool(slopes.shape[0] > 0)
     slopes_in = slopes if use_alibi else jnp.zeros((Hq,), jnp.float32)
 
-    grid = (B, Hq, Sp // bq, Tp // bk)
+    def kv_index(b, h, i, j, qoff_s, klen_s, sl_s):
+        # clamp skipped tiles (above the causal diagonal or past klen) onto
+        # the last NEEDED tile: repeated block index -> Mosaic skips the DMA
+        q_last = qoff_s[b] + i * bq + bq - 1
+        last = jnp.maximum(jnp.minimum(q_last, klen_s[b] - 1), 0) // bk
+        return (b, h // group, jnp.minimum(j, last), 0)
+
     kernel = functools.partial(
         _flash_kernel, scale=scale, bq=bq, bk=bk, use_alibi=use_alibi
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, Hq, Sp // bq, Tp // bk),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, bk, D), lambda b, h, i, j: (b, h // group, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, bk, D), lambda b, h, i, j: (b, h // group, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bk, D), kv_index),
+            pl.BlockSpec((1, 1, bk, D), kv_index),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0),
-            memory_space=pltpu.VMEM,
+            (1, 1, bq, D), lambda b, h, i, j, *_: (b, h, i, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Hq, Sp, D), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, D), jnp.float32),
         ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Sp, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
         ),

@@ -157,7 +157,9 @@ def _make_kernel(gpb: int, slab: int, bn: int):
     return kernel
 
 
-def _pick_bn(N: int, M: int) -> int:
+def _pick_bn(N: int) -> int:
+    # 1024 measured best across M=1..128 at 7B/8192 shapes (tools/msweep.py,
+    # tools/shape_sweep.py); smaller bn only when N demands it
     for bn in (1024, 512, 2048, 256, 128):
         if N % bn == 0:
             return bn
@@ -216,7 +218,7 @@ def _quantized_matmul_2d(
     if bm is None:
         bm = Mp if Mp <= 128 else (128 if Mp % 128 == 0 else _round_up_pow2_div(Mp))
     if bn is None:
-        bn = _pick_bn(N, M)
+        bn = _pick_bn(N)
     if gpb is None:
         gpb = _pick_gpb(ng, G, bn, slab)
 
@@ -257,11 +259,13 @@ def _round_up(v: int, m: int) -> int:
 
 
 def _round_up_pow2_div(Mp: int) -> int:
-    # largest tile <= 256 that divides Mp (Mp is a multiple of 8)
-    for bm in (256, 128, 64, 32, 16, 8):
+    # largest tile in (64, 32, 16, 8) that divides Mp; only reached when
+    # Mp > 128 and Mp % 128 != 0, and Mp is always a multiple of 8, so one
+    # of these divides it
+    for bm in (64, 32, 16, 8):
         if Mp % bm == 0:
             return bm
-    return Mp
+    raise AssertionError(f"Mp={Mp} not a multiple of 8")
 
 
 def quantized_matmul_reference(
