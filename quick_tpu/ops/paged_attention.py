@@ -30,8 +30,8 @@ NEG_INF = -1e30
 
 
 def _paged_kernel(
-    bt_ref, len_ref, slope_ref,       # SMEM: [B, n_pt], [B], [Hq or 1]
-    q_ref, k_ref, v_ref,              # VMEM: [1,Hq,D], [1,Hkv,page,D] x2
+    bt_ref, len_ref,                  # SMEM: [B, n_pt], [B]
+    q_ref, slope_ref, k_ref, v_ref,   # VMEM: [1,Hq,D], [Hq,1], [1,Hkv,page,D] x2
     o_ref,                            # VMEM: [1,Hq,D]
     m_scr, l_scr, acc_scr,            # VMEM: [Hq,1], [Hq,1], [Hq,D]
     *, page: int, gq: int, hkv: int, scale: float, use_alibi: bool,
@@ -66,10 +66,7 @@ def _paged_kernel(
         )
         mask = jnp.logical_and(head_q == head_k, pos_k < length)
         if use_alibi:
-            sl = jnp.stack([slope_ref[g] for g in range(hq)])
-            s = s + sl.reshape(hq, 1) * (pos_k - (length - 1)).astype(
-                jnp.float32
-            )
+            s = s + slope_ref[:] * (pos_k - (length - 1)).astype(jnp.float32)
         s = jnp.where(mask, s, NEG_INF)
         m_prev = m_scr[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -113,27 +110,30 @@ def paged_decode_attention(
     if scale is None:
         scale = D ** -0.5
     use_alibi = alibi_slopes is not None
+    # slopes ride in VMEM as [Hq, 1] (read whole once per step, broadcast
+    # along lanes) — not reassembled from SMEM scalars in the hot loop
     slopes = (
-        jnp.asarray(alibi_slopes, jnp.float32) if use_alibi
-        else jnp.zeros((Hq,), jnp.float32)
+        jnp.asarray(alibi_slopes, jnp.float32).reshape(Hq, 1) if use_alibi
+        else jnp.zeros((Hq, 1), jnp.float32)
     )
 
-    def kv_index(b, i, bt, ln, sl):
+    def kv_index(b, i, bt, ln):
         # clamp steps past the slot's last valid page to that page:
         # repeated block index -> Mosaic skips the DMA re-issue
         last = jnp.maximum(ln[b] - 1, 0) // page
         return (bt[b, jnp.minimum(i, last)], 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(B, n_pt),
         in_specs=[
-            pl.BlockSpec((1, Hq, D), lambda b, i, bt, ln, sl: (b, 0, 0)),
+            pl.BlockSpec((1, Hq, D), lambda b, i, bt, ln: (b, 0, 0)),
+            pl.BlockSpec((Hq, 1), lambda b, i, bt, ln: (0, 0)),
             pl.BlockSpec((1, Hkv, page, D), kv_index),
             pl.BlockSpec((1, Hkv, page, D), kv_index),
         ],
         out_specs=pl.BlockSpec(
-            (1, Hq, D), lambda b, i, bt, ln, sl: (b, 0, 0)
+            (1, Hq, D), lambda b, i, bt, ln: (b, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((Hq, 1), jnp.float32),
@@ -152,6 +152,6 @@ def paged_decode_attention(
             dimension_semantics=("parallel", "arbitrary")
         ),
         interpret=interpret,
-    )(block_table.astype(jnp.int32), lengths.astype(jnp.int32), slopes,
-      q, k_pages, v_pages)
+    )(block_table.astype(jnp.int32), lengths.astype(jnp.int32),
+      q, slopes, k_pages, v_pages)
     return out
