@@ -144,10 +144,10 @@ def attention_forward(
                 interpret=jax.default_backend() == "cpu",
             )[:, None]
         else:
-            k_all, v_all = cache.layer(layer_idx)
+            k_all, v_all = cache.layer(layer_idx)  # [B, Hkv, T, D] head-major
             out = causal_attention(
                 q, k_all, v_all, q_offset=start, kv_len=start + S,
-                alibi_slopes=slopes,
+                alibi_slopes=slopes, kv_heads_major=True,
             )
     elif ctx.seq_axis is not None:
         # context parallel: q stays sequence-sharded, K/V gather over ICI

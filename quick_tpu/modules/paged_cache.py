@@ -114,7 +114,8 @@ class PagedKVCache:
         )
 
     def layer(self, i: int) -> Tuple[jax.Array, jax.Array]:
-        """Dense [B, max_seq, H_kv, D] gather of layer ``i``'s pages.
+        """Dense HEAD-major [B, H_kv, max_seq, D] gather of layer ``i``'s
+        pages (same contract as KVCache.layer).
 
         This is the XLA-gather baseline; the fused paged-attention kernel
         (ops/paged_attention.py) reads pages directly with scalar prefetch."""
@@ -122,8 +123,8 @@ class PagedKVCache:
         k = self.k_pages[i][self.block_table]  # [B, P_seq, H, page, D]
         v = self.v_pages[i][self.block_table]
         H, D = k.shape[-3], k.shape[-1]
-        k = jnp.moveaxis(k, 2, 3).reshape(B, -1, H, D)
-        v = jnp.moveaxis(v, 2, 3).reshape(B, -1, H, D)
+        k = jnp.moveaxis(k, 2, 1).reshape(B, H, -1, D)
+        v = jnp.moveaxis(v, 2, 1).reshape(B, H, -1, D)
         return k, v
 
     def with_length(self, length) -> "PagedKVCache":

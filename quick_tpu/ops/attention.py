@@ -40,36 +40,51 @@ def _group_query(q: jax.Array, n_kv: int) -> jax.Array:
 
 def causal_attention(
     q: jax.Array,  # [B, S, Hq, D]
-    k: jax.Array,  # [B, T, Hkv, D]
-    v: jax.Array,  # [B, T, Hkv, D]
+    k: jax.Array,  # [B, T, Hkv, D] — or [B, Hkv, T, D] if kv_heads_major
+    v: jax.Array,  # same layout as k
     q_offset: jax.Array | int = 0,  # absolute position of q[0] within kv
     kv_len: Optional[jax.Array] = None,  # valid kv prefix length [B] or scalar
     scale: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,  # [Hq] per-head slopes
+    kv_heads_major: bool = False,
 ) -> jax.Array:
     """Causal GQA attention, f32 softmax. Returns [B, S, Hq, D].
 
     Works for prefill (S == T, q_offset = 0), chunked prefill and decode
-    (S == 1, kv from cache).
+    (S == 1, kv from cache). ``kv_heads_major=True`` consumes K/V in the
+    dense cache's native [B, Hkv, T, D] layout — the attention dot's batch
+    dims are (batch, head), so this avoids re-transposing the whole cache
+    every decode step (see modules/cache.py docstring).
     """
     B, S, Hq, D = q.shape
-    T = k.shape[1]
-    n_kv = k.shape[2]
+    T = k.shape[2] if kv_heads_major else k.shape[1]
+    n_kv = k.shape[1] if kv_heads_major else k.shape[2]
     if scale is None:
         scale = D ** -0.5
+    if S == 1 and kv_heads_major:
+        # decode from cache: fused-heads formulation (see below)
+        return _decode_heads_fused(
+            q, k, v, kv_len=kv_len, scale=scale, alibi_slopes=alibi_slopes
+        )
     if _use_flash(S, T, D):
         from quick_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(
             q, k, v, q_offset=q_offset, kv_len=kv_len, scale=scale,
-            alibi_slopes=alibi_slopes,
+            alibi_slopes=alibi_slopes, kv_heads_major=kv_heads_major,
             interpret=jax.default_backend() == "cpu",
         )
-    qg = _group_query(q, n_kv).astype(jnp.float32)  # [B,S,kv,G,D]
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
+    # keep operands in their storage dtype (bf16 on TPU): the MXU consumes
+    # bf16 directly with exact f32 accumulation, while an up-front f32 cast
+    # forces XLA to materialize f32 copies of the KV cache every step and
+    # run 8x-slower f32 MXU passes (measured ~170us/layer extra at
+    # bs=64/7B decode, tools/decode_breakdown.py)
+    qg = _group_query(q, n_kv)  # [B,S,kv,G,D]
     # scores: [B, kv, G, S, T]
-    scores = jnp.einsum("bsKgd,btKd->bKgst", qg, kf) * scale
+    kv_sub = "bKtd" if kv_heads_major else "btKd"
+    scores = jnp.einsum(
+        f"bsKgd,{kv_sub}->bKgst", qg, k, preferred_element_type=jnp.float32
+    ) * scale
     # mask broadcast shape [B, 1, 1, S, T]
     off = jnp.asarray(q_offset)
     off = off.reshape(-1, 1, 1, 1, 1) if off.ndim > 0 else off
@@ -87,17 +102,69 @@ def causal_attention(
         mask = jnp.logical_and(mask, k_pos < kl)
     scores = jnp.where(mask, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bKgst,btKd->bsKgd", probs, vf)
+    # probs stay f32 (this einsum path is the golden/reference numerics —
+    # the flash kernel rounds p to bf16 like every flash implementation);
+    # XLA fuses the v upcast into the dot, and at decode this PV dot is tiny
+    out = jnp.einsum(
+        f"bKgst,{kv_sub}->bsKgd", probs, v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
     return out.reshape(B, S, Hq, D).astype(q.dtype)
+
+
+def _decode_heads_fused(
+    q: jax.Array,  # [B, 1, Hq, D]
+    k: jax.Array,  # [B, Hkv, T, D] head-major cache layer
+    v: jax.Array,
+    kv_len,        # scalar or [B] valid prefix (incl. current token)
+    scale: float,
+    alibi_slopes: Optional[jax.Array],
+) -> jax.Array:
+    """Single-step decode attention, ONE dot per sequence.
+
+    A GQA-grouped batched einsum at S=1 issues B*Hkv tiny [gq, D] x [D, T]
+    dots whose per-dot dispatch overhead dominates (measured ~2x the HBM
+    cost of the KV read at 7B bs=64). Instead — exactly like the paged
+    Pallas kernel (ops/paged_attention.py) — flatten (head, position) and
+    issue one [Hq, D] x [D, Hkv*T] dot per sequence, removing cross-head
+    products with a static block-diagonal mask. The extra masked FLOPs are
+    free: the step is KV-bandwidth-bound.
+    """
+    B, _, Hq, D = q.shape
+    Hkv, T = k.shape[1], k.shape[2]
+    gq = Hq // Hkv
+    q2 = q[:, 0]  # [B, Hq, D]
+    kf = k.reshape(B, Hkv * T, D)
+    s = jnp.einsum(
+        "bhd,bmd->bhm", q2, kf, preferred_element_type=jnp.float32
+    ) * scale  # [B, Hq, Hkv*T]
+    head_k = (jnp.arange(Hkv * T, dtype=jnp.int32) // T).reshape(1, 1, -1)
+    pos_k = (jnp.arange(Hkv * T, dtype=jnp.int32) % T).reshape(1, 1, -1)
+    head_q = (jnp.arange(Hq, dtype=jnp.int32) // gq).reshape(1, Hq, 1)
+    kl = jnp.asarray(kv_len)
+    klb = kl.reshape(-1, 1, 1) if kl.ndim > 0 else kl
+    mask = jnp.logical_and(head_k == head_q, pos_k < klb)
+    if alibi_slopes is not None:
+        sl = jnp.asarray(alibi_slopes, jnp.float32).reshape(1, Hq, 1)
+        s = s + sl * (pos_k - (klb - 1)).astype(jnp.float32)
+    s = jnp.where(mask, s, NEG_INF)
+    probs = jax.nn.softmax(s, axis=-1)  # masked entries -> 0
+    out = jnp.einsum(
+        "bhm,bmd->bhd", probs,
+        v.reshape(B, Hkv * T, D).astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return out[:, None].astype(q.dtype)  # [B, 1, Hq, D]
 
 
 def decode_attention(
     q: jax.Array,  # [B, 1, Hq, D]
-    k_cache: jax.Array,  # [B, T, Hkv, D]
-    v_cache: jax.Array,  # [B, T, Hkv, D]
+    k_cache: jax.Array,  # [B, T, Hkv, D] (or [B, Hkv, T, D] if heads-major)
+    v_cache: jax.Array,
     cache_len: jax.Array,  # scalar or [B]: number of valid entries (incl. current)
     scale: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,
+    kv_heads_major: bool = False,
 ) -> jax.Array:
     """Single-token decode attention over a (padded) KV cache."""
     return causal_attention(
@@ -106,4 +173,5 @@ def decode_attention(
         kv_len=cache_len,
         scale=scale,
         alibi_slopes=alibi_slopes,
+        kv_heads_major=kv_heads_major,
     )

@@ -59,12 +59,15 @@ def _flash_kernel(
 
     @pl.when(jnp.logical_and(ik * bk <= q_last, ik * bk < klen))
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)          # [bq, D]
-        k = k_ref[0, 0].astype(jnp.float32)          # [bk, D]
+        # operands stay in their storage dtype (bf16): MXU bf16 passes with
+        # exact f32 accumulation — an up-front f32 cast would force ~8x
+        # slower f32 MXU passes for identical products
+        q = q_ref[0, 0]                              # [bq, D]
+        k = k_ref[0, 0]                              # [bk, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale                                    # [bq, bk]
+        ) * scale                                    # [bq, bk] f32
         q_pos = qoff + iq * bq + jax.lax.broadcasted_iota(
             jnp.int32, (bq, bk), 0
         )
@@ -81,9 +84,9 @@ def _flash_kernel(
         p = jnp.where(mask, p, 0.0)
         alpha = jnp.exp(m_prev - m_new)
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        v = v_ref[0, 0].astype(jnp.float32)          # [bk, D]
+        v = v_ref[0, 0]                              # [bk, D] storage dtype
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_scr[:] = m_new
@@ -160,23 +163,31 @@ def _flash_bhsd(
 
 def flash_attention(
     q: jax.Array,  # [B, S, Hq, D]
-    k: jax.Array,  # [B, T, Hkv, D]
-    v: jax.Array,  # [B, T, Hkv, D]
+    k: jax.Array,  # [B, T, Hkv, D] — or [B, Hkv, T, D] if kv_heads_major
+    v: jax.Array,  # same layout as k
     q_offset: jax.Array | int = 0,
     kv_len: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,
     bq: int = 512,
     bk: int = 512,
+    kv_heads_major: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash attention with the same contract as ops.attention.causal_attention.
 
     Default tiles are 512x512: measured 5x faster than 128x128 on v5e at
     S=2048 (the [bq, bk] f32 score tile plus q/k/v tiles stay ~3MB, well
-    inside VMEM, and bigger tiles amortize the per-grid-step overhead)."""
+    inside VMEM, and bigger tiles amortize the per-grid-step overhead).
+
+    ``kv_heads_major=True`` consumes the dense cache's native [B, Hkv, T, D]
+    layout directly — the kernel wants that order anyway, so cache reads
+    skip the per-step whole-cache transpose."""
     B, S, Hq, D = q.shape
-    T, Hkv = k.shape[1], k.shape[2]
+    if kv_heads_major:
+        Hkv, T = k.shape[1], k.shape[2]
+    else:
+        T, Hkv = k.shape[1], k.shape[2]
     if scale is None:
         scale = D ** -0.5
     bq = min(bq, _round_up(S, 8))
@@ -184,8 +195,8 @@ def flash_attention(
     Sp, Tp = _round_up(S, bq), _round_up(T, bk)
 
     qt = jnp.moveaxis(q, 2, 1)  # [B, Hq, S, D]
-    kt = jnp.moveaxis(k, 2, 1)
-    vt = jnp.moveaxis(v, 2, 1)
+    kt = k if kv_heads_major else jnp.moveaxis(k, 2, 1)
+    vt = v if kv_heads_major else jnp.moveaxis(v, 2, 1)
     if Sp != S:
         qt = jnp.pad(qt, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
     if Tp != T:

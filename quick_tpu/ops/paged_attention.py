@@ -50,8 +50,10 @@ def _paged_kernel(
     def _compute():
         hq = hkv * gq
         T = hkv * page
-        q = q_ref[0].astype(jnp.float32)                 # [Hq, D]
-        k = k_ref[0].reshape(T, -1).astype(jnp.float32)  # [Hkv*page, D]
+        # storage-dtype (bf16) operands: MXU accumulates bf16 products
+        # exactly in f32; casting first would pay f32 MXU passes
+        q = q_ref[0]                                     # [Hq, D]
+        k = k_ref[0].reshape(T, -1)                      # [Hkv*page, D]
         # ONE MXU-shaped dot for all heads; cross-head products are removed
         # by a static block-diagonal mask (rows h*gq..(h+1)*gq attend only
         # to columns h*page..(h+1)*page)
@@ -73,9 +75,9 @@ def _paged_kernel(
         p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
         alpha = jnp.exp(m_prev - m_new)
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        v = v_ref[0].reshape(T, -1).astype(jnp.float32)  # [Hkv*page, D]
+        v = v_ref[0].reshape(T, -1)                      # [Hkv*page, D]
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_scr[:] = m_new

@@ -149,10 +149,12 @@ def param_specs(params: "ModelParams", cfg: ModelConfig) -> "ModelParams":
 
 
 def cache_spec():
-    """KVCache spec: batch over data, kv heads over model."""
+    """KVCache spec: batch over data, kv heads over model.
+
+    Cache layout is head-major [L, B, H_kv, S_max, D] (modules/cache.py)."""
     from quick_tpu.modules.cache import KVCache
 
-    kv = P(None, DATA_AXIS, None, MODEL_AXIS, None)
+    kv = P(None, DATA_AXIS, MODEL_AXIS, None, None)
     return KVCache(k=kv, v=kv, length=P())
 
 

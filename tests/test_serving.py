@@ -39,10 +39,16 @@ def test_paged_update_and_gather(rng):
     k = jnp.asarray(rng.standard_normal((2, 6, H, D)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((2, 6, H, D)), jnp.float32)
     cache = cache.update(0, k, v, jnp.asarray([0, 2]))
-    kd, vd = cache.layer(0)
-    np.testing.assert_allclose(np.asarray(kd[0, :6]), np.asarray(k[0]))
-    np.testing.assert_allclose(np.asarray(kd[1, 2:8]), np.asarray(k[1]))
-    np.testing.assert_allclose(np.asarray(vd[1, 2:8]), np.asarray(v[1]))
+    kd, vd = cache.layer(0)  # head-major [B, H, T, D]
+    np.testing.assert_allclose(
+        np.asarray(kd[0, :, :6]), np.asarray(jnp.moveaxis(k[0], 0, 1))
+    )
+    np.testing.assert_allclose(
+        np.asarray(kd[1, :, 2:8]), np.asarray(jnp.moveaxis(k[1], 0, 1))
+    )
+    np.testing.assert_allclose(
+        np.asarray(vd[1, :, 2:8]), np.asarray(jnp.moveaxis(v[1], 0, 1))
+    )
 
 
 def test_paged_matches_dense_forward(params, rng):
