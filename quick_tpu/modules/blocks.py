@@ -95,6 +95,20 @@ def _use_paged_kernel(cache) -> bool:
     return jax.default_backend() != "cpu"
 
 
+def _use_dense_decode_kernel() -> bool:
+    """Dense-cache decode through the paged kernel (identity block table).
+
+    OPT-IN ONLY (QUICK_TPU_DENSE_KERNEL=1): with page = the whole max_seq,
+    each grid step's in-kernel softmax runs over an [Hq, Hkv*max_seq] tile
+    serially per sequence — measured ~1.5x slower than the XLA einsum path
+    at 7B bs=64 (tools/decode_breakdown.py). The einsum path spreads the
+    same VPU work across the batch. Revisit if a chunked dense kernel
+    (page-sized steps over a contiguous cache) is added."""
+    import os
+
+    return os.environ.get("QUICK_TPU_DENSE_KERNEL", "") == "1"
+
+
 def attention_forward(
     p: AttentionParams,
     cfg: ModelConfig,
@@ -141,6 +155,22 @@ def attention_forward(
             out = paged_decode_attention(
                 q[:, 0], cache.k_pages[layer_idx], cache.v_pages[layer_idx],
                 cache.block_table, start + 1, alibi_slopes=slopes,
+                interpret=jax.default_backend() == "cpu",
+            )[:, None]
+        elif S == 1 and _use_dense_decode_kernel():
+            # opt-in: the head-major dense layer [B, Hkv, Smax, D] IS a page
+            # array [P=B, Hkv, page=Smax, D] — ride the paged Pallas kernel
+            # with an identity block table (see _use_dense_decode_kernel for
+            # why this is not the default)
+            from quick_tpu.ops.paged_attention import paged_decode_attention
+
+            k_all, v_all = cache.layer(layer_idx)
+            ident = jnp.arange(B, dtype=jnp.int32)[:, None]
+            lengths = jnp.broadcast_to(
+                jnp.reshape(start + 1, (-1,)), (B,)
+            ).astype(jnp.int32)
+            out = paged_decode_attention(
+                q[:, 0], k_all, v_all, ident, lengths, alibi_slopes=slopes,
                 interpret=jax.default_backend() == "cpu",
             )[:, None]
         else:

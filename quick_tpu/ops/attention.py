@@ -61,11 +61,6 @@ def causal_attention(
     n_kv = k.shape[1] if kv_heads_major else k.shape[2]
     if scale is None:
         scale = D ** -0.5
-    if S == 1 and kv_heads_major:
-        # decode from cache: fused-heads formulation (see below)
-        return _decode_heads_fused(
-            q, k, v, kv_len=kv_len, scale=scale, alibi_slopes=alibi_slopes
-        )
     if _use_flash(S, T, D):
         from quick_tpu.ops.flash_attention import flash_attention
 
@@ -120,15 +115,14 @@ def _decode_heads_fused(
     scale: float,
     alibi_slopes: Optional[jax.Array],
 ) -> jax.Array:
-    """Single-step decode attention, ONE dot per sequence.
+    """Single-step decode attention, ONE dot per sequence (block-diagonal
+    head mask, the paged-kernel formulation applied in XLA).
 
-    A GQA-grouped batched einsum at S=1 issues B*Hkv tiny [gq, D] x [D, T]
-    dots whose per-dot dispatch overhead dominates (measured ~2x the HBM
-    cost of the KV read at 7B bs=64). Instead — exactly like the paged
-    Pallas kernel (ops/paged_attention.py) — flatten (head, position) and
-    issue one [Hq, D] x [D, Hkv*T] dot per sequence, removing cross-head
-    products with a static block-diagonal mask. The extra masked FLOPs are
-    free: the step is KV-bandwidth-bound.
+    NOT the default: measured ~4% slower per layer than the GQA-grouped
+    batched einsum at 7B bs=64 decode on v5e (the [B, Hq, Hkv*T] f32 score
+    tensor it materializes outweighs the batched-dot dispatch it saves).
+    Kept as the reference implementation for the masked-dot formulation and
+    for future shapes where Hkv*T is small.
     """
     B, _, Hq, D = q.shape
     Hkv, T = k.shape[1], k.shape[2]

@@ -157,9 +157,12 @@ def _make_kernel(gpb: int, slab: int, bn: int):
     return kernel
 
 
-def _pick_bn(N: int) -> int:
+def _pick_bn(N: int, Mp: int = 8) -> int:
     # 1024 measured best across M=1..128 at 7B/8192 shapes (tools/msweep.py,
-    # tools/shape_sweep.py); smaller bn only when N demands it
+    # tools/shape_sweep.py, tools/tile_sweep.py: bn=2048 helps some mid-M
+    # fan-out shapes ~10% but regresses K-heavy ones ~30%; net within
+    # run-to-run variance, so keep the uniform choice); smaller bn only when
+    # N demands it
     for bn in (1024, 512, 2048, 256, 128):
         if N % bn == 0:
             return bn
@@ -218,7 +221,7 @@ def _quantized_matmul_2d(
     if bm is None:
         bm = Mp if Mp <= 128 else (128 if Mp % 128 == 0 else _round_up_pow2_div(Mp))
     if bn is None:
-        bn = _pick_bn(N)
+        bn = _pick_bn(N, Mp)
     if gpb is None:
         gpb = _pick_gpb(ng, G, bn, slab)
 

@@ -41,6 +41,30 @@ def test_quant_forward_close_to_float(float_params, quant_params):
     assert np.isfinite(kl) and kl < 0.5  # random weights: loose bound
 
 
+def test_dense_decode_kernel_matches_einsum(float_params, monkeypatch):
+    """Dense-cache decode through the paged Pallas kernel (identity block
+    table over the head-major layer, interpret mode on CPU) must match the
+    XLA fused-heads einsum path."""
+    toks = jax.random.randint(jax.random.PRNGKey(7), (2, 9), 0, 256)
+
+    def run():
+        cache = make_cache(TINY, 2, 16)
+        _, cache = prefill(float_params, TINY, toks[:, :6], cache)
+        outs = []
+        for t in range(6, 9):
+            logits, cache = model_forward(
+                float_params, TINY, toks[:, t : t + 1], cache
+            )
+            outs.append(logits[:, 0])
+        return np.asarray(jnp.stack(outs, axis=1))
+
+    monkeypatch.setenv("QUICK_TPU_DENSE_KERNEL", "0")
+    ref = run()
+    monkeypatch.setenv("QUICK_TPU_DENSE_KERNEL", "1")
+    out = run()
+    np.testing.assert_allclose(out, ref, atol=0.03, rtol=0.03)
+
+
 def test_cache_incremental_matches_full(float_params):
     """Prefill+decode over a cache must equal the full-sequence forward —
     the core KV-cache correctness property."""
