@@ -152,9 +152,12 @@ def attention_forward(
         if S == 1 and _use_paged_kernel(cache):
             from quick_tpu.ops.paged_attention import paged_decode_attention
 
+            quant = getattr(cache, "quantized", False)
             out = paged_decode_attention(
                 q[:, 0], cache.k_pages[layer_idx], cache.v_pages[layer_idx],
                 cache.block_table, start + 1, alibi_slopes=slopes,
+                k_scales=cache.k_scales[layer_idx] if quant else None,
+                v_scales=cache.v_scales[layer_idx] if quant else None,
                 interpret=jax.default_backend() == "cpu",
             )[:, None]
         elif S == 1 and _use_dense_decode_kernel():

@@ -40,12 +40,18 @@ class PagedKVCache:
     (ops/paged_attention.py).
     block_table:     [max_slots, max_pages_per_seq] int32 physical page ids
     length:          [max_slots] int32 valid tokens per slot
+    k_scales/v_scales: [L, n_pages, H_kv, page_size] f32 per-token-per-head
+    absmax scales when the pages are INT8-quantized (``dtype=jnp.int8`` at
+    create — halves KV HBM bytes and doubles KV capacity per chip; no
+    reference analog, the reference cache is fp16-only). None for float KV.
     """
 
     k_pages: jax.Array
     v_pages: jax.Array
     block_table: jax.Array
     length: jax.Array
+    k_scales: Optional[jax.Array] = None
+    v_scales: Optional[jax.Array] = None
 
     @classmethod
     def create(
@@ -61,6 +67,7 @@ class PagedKVCache:
     ) -> "PagedKVCache":
         max_pages_per_seq = (max_seq + page_size - 1) // page_size
         shape = (n_layers, n_pages, n_kv, page_size, head_dim)
+        quant = dtype == jnp.int8
         return cls(
             k_pages=jnp.zeros(shape, dtype),
             v_pages=jnp.zeros(shape, dtype),
@@ -68,7 +75,13 @@ class PagedKVCache:
                 (max_slots, max_pages_per_seq), TRASH_PAGE, jnp.int32
             ),
             length=jnp.zeros((max_slots,), jnp.int32),
+            k_scales=jnp.zeros(shape[:-1], jnp.float32) if quant else None,
+            v_scales=jnp.zeros(shape[:-1], jnp.float32) if quant else None,
         )
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scales is not None
 
     # -- geometry -------------------------------------------------------------
     @property
@@ -103,34 +116,68 @@ class PagedKVCache:
         # layout [L, P, H, page, D]: advanced indices (page, off) straddle
         # the ':' head axis, so the result axes are [B, S, H, D] — matching
         # k_new directly
+        if not self.quantized:
+            return dataclasses.replace(
+                self,
+                k_pages=self.k_pages.at[layer, page, :, off].set(
+                    k_new.astype(self.k_pages.dtype)
+                ),
+                v_pages=self.v_pages.at[layer, page, :, off].set(
+                    v_new.astype(self.v_pages.dtype)
+                ),
+            )
+        kq, ks = _quantize_kv(k_new)
+        vq, vs = _quantize_kv(v_new)
+        # scales layout [L, P, H, page]: same advanced-index pattern yields
+        # [B, S, H] — matching the per-token-per-head scales
         return dataclasses.replace(
             self,
-            k_pages=self.k_pages.at[layer, page, :, off].set(
-                k_new.astype(self.k_pages.dtype)
-            ),
-            v_pages=self.v_pages.at[layer, page, :, off].set(
-                v_new.astype(self.v_pages.dtype)
-            ),
+            k_pages=self.k_pages.at[layer, page, :, off].set(kq),
+            v_pages=self.v_pages.at[layer, page, :, off].set(vq),
+            k_scales=self.k_scales.at[layer, page, :, off].set(ks),
+            v_scales=self.v_scales.at[layer, page, :, off].set(vs),
         )
 
     def layer(self, i: int) -> Tuple[jax.Array, jax.Array]:
         """Dense HEAD-major [B, H_kv, max_seq, D] gather of layer ``i``'s
-        pages (same contract as KVCache.layer).
+        pages (same contract as KVCache.layer); INT8 pages come back
+        dequantized to bf16.
 
-        This is the XLA-gather baseline; the fused paged-attention kernel
-        (ops/paged_attention.py) reads pages directly with scalar prefetch."""
+        This is the XLA-gather baseline (also the chunked-prefill read
+        path); the fused paged-attention kernel (ops/paged_attention.py)
+        reads pages — and their scales — directly with scalar prefetch."""
         B = self.max_slots
         k = self.k_pages[i][self.block_table]  # [B, P_seq, H, page, D]
         v = self.v_pages[i][self.block_table]
         H, D = k.shape[-3], k.shape[-1]
         k = jnp.moveaxis(k, 2, 1).reshape(B, H, -1, D)
         v = jnp.moveaxis(v, 2, 1).reshape(B, H, -1, D)
-        return k, v
+        if not self.quantized:
+            return k, v
+        ks = self.k_scales[i][self.block_table]  # [B, P_seq, H, page]
+        vs = self.v_scales[i][self.block_table]
+        ks = jnp.moveaxis(ks, 2, 1).reshape(B, H, -1, 1)
+        vs = jnp.moveaxis(vs, 2, 1).reshape(B, H, -1, 1)
+        kd = (k.astype(jnp.float32) * ks).astype(jnp.bfloat16)
+        vd = (v.astype(jnp.float32) * vs).astype(jnp.bfloat16)
+        return kd, vd
 
     def with_length(self, length) -> "PagedKVCache":
         return dataclasses.replace(
             self, length=jnp.asarray(length, jnp.int32)
         )
+
+
+def _quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-token-per-head symmetric INT8: x [B, S, H, D] ->
+    (codes int8 [B, S, H, D], scales f32 [B, S, H])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    codes = jnp.clip(
+        jnp.round(xf / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return codes, scale
 
 
 class PageAllocator:

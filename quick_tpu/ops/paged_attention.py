@@ -32,10 +32,18 @@ NEG_INF = -1e30
 def _paged_kernel(
     bt_ref, len_ref,                  # SMEM: [B, n_pt], [B]
     q_ref, slope_ref, k_ref, v_ref,   # VMEM: [1,Hq,D], [Hq,1], [1,Hkv,page,D] x2
-    o_ref,                            # VMEM: [1,Hq,D]
-    m_scr, l_scr, acc_scr,            # VMEM: [Hq,1], [Hq,1], [Hq,D]
-    *, page: int, gq: int, hkv: int, scale: float, use_alibi: bool,
+    *rest,                            # [ks_ref, vs_ref ([1,Hkv,page] f32)] if
+                                      # quantized, then o_ref, m/l/acc scratch
+    page: int, gq: int, hkv: int, scale: float, use_alibi: bool,
+    quantized: bool,
 ):
+    # ks_ref/vs_ref blocks are [1, 1, Hkv*page] f32 — pre-flattened on the
+    # host so the lane dim is already (head, token)-major (Mosaic cannot
+    # shape-cast a [Hkv, page] sublane x lane tile into lanes in-kernel)
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
     i = pl.program_id(1)
     length = len_ref[b]
@@ -51,9 +59,15 @@ def _paged_kernel(
         hq = hkv * gq
         T = hkv * page
         # storage-dtype (bf16) operands: MXU accumulates bf16 products
-        # exactly in f32; casting first would pay f32 MXU passes
+        # exactly in f32; casting first would pay f32 MXU passes. INT8
+        # codes convert exactly to bf16 (|code| <= 127); their per-row
+        # scales fold into the score/prob side AFTER the dot — [Hq, T]
+        # multiplies instead of [T, D] (the W4A16 kernel's output-side
+        # scaling idea applied to the KV cache)
         q = q_ref[0]                                     # [Hq, D]
         k = k_ref[0].reshape(T, -1)                      # [Hkv*page, D]
+        if quantized:
+            k = k.astype(jnp.bfloat16)
         # ONE MXU-shaped dot for all heads; cross-head products are removed
         # by a static block-diagonal mask (rows h*gq..(h+1)*gq attend only
         # to columns h*page..(h+1)*page)
@@ -61,6 +75,8 @@ def _paged_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale                                        # [Hq, Hkv*page]
+        if quantized:
+            s = s * ks_ref[0]
         head_q = jax.lax.broadcasted_iota(jnp.int32, (hq, T), 0) // gq
         head_k = jax.lax.broadcasted_iota(jnp.int32, (hq, T), 1) // page
         pos_k = i * page + (
@@ -76,6 +92,10 @@ def _paged_kernel(
         alpha = jnp.exp(m_prev - m_new)
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         v = v_ref[0].reshape(T, -1)                      # [Hkv*page, D]
+        if quantized:
+            # fold v's per-row scales into the probabilities
+            p = p * vs_ref[0]
+            v = v.astype(jnp.bfloat16)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -92,7 +112,7 @@ def _paged_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("scale", "interpret")
-)
+)  # quantized-ness is static via k_scales None-ness (jit re-traces)
 def paged_decode_attention(
     q: jax.Array,            # [B, Hq, D] one decode step's queries
     k_pages: jax.Array,      # [P, Hkv, page, D] (one layer's pages)
@@ -101,6 +121,8 @@ def paged_decode_attention(
     lengths: jax.Array,      # [B] int32 valid tokens per slot (incl. current)
     scale: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,
+    k_scales: Optional[jax.Array] = None,  # [P, Hkv, page] f32 when the
+    v_scales: Optional[jax.Array] = None,  # pages are INT8-quantized
     interpret: bool = False,
 ) -> jax.Array:
     """Returns [B, Hq, D]. The current step's K/V must already be written
@@ -112,6 +134,7 @@ def paged_decode_attention(
     if scale is None:
         scale = D ** -0.5
     use_alibi = alibi_slopes is not None
+    quantized = k_scales is not None
     # slopes ride in VMEM as [Hq, 1] (read whole once per step, broadcast
     # along lanes) — not reassembled from SMEM scalars in the hot loop
     slopes = (
@@ -125,15 +148,33 @@ def paged_decode_attention(
         last = jnp.maximum(ln[b] - 1, 0) // page
         return (bt[b, jnp.minimum(i, last)], 0, 0, 0)
 
+    def scale_index(b, i, bt, ln):
+        last = jnp.maximum(ln[b] - 1, 0) // page
+        return (bt[b, jnp.minimum(i, last)], 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, Hq, D), lambda b, i, bt, ln: (b, 0, 0)),
+        pl.BlockSpec((Hq, 1), lambda b, i, bt, ln: (0, 0)),
+        pl.BlockSpec((1, Hkv, page, D), kv_index),
+        pl.BlockSpec((1, Hkv, page, D), kv_index),
+    ]
+    inputs = [q, slopes, k_pages, v_pages]
+    if quantized:
+        # flatten (head, token) into the lane dim host-side: the kernel
+        # multiplies [Hq, T] tiles by a [1, T] row directly
+        T = Hkv * page
+        in_specs += [
+            pl.BlockSpec((1, 1, T), scale_index),
+            pl.BlockSpec((1, 1, T), scale_index),
+        ]
+        inputs += [
+            k_scales.reshape(P, 1, T), v_scales.reshape(P, 1, T),
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, n_pt),
-        in_specs=[
-            pl.BlockSpec((1, Hq, D), lambda b, i, bt, ln: (b, 0, 0)),
-            pl.BlockSpec((Hq, 1), lambda b, i, bt, ln: (0, 0)),
-            pl.BlockSpec((1, Hkv, page, D), kv_index),
-            pl.BlockSpec((1, Hkv, page, D), kv_index),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, Hq, D), lambda b, i, bt, ln: (b, 0, 0)
         ),
@@ -146,7 +187,7 @@ def paged_decode_attention(
     out = pl.pallas_call(
         functools.partial(
             _paged_kernel, page=page, gq=gq, hkv=Hkv, scale=float(scale),
-            use_alibi=use_alibi,
+            use_alibi=use_alibi, quantized=quantized,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
@@ -154,6 +195,5 @@ def paged_decode_attention(
             dimension_semantics=("parallel", "arbitrary")
         ),
         interpret=interpret,
-    )(block_table.astype(jnp.int32), lengths.astype(jnp.int32),
-      q, slopes, k_pages, v_pages)
+    )(block_table.astype(jnp.int32), lengths.astype(jnp.int32), *inputs)
     return out

@@ -221,21 +221,27 @@ def local_config(cfg: ModelConfig, tp: int) -> ModelConfig:
     return dataclasses.replace(cfg, **kw)
 
 
-def paged_cache_spec():
+def paged_cache_spec(quantized: bool = False):
     """PartitionSpec pytree for a PagedKVCache: KV heads shard over the
     model axis (each TP shard holds its own heads' pages); the block table
-    and lengths are replicated control state."""
+    and lengths are replicated control state. ``quantized=True`` adds the
+    INT8 per-token scale planes (same head sharding)."""
     from quick_tpu.modules.paged_cache import PagedKVCache
 
+    sc = P(None, None, MODEL_AXIS, None) if quantized else None
     return PagedKVCache(
         k_pages=P(None, None, MODEL_AXIS, None, None),
         v_pages=P(None, None, MODEL_AXIS, None, None),
         block_table=P(None, None),
         length=P(None),
+        k_scales=sc,
+        v_scales=sc,
     )
 
 
-def sharded_engine_step_fn(cfg: ModelConfig, mesh: Mesh, params_template):
+def sharded_engine_step_fn(
+    cfg: ModelConfig, mesh: Mesh, params_template, kv_quantized: bool = False
+):
     """shard_map-wrapped continuous-batching step for TP serving:
 
         fn(params_sharded, cache, tokens [B, C], valid [B])
@@ -253,7 +259,7 @@ def sharded_engine_step_fn(cfg: ModelConfig, mesh: Mesh, params_template):
     lcfg = local_config(cfg, tp)
     ctx = ParallelContext(model_axis=MODEL_AXIS, expert_axis=MODEL_AXIS)
     specs = param_specs(params_template, cfg)
-    cspec = paged_cache_spec()
+    cspec = paged_cache_spec(quantized=kv_quantized)
 
     def local_fn(params, cache, tokens, valid):
         logits, cache = model_forward(

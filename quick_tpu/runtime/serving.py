@@ -75,7 +75,13 @@ class Engine:
         # (~586 GB/s effective KV stream at 7B shapes; 16 -> ~115 GB/s)
         chunk: int = 16,
         n_pages: Optional[int] = None,
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16,  # jnp.int8 -> INT8-quantized KV pages with
+        # per-token-per-head scales: ~2x KV capacity per chip (no reference
+        # analog — its FT cache is fp16). Capacity feature, not a speed one:
+        # the decode kernel is per-step-compute bound at page=64, and the
+        # in-kernel i8->bf16 convert costs ~1.5x step time at 8x1k ctx
+        # (tools/int8_kv_check.py) — use when KV HBM is the binding
+        # constraint (long contexts / many slots)
         mesh=None,  # jax Mesh with a "model" axis -> TP-sharded serving;
         # params must already be sharded (parallel.shard_params)
         sampling=None,  # SamplingParams; default greedy
@@ -119,9 +125,11 @@ class Engine:
 
             self.cache = jax.tree_util.tree_map(
                 lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-                self.cache, paged_cache_spec(),
+                self.cache, paged_cache_spec(quantized=self.cache.quantized),
             )
-            step_fn = sharded_engine_step_fn(cfg, mesh, params)
+            step_fn = sharded_engine_step_fn(
+                cfg, mesh, params, kv_quantized=self.cache.quantized
+            )
         else:
             from quick_tpu.runtime.generate import sample_token
 

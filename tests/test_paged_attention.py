@@ -72,6 +72,34 @@ def test_paged_alibi(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
 
 
+def test_paged_int8_kernel_matches_dequant(rng):
+    """INT8 pages + per-token scales through the kernel must match the
+    float kernel run on the dequantized pages (output-side scale folding)."""
+    B, Hq, Hkv, D, page, n_pt = 2, 8, 2, 64, 8, 4
+    q, kp, vp, bt, ln = _setup(
+        rng, B, Hq, Hkv, D, page, n_pages=1 + B * n_pt, n_pt=n_pt,
+        lengths=[21, 9],
+    )
+    # quantize the float pages per (page, head, token)
+    def quant(p):
+        amax = jnp.max(jnp.abs(p), axis=-1)
+        sc = jnp.maximum(amax / 127.0, 1e-8)
+        codes = jnp.clip(jnp.round(p / sc[..., None]), -127, 127).astype(
+            jnp.int8
+        )
+        return codes, sc.astype(jnp.float32)
+
+    kq, ks = quant(kp)
+    vq, vs = quant(vp)
+    out = paged_decode_attention(
+        q, kq, vq, bt, ln, k_scales=ks, v_scales=vs, interpret=True
+    )
+    kd = kq.astype(jnp.float32) * ks[..., None]
+    vd = vq.astype(jnp.float32) * vs[..., None]
+    ref = paged_decode_attention(q, kd, vd, bt, ln, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
+
+
 def test_engine_with_paged_kernel(rng):
     """The serving engine must produce identical tokens with the paged
     kernel forced on (interpret) vs the gather baseline."""

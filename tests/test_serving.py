@@ -51,6 +51,73 @@ def test_paged_update_and_gather(rng):
     )
 
 
+def test_paged_int8_roundtrip(rng):
+    """INT8 update/gather: dequantized layer view must match the float
+    inputs within int8 quantization error."""
+    L, P, page, H, D = 2, 9, 4, 2, 8
+    cache = PagedKVCache.create(L, P, page, max_slots=2, max_seq=16,
+                                n_kv=H, head_dim=D, dtype=jnp.int8)
+    assert cache.quantized
+    import dataclasses
+    bt = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 8]], jnp.int32)
+    cache = dataclasses.replace(cache, block_table=bt)
+    k = jnp.asarray(rng.standard_normal((2, 6, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 6, H, D)), jnp.float32)
+    cache = cache.update(0, k, v, jnp.asarray([0, 2]))
+    kd, vd = cache.layer(0)  # head-major [B, H, T, D], dequantized bf16
+    np.testing.assert_allclose(
+        np.asarray(kd[0, :, :6], np.float32),
+        np.asarray(jnp.moveaxis(k[0], 0, 1)),
+        atol=0.04, rtol=0.04,
+    )
+    np.testing.assert_allclose(
+        np.asarray(vd[1, :, 2:8], np.float32),
+        np.asarray(jnp.moveaxis(v[1], 0, 1)),
+        atol=0.04, rtol=0.04,
+    )
+
+
+def test_paged_int8_forward_close_to_float_kv(params, rng):
+    """Prefill+decode with INT8 KV must stay close to the float-KV paged
+    forward (per-token absmax int8: ~0.4% weight error on K/V)."""
+    import dataclasses
+    toks = jax.random.randint(jax.random.PRNGKey(3), (1, 10), 0, 256)
+    bt = jnp.asarray([[1, 2, 3, 4, 5, 6, 7, 8]], jnp.int32)
+
+    def run(dtype):
+        cache = PagedKVCache.create(
+            2, 9, 4, max_slots=1, max_seq=32,
+            n_kv=TINY.num_key_value_heads, head_dim=TINY.head_dim,
+            dtype=dtype,
+        )
+        cache = dataclasses.replace(cache, block_table=bt)
+        logits, cache = model_forward(params, TINY, toks[:, :6], cache)
+        outs = [logits[:, -1]]
+        for t in range(6, 10):
+            logits, cache = model_forward(
+                params, TINY, toks[:, t : t + 1], cache
+            )
+            outs.append(logits[:, 0])
+        return np.asarray(jnp.stack(outs, 1), np.float32)
+
+    ref = run(jnp.bfloat16)
+    out = run(jnp.int8)
+    np.testing.assert_allclose(out, ref, atol=0.15, rtol=0.15)
+
+
+def test_engine_int8_kv(params):
+    """The engine end-to-end with dtype=int8: completes and produces tokens
+    (greedy argmax may legitimately differ from bf16 KV on random weights,
+    so assert liveness + shape, not exact ids)."""
+    eng = Engine(params, TINY, max_slots=2, max_seq=64, page_size=8,
+                 chunk=8, dtype=jnp.int8)
+    u1 = eng.submit(list(range(5, 15)), max_new_tokens=6)
+    u2 = eng.submit(list(range(40, 44)), max_new_tokens=4)
+    outs = eng.run()
+    assert len(outs[u1]) == 6 and len(outs[u2]) == 4
+    assert all(0 <= t < TINY.vocab_size for t in outs[u1] + outs[u2])
+
+
 def test_paged_matches_dense_forward(params, rng):
     """Prefill+decode through the paged cache must equal the dense cache."""
     toks = jax.random.randint(jax.random.PRNGKey(2), (1, 10), 0, 256)
