@@ -113,27 +113,45 @@ class PagedKVCache:
         # clamping alone would overwrite the slot's own last real page
         page = jnp.where(pos < self.max_seq, page, TRASH_PAGE)
         off = pos % self.page_size
-        # layout [L, P, H, page, D]: advanced indices (page, off) straddle
-        # the ':' head axis, so the result axes are [B, S, H, D] — matching
-        # k_new directly
-        if not self.quantized:
-            return dataclasses.replace(
-                self,
-                k_pages=self.k_pages.at[layer, page, :, off].set(
-                    k_new.astype(self.k_pages.dtype)
-                ),
-                v_pages=self.v_pages.at[layer, page, :, off].set(
-                    v_new.astype(self.v_pages.dtype)
-                ),
+        kn, vn = (k_new, v_new) if not self.quantized else (None, None)
+        if self.quantized:
+            kn, ks = _quantize_kv(k_new)
+            vn, vs = _quantize_kv(v_new)
+        from quick_tpu.ops.paged_write import _group_for, paged_write_decode
+
+        if (
+            S == 1
+            and self.page_size % _group_for(self.k_pages.dtype) == 0
+            and _use_write_kernel()
+        ):
+            # Pallas RMW: output-aliased per-token group writes (the XLA
+            # scatter this replaces costs ~128us/call at 7B decode shapes —
+            # see ops/paged_write.py). Chunked prefill (S>1) keeps the
+            # scatter: one scatter amortizes over the whole chunk.
+            kp, vp = paged_write_decode(
+                self.k_pages, self.v_pages, kn[:, 0], vn[:, 0],
+                page[:, 0], off[:, 0], layer,
+                interpret=jax.default_backend() == "cpu",
             )
-        kq, ks = _quantize_kv(k_new)
-        vq, vs = _quantize_kv(v_new)
-        # scales layout [L, P, H, page]: same advanced-index pattern yields
-        # [B, S, H] — matching the per-token-per-head scales
+        else:
+            # layout [L, P, H, page, D]: advanced indices (page, off)
+            # straddle the ':' head axis, so the result axes are
+            # [B, S, H, D] — matching k_new directly
+            kp = self.k_pages.at[layer, page, :, off].set(
+                kn.astype(self.k_pages.dtype)
+            )
+            vp = self.v_pages.at[layer, page, :, off].set(
+                vn.astype(self.v_pages.dtype)
+            )
+        if not self.quantized:
+            return dataclasses.replace(self, k_pages=kp, v_pages=vp)
+        # scales layout [L, P, H, page]: the advanced-index pattern yields
+        # [B, S, H] — matching the per-token-per-head scales (small plane;
+        # the XLA scatter is cheap here)
         return dataclasses.replace(
             self,
-            k_pages=self.k_pages.at[layer, page, :, off].set(kq),
-            v_pages=self.v_pages.at[layer, page, :, off].set(vq),
+            k_pages=kp,
+            v_pages=vp,
             k_scales=self.k_scales.at[layer, page, :, off].set(ks),
             v_scales=self.v_scales.at[layer, page, :, off].set(vs),
         )
@@ -166,6 +184,20 @@ class PagedKVCache:
         return dataclasses.replace(
             self, length=jnp.asarray(length, jnp.int32)
         )
+
+
+def _use_write_kernel() -> bool:
+    """Route page writes to the Pallas scatter kernel on TPU
+    (QUICK_TPU_PAGED_WRITE=1 forces it in interpret mode for CPU tests;
+    =0 forces the XLA scatter)."""
+    import os
+
+    env = os.environ.get("QUICK_TPU_PAGED_WRITE", "")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return jax.default_backend() != "cpu"
 
 
 def _quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:

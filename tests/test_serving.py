@@ -51,6 +51,50 @@ def test_paged_update_and_gather(rng):
     )
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.int8])
+def test_paged_write_kernel_matches_scatter(rng, dtype, monkeypatch):
+    """The Pallas page-write kernel (interpret mode) must produce the same
+    cache state as the XLA scatter, including trash-page clamping of
+    positions past max_seq."""
+    import dataclasses, os
+    # page=32 so BOTH dtypes' RMW groups divide it (f32: 8, int8: 32)
+    L, P, page, H, D = 2, 9, 32, 2, 8
+    bt = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 8]], jnp.int32)
+    k = jnp.asarray(rng.standard_normal((2, 6, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 6, H, D)), jnp.float32)
+
+    def run(env):
+        monkeypatch.setenv("QUICK_TPU_PAGED_WRITE", env)
+        cache = PagedKVCache.create(L, P, page, max_slots=2, max_seq=128,
+                                    n_kv=H, head_dim=D, dtype=dtype)
+        cache = dataclasses.replace(cache, block_table=bt)
+        # chunk write (S>1, scatter path in both modes)
+        cache = cache.update(1, k[:, :3], v[:, :3], jnp.asarray([0, 9]))
+        # decode writes (S=1, kernel path when env=1); slot 1 crosses a
+        # page boundary at 32; the last write at 200 (> max_seq) must land
+        # on the trash page
+        starts = [jnp.asarray([3, 30]), jnp.asarray([4, 31]),
+                  jnp.asarray([5, 32]), jnp.asarray([6, 200])]
+        for i, st in enumerate(starts):
+            cache = cache.update(
+                1, k[:, i : i + 1], v[:, i : i + 1], st
+            )
+        return cache
+
+    a = run("0")
+    b = run("1")
+    np.testing.assert_array_equal(
+        np.asarray(a.k_pages[1, 1:]), np.asarray(b.k_pages[1, 1:])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.v_pages[1, 1:]), np.asarray(b.v_pages[1, 1:])
+    )
+    if dtype == jnp.int8:
+        np.testing.assert_array_equal(
+            np.asarray(a.k_scales[1, 1:]), np.asarray(b.k_scales[1, 1:])
+        )
+
+
 def test_paged_int8_roundtrip(rng):
     """INT8 update/gather: dequantized layer view must match the float
     inputs within int8 quantization error."""

@@ -1,0 +1,108 @@
+"""Production-path decode throughput: paged cache + paged-attention kernel
+at high slot counts (the serving engine's jitted step, timed device-side).
+
+The dense-cache e2e bench (tools/e2e_bench.py) OOMs at bs>=128 on one 16GB
+v5e with bf16 KV; INT8 KV pages halve that. Usage:
+
+    python tools/engine_bench.py --slots 128 --kv int8 --quantize_lm_head
+"""
+import sys; sys.path.insert(0, ".")
+import argparse, dataclasses, functools, time
+import numpy as np, jax, jax.numpy as jnp
+
+from quick_tpu import ModelConfig
+from quick_tpu.models import init_quant_params
+from quick_tpu.models.model import model_forward, quantize_params
+from quick_tpu.modules.paged_cache import PagedKVCache
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=128)
+    ap.add_argument("--kv", choices=["bf16", "int8"], default="int8")
+    ap.add_argument("--page", type=int, default=64)
+    ap.add_argument("--start_len", type=int, default=128)
+    ap.add_argument("--max_seq", type=int, default=256)
+    ap.add_argument("--quantize_lm_head", action="store_true")
+    ap.add_argument("--n1", type=int, default=10)
+    ap.add_argument("--n2", type=int, default=110)
+    args = ap.parse_args()
+
+    cfg = ModelConfig(
+        vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+        num_hidden_layers=32, num_attention_heads=32,
+        num_key_value_heads=8, max_position_embeddings=4096,
+        model_type="mistral")
+    B, page = args.slots, args.page
+    kv_dtype = jnp.int8 if args.kv == "int8" else jnp.bfloat16
+
+    t0 = time.time()
+    params = init_quant_params(cfg, jax.random.PRNGKey(0))
+    if args.quantize_lm_head:
+        from quick_tpu.modules.linear import QuantLinear
+        params = dataclasses.replace(
+            params,
+            lm_head=QuantLinear.from_float(params.lm_head.weight, None),
+            embed=params.embed,  # embed stays bf16 (gather, not streamed)
+        )
+    params = jax.tree_util.tree_map(jax.device_put, params)
+
+    pages_per_slot = args.max_seq // page
+    n_pages = B * pages_per_slot + 1
+    cache = PagedKVCache.create(
+        cfg.num_hidden_layers, n_pages, page, B, args.max_seq,
+        cfg.num_key_value_heads, cfg.head_dim, kv_dtype,
+    )
+    # identity-ish block tables: slot i owns pages [1 + i*pps, ...)
+    bt = (1 + np.arange(B)[:, None] * pages_per_slot
+          + np.arange(pages_per_slot)[None, :]).astype(np.int32)
+    # mid-generation state: every slot at start_len with random KV content
+    key = jax.random.PRNGKey(1)
+    if kv_dtype == jnp.int8:
+        kp = jax.random.randint(key, cache.k_pages.shape, -127, 128, jnp.int8)
+        sc = jnp.full(cache.k_scales.shape, 0.01, jnp.float32)
+        cache = dataclasses.replace(
+            cache, k_pages=kp, v_pages=kp, k_scales=sc, v_scales=sc,
+            block_table=jnp.asarray(bt),
+            length=jnp.full((B,), args.start_len, jnp.int32),
+        )
+    else:
+        kp = (jax.random.normal(key, cache.k_pages.shape, jnp.bfloat16) * 0.3)
+        cache = dataclasses.replace(
+            cache, k_pages=kp, v_pages=kp,
+            block_table=jnp.asarray(bt),
+            length=jnp.full((B,), args.start_len, jnp.int32),
+        )
+    print(f"init: {time.time()-t0:.1f}s  (kv={args.kv}, "
+          f"kv bytes={cache.k_pages.nbytes*2/1e9:.2f}GB"
+          + (f" + scales {cache.k_scales.nbytes*2/1e9:.2f}GB"
+             if cache.quantized else "") + ")", flush=True)
+
+    tokens0 = jnp.zeros((B, 1), jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(params, tokens, cache, n):
+        def body(i, carry):
+            tokens, cache = carry
+            logits, cache = model_forward(params, cfg, tokens, cache)
+            nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+            return nxt, cache
+        tokens, cache = jax.lax.fori_loop(0, n, body, (tokens, cache))
+        return tokens
+
+    def run(n):
+        np.asarray(loop(params, tokens0, cache, n)[:1, :1])
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(loop(params, tokens0, cache, n)[:1, :1])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per = (run(args.n2) - run(args.n1)) / (args.n2 - args.n1)
+    print(f"slots={B} kv={args.kv} page={page} "
+          f"len~{args.start_len}-{args.start_len + args.n2}:", flush=True)
+    print(f"  decode: {per*1e3:.2f} ms/step -> {B/per:.1f} tok/s", flush=True)
+
+
+main()
