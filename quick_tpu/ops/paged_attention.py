@@ -31,19 +31,25 @@ NEG_INF = -1e30
 
 def _paged_kernel(
     bt_ref, len_ref,                  # SMEM: [B, n_pt], [B]
-    q_ref, slope_ref, k_ref, v_ref,   # VMEM: [1,Hq,D], [Hq,1], [1,Hkv,page,D] x2
-    *rest,                            # [ks_ref, vs_ref ([1,Hkv,page] f32)] if
-                                      # quantized, then o_ref, m/l/acc scratch
+    q_ref, slope_ref,                 # VMEM: [1,Hq,D], [Hq,1]
+    *rest,                            # ppb x (k_ref, v_ref [1,Hkv,page,D]),
+                                      # then ppb x (ks_ref, vs_ref
+                                      # [1,1,Hkv*page] f32) if quantized,
+                                      # then o_ref, m/l/acc scratch
     page: int, gq: int, hkv: int, scale: float, use_alibi: bool,
-    quantized: bool,
+    quantized: bool, ppb: int,
 ):
     # ks_ref/vs_ref blocks are [1, 1, Hkv*page] f32 — pre-flattened on the
     # host so the lane dim is already (head, token)-major (Mosaic cannot
     # shape-cast a [Hkv, page] sublane x lane tile into lanes in-kernel)
+    kv_refs = rest[: 2 * ppb]
+    rest = rest[2 * ppb :]
     if quantized:
-        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+        sc_refs = rest[: 2 * ppb]
+        rest = rest[2 * ppb :]
     else:
-        o_ref, m_scr, l_scr, acc_scr = rest
+        sc_refs = (None,) * (2 * ppb)
+    o_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
     i = pl.program_id(1)
     length = len_ref[b]
@@ -54,53 +60,64 @@ def _paged_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    @pl.when(i * page < length)
-    def _compute():
-        hq = hkv * gq
-        T = hkv * page
-        # storage-dtype (bf16) operands: MXU accumulates bf16 products
-        # exactly in f32; casting first would pay f32 MXU passes. INT8
-        # codes convert exactly to bf16 (|code| <= 127); their per-row
-        # scales fold into the score/prob side AFTER the dot — [Hq, T]
-        # multiplies instead of [T, D] (the W4A16 kernel's output-side
-        # scaling idea applied to the KV cache)
-        q = q_ref[0]                                     # [Hq, D]
-        k = k_ref[0].reshape(T, -1)                      # [Hkv*page, D]
-        if quantized:
-            k = k.astype(jnp.bfloat16)
-        # ONE MXU-shaped dot for all heads; cross-head products are removed
-        # by a static block-diagonal mask (rows h*gq..(h+1)*gq attend only
-        # to columns h*page..(h+1)*page)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale                                        # [Hq, Hkv*page]
-        if quantized:
-            s = s * ks_ref[0]
-        head_q = jax.lax.broadcasted_iota(jnp.int32, (hq, T), 0) // gq
-        head_k = jax.lax.broadcasted_iota(jnp.int32, (hq, T), 1) // page
-        pos_k = i * page + (
-            jax.lax.broadcasted_iota(jnp.int32, (hq, T), 1) % page
-        )
-        mask = jnp.logical_and(head_q == head_k, pos_k < length)
-        if use_alibi:
-            s = s + slope_ref[:] * (pos_k - (length - 1)).astype(jnp.float32)
-        s = jnp.where(mask, s, NEG_INF)
-        m_prev = m_scr[:]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-        alpha = jnp.exp(m_prev - m_new)
-        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        v = v_ref[0].reshape(T, -1)                      # [Hkv*page, D]
-        if quantized:
-            # fold v's per-row scales into the probabilities
-            p = p * vs_ref[0]
-            v = v.astype(jnp.bfloat16)
-        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_scr[:] = m_new
+    # ppb pages per grid step: halves/quarters the grid-step count — the
+    # kernel is step-overhead bound at short contexts (measured 301 GB/s at
+    # 128 slots x ~190 tokens with 1 page/step)
+    for j in range(ppb):
+        k_ref, v_ref = kv_refs[2 * j], kv_refs[2 * j + 1]
+        ks_ref, vs_ref = sc_refs[2 * j], sc_refs[2 * j + 1]
+        base = (i * ppb + j) * page
+
+        @pl.when(base < length)
+        def _compute(k_ref=k_ref, v_ref=v_ref, ks_ref=ks_ref,
+                     vs_ref=vs_ref, base=base):
+            hq = hkv * gq
+            T = hkv * page
+            # storage-dtype (bf16) operands: MXU accumulates bf16 products
+            # exactly in f32; casting first would pay f32 MXU passes. INT8
+            # codes convert exactly to bf16 (|code| <= 127); their per-row
+            # scales fold into the score/prob side AFTER the dot — [Hq, T]
+            # multiplies instead of [T, D] (the W4A16 kernel's output-side
+            # scaling idea applied to the KV cache)
+            q = q_ref[0]                                 # [Hq, D]
+            k = k_ref[0].reshape(T, -1)                  # [Hkv*page, D]
+            if quantized:
+                k = k.astype(jnp.bfloat16)
+            # ONE MXU-shaped dot for all heads; cross-head products are
+            # removed by a static block-diagonal mask (rows h*gq..(h+1)*gq
+            # attend only to columns h*page..(h+1)*page)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                                    # [Hq, Hkv*page]
+            if quantized:
+                s = s * ks_ref[0]
+            head_q = jax.lax.broadcasted_iota(jnp.int32, (hq, T), 0) // gq
+            head_k = jax.lax.broadcasted_iota(jnp.int32, (hq, T), 1) // page
+            pos_k = base + (
+                jax.lax.broadcasted_iota(jnp.int32, (hq, T), 1) % page
+            )
+            mask = jnp.logical_and(head_q == head_k, pos_k < length)
+            if use_alibi:
+                s = s + slope_ref[:] * (
+                    pos_k - (length - 1)
+                ).astype(jnp.float32)
+            s = jnp.where(mask, s, NEG_INF)
+            m_prev = m_scr[:]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+            alpha = jnp.exp(m_prev - m_new)
+            l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            v = v_ref[0].reshape(T, -1)                  # [Hkv*page, D]
+            if quantized:
+                # fold v's per-row scales into the probabilities
+                p = p * vs_ref[0]
+                v = v.astype(jnp.bfloat16)
+            acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_scr[:] = m_new
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _finish():
@@ -142,38 +159,53 @@ def paged_decode_attention(
         else jnp.zeros((Hq, 1), jnp.float32)
     )
 
-    def kv_index(b, i, bt, ln):
-        # clamp steps past the slot's last valid page to that page:
-        # repeated block index -> Mosaic skips the DMA re-issue
-        last = jnp.maximum(ln[b] - 1, 0) // page
-        return (bt[b, jnp.minimum(i, last)], 0, 0, 0)
+    # pages per grid step: fewer, fatter steps amortize the per-step
+    # overhead (step-overhead bound at short contexts; 2 is ~the page=128
+    # benefit without coarsening the allocator). Falls back to 1 when the
+    # table width doesn't divide.
+    ppb = 2 if n_pt % 2 == 0 and n_pt > 1 else 1
 
-    def scale_index(b, i, bt, ln):
-        last = jnp.maximum(ln[b] - 1, 0) // page
-        return (bt[b, jnp.minimum(i, last)], 0, 0)
+    def kv_index_j(j):
+        def kv_index(b, i, bt, ln):
+            # clamp steps past the slot's last valid page to that page:
+            # repeated block index -> Mosaic skips the DMA re-issue
+            last = jnp.maximum(ln[b] - 1, 0) // page
+            return (bt[b, jnp.minimum(i * ppb + j, last)], 0, 0, 0)
+        return kv_index
+
+    def scale_index_j(j):
+        def scale_index(b, i, bt, ln):
+            last = jnp.maximum(ln[b] - 1, 0) // page
+            return (bt[b, jnp.minimum(i * ppb + j, last)], 0, 0)
+        return scale_index
 
     in_specs = [
         pl.BlockSpec((1, Hq, D), lambda b, i, bt, ln: (b, 0, 0)),
         pl.BlockSpec((Hq, 1), lambda b, i, bt, ln: (0, 0)),
-        pl.BlockSpec((1, Hkv, page, D), kv_index),
-        pl.BlockSpec((1, Hkv, page, D), kv_index),
     ]
-    inputs = [q, slopes, k_pages, v_pages]
+    inputs = [q, slopes]
+    for j in range(ppb):
+        in_specs += [
+            pl.BlockSpec((1, Hkv, page, D), kv_index_j(j)),
+            pl.BlockSpec((1, Hkv, page, D), kv_index_j(j)),
+        ]
+        inputs += [k_pages, v_pages]
     if quantized:
         # flatten (head, token) into the lane dim host-side: the kernel
         # multiplies [Hq, T] tiles by a [1, T] row directly
         T = Hkv * page
-        in_specs += [
-            pl.BlockSpec((1, 1, T), scale_index),
-            pl.BlockSpec((1, 1, T), scale_index),
-        ]
-        inputs += [
-            k_scales.reshape(P, 1, T), v_scales.reshape(P, 1, T),
-        ]
+        ks2 = k_scales.reshape(P, 1, T)
+        vs2 = v_scales.reshape(P, 1, T)
+        for j in range(ppb):
+            in_specs += [
+                pl.BlockSpec((1, 1, T), scale_index_j(j)),
+                pl.BlockSpec((1, 1, T), scale_index_j(j)),
+            ]
+            inputs += [ks2, vs2]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, n_pt),
+        grid=(B, n_pt // ppb),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, Hq, D), lambda b, i, bt, ln: (b, 0, 0)
@@ -187,7 +219,7 @@ def paged_decode_attention(
     out = pl.pallas_call(
         functools.partial(
             _paged_kernel, page=page, gq=gq, hkv=Hkv, scale=float(scale),
-            use_alibi=use_alibi, quantized=quantized,
+            use_alibi=use_alibi, quantized=quantized, ppb=ppb,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
