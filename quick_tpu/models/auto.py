@@ -167,12 +167,19 @@ class AutoQuickModel:
         self.qcfg = qcfg
         return self
 
-    def save_quantized(self, save_dir: str) -> None:
-        from quick_tpu.utils.checkpoint import save_quantized
+    def save_quantized(self, save_dir: str, awq_format: bool = False) -> None:
+        """Persist the quantized model. ``awq_format=True`` writes an
+        AutoAWQ-GEMM-compatible checkpoint instead of the native QTPU one
+        (the reference's ``export_compatible`` artifact, models/base.py:
+        123-138) — loadable by AutoAWQ/vLLM and by ``from_quantized``."""
+        from quick_tpu.utils.checkpoint import export_autoawq, save_quantized
 
         if self.qcfg is None:
             raise ValueError("model is not quantized; call .quantize() first")
-        save_quantized(self.params, self.cfg, self.qcfg, save_dir)
+        if awq_format:
+            export_autoawq(self.params, self.cfg, self.qcfg, save_dir)
+        else:
+            save_quantized(self.params, self.cfg, self.qcfg, save_dir)
 
     # -- inference -----------------------------------------------------------
     def generate(self, tokens, max_new_tokens: int = 128, **kw):

@@ -218,6 +218,124 @@ def save_quantized(
         json.dump(model_cfg, f, indent=2)
 
 
+def export_autoawq(
+    params: ModelParams,
+    cfg: ModelConfig,
+    qcfg: QuantConfig,
+    save_dir: str,
+) -> None:
+    """Write an AutoAWQ-GEMM-compatible checkpoint (the reference's
+    ``export_compatible`` artifact, models/base.py:123-138 + linear/gemm.py
+    layout): per linear ``qweight`` int32 [K, N//8] (AWQ column
+    interleave), ``qzeros`` int32 [K//G, N//8], ``scales`` fp16 [K//G, N],
+    under HF llama-family tensor names. Loadable by AutoAWQ/vLLM — and by
+    :func:`load_autoawq` (round-trip tested).
+
+    Llama-family layouts only (fused qkv/gate_up split back by column
+    ranges — params must be UNSHARDED and not TP-permuted)."""
+    from safetensors.numpy import save_file
+
+    from quick_tpu.modules.linear import QuantLinear
+    from quick_tpu.quantize.packing import export_awq_gemm
+
+    if cfg.is_moe or not cfg.gated_mlp or cfg.layernorm != "rmsnorm":
+        raise NotImplementedError(
+            "export_autoawq supports the llama-family layout only "
+            f"(model_type={cfg.model_type})"
+        )
+    hq, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    F = cfg.intermediate_size
+    store: Dict[str, np.ndarray] = {}
+
+    def f16(x) -> np.ndarray:
+        # ascontiguousarray matters: astype keeps order='K', and safetensors
+        # serializes the raw buffer — an F-ordered transpose would be
+        # silently written untransposed
+        return np.ascontiguousarray(np.asarray(x).astype(np.float16))
+
+    def put_qlin(base: str, lin: QuantLinear, col0: int, col1: int) -> None:
+        qw = np.asarray(lin.qweight)[:, col0:col1]
+        s = np.asarray(lin.scales)[:, col0:col1]
+        zs = np.asarray(lin.zeros_x_scales)[:, col0:col1]
+        gw, gz, gs = export_awq_gemm(qw, s, zs, lin.group_size)
+        store[base + ".qweight"] = gw
+        store[base + ".qzeros"] = gz
+        store[base + ".scales"] = gs
+        if lin.bias is not None:
+            store[base + ".bias"] = f16(lin.bias[col0:col1])
+
+    def put_float_linear(base: str, lin) -> None:
+        if isinstance(lin, QuantLinear):
+            from quick_tpu.quantize.packing import unpack_qtpu
+
+            q = unpack_qtpu(np.asarray(lin.qweight), lin.group_size)
+            s = np.asarray(lin.scales)
+            zs = np.asarray(lin.zeros_x_scales)
+            K = q.shape[0]
+            ng = K // lin.group_size
+            w = (
+                q.astype(np.float32).reshape(ng, lin.group_size, -1) * s[:, None, :]
+                - zs[:, None, :]
+            ).reshape(K, -1)
+        else:
+            w = np.asarray(lin.weight, np.float32)
+        # HF linear convention is [out, in]
+        store[base + ".weight"] = f16(w.T)
+        if getattr(lin, "bias", None) is not None:
+            store[base + ".bias"] = f16(lin.bias)
+
+    for i, blk in enumerate(params.blocks):
+        p = f"model.layers.{i}"
+        qkv = blk.attn.qkv_proj
+        if not isinstance(qkv, QuantLinear):
+            raise ValueError("export_autoawq requires quantized block linears")
+        put_qlin(f"{p}.self_attn.q_proj", qkv, 0, hq * hd)
+        put_qlin(f"{p}.self_attn.k_proj", qkv, hq * hd, (hq + hkv) * hd)
+        put_qlin(
+            f"{p}.self_attn.v_proj", qkv, (hq + hkv) * hd, (hq + 2 * hkv) * hd
+        )
+        put_qlin(f"{p}.self_attn.o_proj", blk.attn.o_proj, 0, cfg.hidden_size)
+        put_qlin(f"{p}.mlp.gate_proj", blk.mlp.gate_up_proj, 0, F)
+        put_qlin(f"{p}.mlp.up_proj", blk.mlp.gate_up_proj, F, 2 * F)
+        put_qlin(f"{p}.mlp.down_proj", blk.mlp.down_proj, 0, cfg.hidden_size)
+        store[f"{p}.input_layernorm.weight"] = f16(blk.attn_norm)
+        store[f"{p}.post_attention_layernorm.weight"] = f16(blk.mlp_norm)
+
+    store["model.embed_tokens.weight"] = f16(params.embed)
+    store["model.norm.weight"] = f16(params.final_norm)
+    if not cfg.tie_word_embeddings:
+        put_float_linear("lm_head", params.lm_head)
+
+    os.makedirs(save_dir, exist_ok=True)
+    save_file(store, os.path.join(save_dir, "model.safetensors"))
+    # the artifact IS GEMM-layout — mark it so (both for AutoAWQ itself and
+    # for load_autoawq picking the GEMM importer)
+    qcfg = dataclasses.replace(qcfg, version="gemm")
+    hf_cfg = {
+        "model_type": (
+            cfg.model_type if cfg.model_type in ("llama", "mistral", "qwen2")
+            else "llama"
+        ),
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "num_hidden_layers": cfg.num_hidden_layers,
+        "num_attention_heads": cfg.num_attention_heads,
+        "num_key_value_heads": cfg.num_key_value_heads,
+        "intermediate_size": cfg.intermediate_size,
+        "max_position_embeddings": cfg.max_position_embeddings,
+        "rms_norm_eps": cfg.rms_norm_eps,
+        "rope_theta": cfg.rope_theta,
+        "tie_word_embeddings": cfg.tie_word_embeddings,
+        "head_dim": cfg.head_dim,
+        "attention_bias": cfg.attention_bias,
+        "torch_dtype": "float16",
+        "quantization_config": qcfg.to_transformers_dict(),
+    }
+    with open(os.path.join(save_dir, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=2)
+    qcfg.save_pretrained(save_dir)
+
+
 def _load_flat(model_dir: str) -> Tuple[Dict[str, np.ndarray], dict]:
     from safetensors.numpy import load_file
 

@@ -43,6 +43,30 @@ def test_native_round_trip(tmp_path):
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
 
 
+def test_awq_export_roundtrip(tmp_path):
+    """save_quantized(awq_format=True) writes an AutoAWQ GEMM checkpoint
+    that loads back through the AWQ importer with matching logits (the
+    reference export_compatible artifact, models/base.py:123-138)."""
+    p = init_float_params(CFG, jax.random.PRNGKey(3))
+    qp = quantize_params(p, CFG, group_size=32)
+    qcfg = QuantConfig(q_group_size=32)
+    model = AutoQuickModel(qp, CFG, qcfg)
+    out = str(tmp_path / "awq")
+    model.save_quantized(out, awq_format=True)
+    assert os.path.exists(os.path.join(out, "model.safetensors"))
+    with open(os.path.join(out, "quant_config.json")) as f:
+        assert json.load(f)["version"] == "gemm"
+
+    m2 = AutoQuickModel.from_quantized(out)
+    toks = jnp.arange(8, dtype=jnp.int32).reshape(1, 8)
+    l1, _ = model_forward(qp, CFG, toks)
+    l2, _ = model_forward(m2.params, m2.cfg, toks)
+    # qweight/qzeros round-trip exactly; scales pass through fp16
+    np.testing.assert_allclose(
+        np.asarray(l1), np.asarray(l2), atol=0.05, rtol=0.05
+    )
+
+
 def _write_hf_llama_checkpoint(dirpath, rng, moe=False):
     """Synthesize a minimal HF-format llama/mixtral checkpoint."""
     D, F, L, V = 64, 128, 2, 128
