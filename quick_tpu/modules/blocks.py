@@ -95,18 +95,31 @@ def _use_paged_kernel(cache) -> bool:
     return jax.default_backend() != "cpu"
 
 
-def _use_dense_decode_kernel() -> bool:
-    """Dense-cache decode through the paged kernel (identity block table).
-
-    OPT-IN ONLY (QUICK_TPU_DENSE_KERNEL=1): with page = the whole max_seq,
-    each grid step's in-kernel softmax runs over an [Hq, Hkv*max_seq] tile
-    serially per sequence — measured ~1.5x slower than the XLA einsum path
-    at 7B bs=64 (tools/decode_breakdown.py). The einsum path spreads the
-    same VPU work across the batch. Revisit if a chunked dense kernel
-    (page-sized steps over a contiguous cache) is added."""
+def _use_dense_decode_kernel(B, Hq, Hkv, cache, D) -> bool:
+    """Dense-cache decode through the chunked Pallas kernel
+    (ops/decode_attention.py). QUICK_TPU_DENSE_KERNEL=1 forces it in
+    interpret mode for CPU tests; =0 forces the XLA einsum baseline."""
     import os
 
-    return os.environ.get("QUICK_TPU_DENSE_KERNEL", "") == "1"
+    from quick_tpu.ops import decode_attention as dda
+
+    env = os.environ.get("QUICK_TPU_DENSE_KERNEL", "")
+    if env == "0":
+        return False
+    if hasattr(cache, "block_table"):
+        # paged cache with the kernel forced off: keep the XLA gather
+        # baseline as the comparison path
+        return False
+    if not dda.supports(B, Hq, Hkv, cache.max_seq, D):
+        return False
+    if env == "1":
+        return True
+    if jax.default_backend() == "cpu":
+        return False
+    # small KV reads (bs=1-ish) are einsum territory: the kernel's
+    # per-grid-step overhead outweighs its fusion win under ~8MB/layer
+    # (measured 131.9 vs 137 tok/s at 7B bs=1)
+    return 2 * B * cache.max_seq * Hkv * D * 2 >= 8 << 20
 
 
 def attention_forward(
@@ -160,22 +173,18 @@ def attention_forward(
                 v_scales=cache.v_scales[layer_idx] if quant else None,
                 interpret=jax.default_backend() == "cpu",
             )[:, None]
-        elif S == 1 and _use_dense_decode_kernel():
-            # opt-in: the head-major dense layer [B, Hkv, Smax, D] IS a page
-            # array [P=B, Hkv, page=Smax, D] — ride the paged Pallas kernel
-            # with an identity block table (see _use_dense_decode_kernel for
-            # why this is not the default)
-            from quick_tpu.ops.paged_attention import paged_decode_attention
+        elif S == 1 and _use_dense_decode_kernel(B, hq, hkv, cache, hd):
+            # chunked dense-decode Pallas kernel: batch-blocked grid steps,
+            # DMA skipped past the valid length (ops/decode_attention.py).
+            # The WHOLE cache stack goes in (layer picked by BlockSpec) —
+            # slicing first would materialize a copy of the slice per step
+            from quick_tpu.ops.decode_attention import dense_decode_attention
 
-            k_all, v_all = cache.layer(layer_idx)
-            ident = jnp.arange(B, dtype=jnp.int32)[:, None]
-            lengths = jnp.broadcast_to(
-                jnp.reshape(start + 1, (-1,)), (B,)
-            ).astype(jnp.int32)
-            out = paged_decode_attention(
-                q[:, 0], k_all, v_all, ident, lengths, alibi_slopes=slopes,
+            out = dense_decode_attention(
+                q, cache.k, cache.v, start + 1, layer=layer_idx,
+                alibi_slopes=slopes,
                 interpret=jax.default_backend() == "cpu",
-            )[:, None]
+            )
         else:
             k_all, v_all = cache.layer(layer_idx)  # [B, Hkv, T, D] head-major
             out = causal_attention(
