@@ -86,6 +86,13 @@ class Engine:
         # params must already be sharded (parallel.shard_params)
         sampling=None,  # SamplingParams; default greedy
         seed: int = 0,
+        decode_window: int = 8,  # decode-only steps dispatched as ONE
+        # device program (on-device token feedback, one host sync per
+        # window — the vLLM "multi-step scheduling" idea, no reference
+        # analog). Slots that finish mid-window compute discarded junk for
+        # the window's remainder; admission waits for the window end. 1
+        # restores step-at-a-time behavior. Greedy outputs are identical
+        # either way (tests/test_serving.py).
     ):
         from quick_tpu.runtime.generate import SamplingParams
 
@@ -109,6 +116,10 @@ class Engine:
         self.slot_pages: List[List[int]] = [[] for _ in range(max_slots)]
         self.finished: Dict[int, List[int]] = {}
         self._uid = 0
+        self.decode_window = max(1, decode_window)
+        # pipelined decode windows: (device tokens [B, W], slot snapshot)
+        # dispatched but not yet drained — see _decode_window_step
+        self._inflight = None
 
         self._tp = mesh is not None
         if mesh is not None:
@@ -121,6 +132,7 @@ class Engine:
             from quick_tpu.parallel.sharding import (
                 paged_cache_spec,
                 sharded_engine_step_fn,
+                sharded_engine_window_fn,
             )
 
             self.cache = jax.tree_util.tree_map(
@@ -130,6 +142,14 @@ class Engine:
             step_fn = sharded_engine_step_fn(
                 cfg, mesh, params, kv_quantized=self.cache.quantized
             )
+            if self.decode_window > 1:
+                self._tp_window_fn = jax.jit(
+                    sharded_engine_window_fn(
+                        cfg, mesh, params, kv_quantized=self.cache.quantized,
+                        window=self.decode_window,
+                    ),
+                    donate_argnums=(1,),
+                )
         else:
             from quick_tpu.runtime.generate import sample_token
 
@@ -148,6 +168,37 @@ class Engine:
         # donate the cache so XLA aliases k_pages/v_pages in place instead of
         # copying GBs of cache every step
         self._step_fn = jax.jit(step_fn, donate_argnums=(1,))
+
+        if not self._tp:
+            from quick_tpu.runtime.generate import sample_token
+
+            sampling_cfg2 = self.sampling
+
+            def window_fn(params, cache, tokens, valid, key, d):
+                # d decode steps fused into one program: the sampled token
+                # feeds the next step ON DEVICE, so the host syncs once per
+                # window instead of once per token
+                def body(i, carry):
+                    tokens, cache, out, key = carry
+                    key, sub = jax.random.split(key)
+                    logits, cache = model_forward(
+                        params, cfg, tokens, cache, advance=valid
+                    )
+                    nxt = sample_token(logits[:, 0], sampling_cfg2, sub)
+                    out = jax.lax.dynamic_update_slice(
+                        out, nxt[:, None].astype(jnp.int32), (0, i)
+                    )
+                    return nxt[:, None].astype(jnp.int32), cache, out, key
+
+                out0 = jnp.zeros((tokens.shape[0], d), jnp.int32)
+                _, cache, out, _ = jax.lax.fori_loop(
+                    0, d, body, (tokens, cache, out0, key)
+                )
+                return out, cache
+
+            self._window_fn = jax.jit(
+                window_fn, static_argnums=(5,), donate_argnums=(1,)
+            )
 
     # -- submission -------------------------------------------------------------
     def submit(
@@ -215,11 +266,43 @@ class Engine:
     def has_work(self) -> bool:
         return bool(self.queue) or any(r is not None for r in self.slots)
 
+    def _window_ok(self) -> bool:
+        """Decode-window eligibility: decode-only batch, non-TP, and every
+        active slot has >= 2*window+1 free positions (host-side bookkeeping
+        — no device fetch; two windows can be un-drained at once under
+        pipelining), so mid-window overruns stay inside the block table
+        (junk tokens land in the slot's own slack or the trash page and
+        are discarded by the drain loop)."""
+        if self.decode_window <= 1:
+            return False
+        active = [r for r in self.slots if r is not None]
+        if not active:
+            return False
+        W = 2 * self.decode_window
+        return all(
+            r.prefill_done
+            and len(r.prompt) + len(r.output) + W < self.max_seq
+            for r in active
+        )
+
+    @property
+    def max_seq(self) -> int:
+        return self.page_size * self.cache.block_table.shape[1]
+
     # -- the step ----------------------------------------------------------------
     def step(self) -> None:
-        """Admit, run one chunked mixed prefill/decode step, retire."""
+        """Admit, run one chunked mixed prefill/decode step, retire.
+
+        Decode-only batches with window headroom dispatch
+        ``decode_window`` fused steps (see _window_ok)."""
         self._admit()
         B = self.max_slots
+        if self._window_ok():
+            self._decode_window_step()
+            return
+        self._flush_window()
+        if all(r is None for r in self.slots):
+            return  # flush retired everything; nothing left to batch
         # decode-only steps run at S=1: no padded chunk compute, and the
         # paged-attention kernel path (S==1 gate, modules/blocks.py) engages.
         # jit caches both the [B, chunk] and [B, 1] programs.
@@ -263,6 +346,62 @@ class Engine:
             else:
                 req.output.append(int(sampled[slot]))
             if req.done:
+                self._retire(slot)
+
+    def _decode_window_step(self) -> None:
+        """Dispatch the NEXT decode window before draining the previous one
+        (software pipelining): window k+1's input token comes from window
+        k's device-side output — no host fetch on the dispatch path — so
+        the host drain/schedule work overlaps device compute. Slots that
+        the drain then retires were still computing in the in-flight
+        window; their writes land in their own (reset-on-retire) pages or
+        the trash page and their tokens are discarded by the done-guard."""
+        B, W = self.max_slots, self.decode_window
+        valid = np.zeros((B,), np.int32)
+        for slot, req in enumerate(self.slots):
+            if req is not None and not req.done:
+                valid[slot] = 1
+        if self._inflight is None:
+            tokens = np.zeros((B, 1), np.int32)
+            for slot, req in enumerate(self.slots):
+                if req is None:
+                    continue
+                tokens[slot, 0] = (
+                    req.output[-1] if req.output else req.prompt[-1]
+                )
+            tok_in = jnp.asarray(tokens)
+        else:
+            tok_in = self._inflight[0][:, -1:]  # device array, not fetched
+        if self._tp:
+            toks, self.cache = self._tp_window_fn(
+                self.params, self.cache, tok_in, jnp.asarray(valid)
+            )
+        else:
+            self._key, sub = jax.random.split(self._key)
+            toks, self.cache = self._window_fn(
+                self.params, self.cache, tok_in, jnp.asarray(valid), sub, W,
+            )
+        prev = self._inflight
+        self._inflight = (toks, list(self.slots))
+        if prev is not None:
+            self._drain_window(prev)
+
+    def _flush_window(self) -> None:
+        if self._inflight is not None:
+            prev, self._inflight = self._inflight, None
+            self._drain_window(prev)
+
+    def _drain_window(self, inflight) -> None:
+        toks, snapshot = inflight
+        toks = np.asarray(toks)  # ONE host sync for W tokens
+        for slot, req in enumerate(snapshot):
+            if req is None or req.done:
+                continue  # idle, or retired while this window was in flight
+            for j in range(toks.shape[1]):
+                req.output.append(int(toks[slot, j]))
+                if req.done:
+                    break  # the window's remaining tokens are junk
+            if req.done and self.slots[slot] is req:
                 self._retire(slot)
 
     def run(self, max_steps: int = 100_000) -> Dict[int, List[int]]:

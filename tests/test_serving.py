@@ -360,3 +360,34 @@ def test_engine_sampling(params):
     a, b = run(0), run(123)
     assert len(a) == 12 and len(b) == 12
     assert a != b
+
+
+def test_engine_decode_window_equivalence(params):
+    """decode_window=8 (fused multi-step dispatch) must produce byte-identical
+    greedy outputs to step-at-a-time (window=1), including EOS retirement
+    mid-window and slot reuse after a windowed retirement."""
+    p1 = list(range(3, 14))
+    p2 = list(range(30, 38))
+    def run(window):
+        eng = Engine(params, TINY, max_slots=2, max_seq=64, page_size=4,
+                     chunk=4, dtype=jnp.float32, decode_window=window)
+        u1 = eng.submit(p1, max_new_tokens=11)
+        u2 = eng.submit(p2, max_new_tokens=5)   # finishes mid-window
+        outs = eng.run()
+        u3 = eng.submit(p2, max_new_tokens=7)   # reuses a freed slot
+        outs.update(eng.run())
+        return outs[u1], outs[u2], outs[u3]
+    assert run(8) == run(1)
+
+
+def test_engine_window_respects_capacity(params):
+    """A slot near table capacity must fall back to per-step decode (no
+    window overrun past the block table)."""
+    prompt = list(range(3, 25))
+    eng = Engine(params, TINY, max_slots=1, max_seq=32, page_size=4, chunk=8,
+                 dtype=jnp.float32, decode_window=8)
+    uid = eng.submit(prompt, max_new_tokens=8)
+    outs = eng.run()
+    assert len(outs[uid]) == 8
+    ref = _greedy_reference(params, prompt, 8)
+    assert outs[uid] == ref

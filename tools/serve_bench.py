@@ -1,0 +1,96 @@
+"""End-to-end serving throughput: real Engine.run() wall-clock on a
+ShareGPT-like workload (the reference's vLLM-integration benchmark analog,
+reference README.md:184-191 — ShareGPT_V3 throughput on A6000).
+
+No dataset egress in this environment, so request shapes are drawn from a
+lognormal fit of ShareGPT_V3 (median prompt ~170 tok, median output ~150,
+heavy right tail, clipped to the slot capacity) with random token ids —
+throughput doesn't depend on token VALUES, only lengths/schedule.
+
+    JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache python tools/serve_bench.py \
+        --requests 128 --slots 64 --kv int8
+
+Measures wall-clock including host scheduling and the tunnel's ~80ms
+round-trip per host sync (real co-located serving would see less).
+"""
+import sys; sys.path.insert(0, ".")
+import argparse, time
+
+import numpy as np, jax, jax.numpy as jnp
+
+from quick_tpu import ModelConfig
+from quick_tpu.models import init_quant_params
+from quick_tpu.runtime.serving import Engine
+
+
+def sharegpt_like_lengths(rng, n, p_clip, o_clip):
+    # lognormal(5.0, 0.9) ~ median 148; separate draw for outputs
+    p = np.clip(rng.lognormal(5.0, 0.9, n).astype(int), 4, p_clip)
+    o = np.clip(rng.lognormal(4.9, 0.8, n).astype(int), 4, o_clip)
+    return p, o
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=128)
+    ap.add_argument("--slots", type=int, default=64)
+    ap.add_argument("--kv", choices=["bf16", "int8"], default="int8")
+    ap.add_argument("--page", type=int, default=64)
+    ap.add_argument("--max_seq", type=int, default=1024)
+    ap.add_argument("--chunk", type=int, default=64)
+    ap.add_argument("--window", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    cfg = ModelConfig(
+        vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+        num_hidden_layers=32, num_attention_heads=32,
+        num_key_value_heads=8, max_position_embeddings=4096,
+        model_type="mistral")
+
+    t0 = time.time()
+    params = init_quant_params(cfg, jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(jax.device_put, params)
+    eng = Engine(
+        params, cfg, max_slots=args.slots, max_seq=args.max_seq,
+        page_size=args.page, chunk=args.chunk,
+        dtype=jnp.int8 if args.kv == "int8" else jnp.bfloat16,
+        decode_window=args.window,
+    )
+    print(f"init: {time.time()-t0:.1f}s", flush=True)
+
+    rng = np.random.default_rng(args.seed)
+    plens, olens = sharegpt_like_lengths(
+        rng, args.requests, args.max_seq // 2, args.max_seq // 3
+    )
+    for p, o in zip(plens, olens):
+        eng.submit([int(t) for t in rng.integers(0, 32000, p)], int(o))
+    n_prompt, n_out = int(plens.sum()), int(olens.sum())
+    print(f"{args.requests} requests: {n_prompt} prompt tok "
+          f"(median {int(np.median(plens))}), {n_out} output tok "
+          f"(median {int(np.median(olens))})", flush=True)
+
+    # run 1 compiles the three programs (chunk prefill, S=1 mixed, decode
+    # window); run 2 reuses the SAME engine (same jit wrappers — no
+    # retrace) on a fresh batch for the warm number
+    t0 = time.time()
+    outs = eng.run()
+    wall1 = time.time() - t0
+    got = sum(len(v) for v in outs.values())
+    print(f"run 1 (compiles included): {wall1:.1f}s "
+          f"-> {got/wall1:.1f} out tok/s", flush=True)
+
+    for p, o in zip(plens, olens):
+        eng.submit([int(t) for t in rng.integers(0, 32000, p)], int(o))
+    t0 = time.time()
+    outs2 = eng.run()
+    wall = time.time() - t0
+    got2 = sum(len(v) for v in outs2.values()) - got
+    assert got2 == n_out, (got2, n_out)
+    print(f"run 2 (warm): {wall:.1f}s", flush=True)
+    print(f"  output throughput: {got2/wall:.1f} tok/s", flush=True)
+    print(f"  total throughput (prompt+output): "
+          f"{(n_prompt+got2)/wall:.1f} tok/s", flush=True)
+
+
+main()
