@@ -185,6 +185,40 @@ class PagedKVCache:
             self, length=jnp.asarray(length, jnp.int32)
         )
 
+    # -- sub-batch views (decoupled prefill, runtime/serving.py) ---------------
+    def select(
+        self, slot_ids: jax.Array, row_valid: jax.Array
+    ) -> "PagedKVCache":
+        """Sub-batch VIEW over the same page pool: per-slot metadata
+        (block-table rows, lengths) gathered for ``slot_ids``; rows with
+        ``row_valid`` False get all-trash table rows and length 0, so any
+        slot id works as padding. Pages are shared, so updates through the
+        view write the real cache — fold metadata back with merge()."""
+        bt = jnp.where(
+            row_valid[:, None], self.block_table[slot_ids], TRASH_PAGE
+        )
+        ln = jnp.where(row_valid, self.length[slot_ids], 0)
+        return dataclasses.replace(self, block_table=bt, length=ln)
+
+    def merge(
+        self, sub: "PagedKVCache", slot_ids: jax.Array, row_valid: jax.Array
+    ) -> "PagedKVCache":
+        """Fold a select() view's updates back: page arrays come from the
+        view (updated in place); lengths scatter-max back — max makes
+        duplicate/padding slot ids harmless (lengths only grow between
+        host-side retirements, and invalid rows contribute 0)."""
+        ln = self.length.at[slot_ids].max(
+            jnp.where(row_valid, sub.length, 0)
+        )
+        return dataclasses.replace(
+            self,
+            k_pages=sub.k_pages,
+            v_pages=sub.v_pages,
+            k_scales=sub.k_scales,
+            v_scales=sub.v_scales,
+            length=ln,
+        )
+
 
 def _use_write_kernel() -> bool:
     """Route page writes to the Pallas scatter kernel on TPU

@@ -90,9 +90,12 @@ class Engine:
         # device program (on-device token feedback, one host sync per
         # window — the vLLM "multi-step scheduling" idea, no reference
         # analog). Slots that finish mid-window compute discarded junk for
-        # the window's remainder; admission waits for the window end. 1
-        # restores step-at-a-time behavior. Greedy outputs are identical
-        # either way (tests/test_serving.py).
+        # the window's remainder. 1 restores step-at-a-time behavior.
+        # Greedy outputs are identical either way (tests/test_serving.py).
+        prefill_rows: int = 8,  # sub-batch width of the decoupled prefill
+        # program (non-TP): admissions prefill through a
+        # [prefill_rows, chunk] program over gathered slot metadata while
+        # decode windows keep running — see step()
     ):
         from quick_tpu.runtime.generate import SamplingParams
 
@@ -117,9 +120,13 @@ class Engine:
         self.finished: Dict[int, List[int]] = {}
         self._uid = 0
         self.decode_window = max(1, decode_window)
-        # pipelined decode windows: (device tokens [B, W], slot snapshot)
-        # dispatched but not yet drained — see _decode_window_step
+        self.prefill_rows = max(1, min(prefill_rows, max_slots))
+        # pipelined decode window: (device tokens [B, W], slot snapshot,
+        # valid mask) dispatched but not yet drained — see _dispatch_window
         self._inflight = None
+        # un-fetched first-token samples from completed prefills:
+        # (device [P] sampled, [(row, slot, request)]) — see _drain_pending
+        self._pending = []
 
         self._tp = mesh is not None
         if mesh is not None:
@@ -200,6 +207,23 @@ class Engine:
                 window_fn, static_argnums=(5,), donate_argnums=(1,)
             )
 
+            def prefill_fn(params, cache, tokens, slot_ids, valid, key):
+                # decoupled prefill: [P, C] chunk over a gathered sub-batch
+                # view of the shared page pool (paged_cache.select/merge)
+                row_valid = valid > 0
+                sub = cache.select(slot_ids, row_valid)
+                logits, sub = model_forward(
+                    params, cfg, tokens, sub, advance=valid
+                )
+                last = jnp.maximum(valid - 1, 0)
+                row = jnp.take_along_axis(
+                    logits, last[:, None, None], axis=1
+                )[:, 0]
+                sampled = sample_token(row, sampling_cfg, key)
+                return sampled, cache.merge(sub, slot_ids, row_valid)
+
+            self._prefill_fn = jax.jit(prefill_fn, donate_argnums=(1,))
+
     # -- submission -------------------------------------------------------------
     def submit(
         self,
@@ -266,23 +290,15 @@ class Engine:
     def has_work(self) -> bool:
         return bool(self.queue) or any(r is not None for r in self.slots)
 
-    def _window_ok(self) -> bool:
-        """Decode-window eligibility: decode-only batch, non-TP, and every
-        active slot has >= 2*window+1 free positions (host-side bookkeeping
-        — no device fetch; two windows can be un-drained at once under
-        pipelining), so mid-window overruns stay inside the block table
-        (junk tokens land in the slot's own slack or the trash page and
-        are discarded by the drain loop)."""
-        if self.decode_window <= 1:
-            return False
-        active = [r for r in self.slots if r is not None]
-        if not active:
-            return False
+    def _cap_ok(self, reqs) -> bool:
+        """Window capacity: every decoding request needs >= 2*window+1 free
+        positions (host-side bookkeeping — no device fetch; two windows can
+        be un-drained at once under pipelining), so mid-window overruns
+        stay inside the block table (junk tokens land in the slot's own
+        slack or the trash page and are discarded by the drain loop)."""
         W = 2 * self.decode_window
         return all(
-            r.prefill_done
-            and len(r.prompt) + len(r.output) + W < self.max_seq
-            for r in active
+            len(r.prompt) + len(r.output) + W < self.max_seq for r in reqs
         )
 
     @property
@@ -291,18 +307,73 @@ class Engine:
 
     # -- the step ----------------------------------------------------------------
     def step(self) -> None:
-        """Admit, run one chunked mixed prefill/decode step, retire.
+        """Admit, dispatch, drain, retire — one scheduler turn.
 
-        Decode-only batches with window headroom dispatch
-        ``decode_window`` fused steps (see _window_ok)."""
+        Non-TP with decode_window > 1 runs the DECOUPLED schedule: decoding
+        slots advance through pipelined fused windows ([B, 1] x W programs)
+        while prefilling slots advance through small [prefill_rows, chunk]
+        sub-batch programs over gathered slot metadata (the page pool is
+        shared, modules/paged_cache.py select/merge) — so admission churn
+        never drags every decoding slot through a padded [B, chunk] step
+        (which costs ~B x the prefill FLOPs; measured 193 -> see
+        tools/serve_bench.py). The padded mixed step remains for cold
+        start (nothing decoding yet), TP, capacity-tight tails, and
+        decode_window=1."""
         self._admit()
         B = self.max_slots
-        if self._window_ok():
-            self._decode_window_step()
-            return
+        W = self.decode_window
+        prefilling = [
+            s for s, r in enumerate(self.slots)
+            if r is not None and not r.prefill_done
+        ]
+        ready = [
+            s for s, r in enumerate(self.slots)
+            if r is not None and r.prefill_done and r.output and not r.done
+        ]
+        if W > 1 and not self._tp:
+            # decoupled mode pays off when decode dominates (steady churn:
+            # a few admissions against a mostly-decoding batch). While
+            # prefill dominates (cold start), the bulk padded [B, chunk]
+            # program prefills prefill_rows x faster and there are few
+            # decoders to drag through it.
+            decoupled = len(ready) >= len(prefilling)
+            wants = ready or prefilling or self._pending
+            if wants and decoupled and self._cap_ok(
+                [self.slots[s] for s in ready]
+            ):
+                # dispatch everything first (device queues the programs),
+                # then drain ONLY results of previous steps: this step's
+                # prefill samples queue behind the window just dispatched,
+                # so fetching them now would stall the pipeline for the
+                # whole window — they wait one step (pending_prev)
+                pending_prev, self._pending = self._pending, []
+                prev = self._dispatch_window(ready) if ready else None
+                if prefilling:
+                    self._prefill_substep(prefilling)
+                if prev is not None:
+                    self._drain_window(prev)
+                elif not ready:
+                    self._flush_window()  # stale in-flight, no new window
+                self._drain_pending(pending_prev)
+                return
+        elif self._tp and W > 1:
+            active = [r for r in self.slots if r is not None]
+            if (
+                active
+                and all(r.prefill_done and r.output for r in active)
+                and self._cap_ok(active)
+            ):
+                prev = self._dispatch_window(
+                    [s for s, r in enumerate(self.slots) if r is not None]
+                )
+                if prev is not None:
+                    self._drain_window(prev)
+                return
+        # ---- padded mixed path (cold start / TP prefill / tight tails) ----
+        self._drain_pending()
         self._flush_window()
         if all(r is None for r in self.slots):
-            return  # flush retired everything; nothing left to batch
+            return  # flushes retired everything; nothing left to batch
         # decode-only steps run at S=1: no padded chunk compute, and the
         # paged-attention kernel path (S==1 gate, modules/blocks.py) engages.
         # jit caches both the [B, chunk] and [B, 1] programs.
@@ -348,30 +419,34 @@ class Engine:
             if req.done:
                 self._retire(slot)
 
-    def _decode_window_step(self) -> None:
-        """Dispatch the NEXT decode window before draining the previous one
-        (software pipelining): window k+1's input token comes from window
-        k's device-side output — no host fetch on the dispatch path — so
-        the host drain/schedule work overlaps device compute. Slots that
-        the drain then retires were still computing in the in-flight
-        window; their writes land in their own (reset-on-retire) pages or
-        the trash page and their tokens are discarded by the done-guard."""
+    def _dispatch_window(self, ready) -> Optional[tuple]:
+        """Dispatch a decode window for the ``ready`` slots and return the
+        previously in-flight window (software pipelining): the new window's
+        input token for a slot that was decoding in the previous window
+        comes from that window's device-side output — no host fetch on the
+        dispatch path — so host drain/schedule work overlaps device
+        compute. Slots the subsequent drain retires were still computing
+        in the in-flight window; their writes land in their own
+        (reset-on-retire) pages or the trash page and their tokens are
+        discarded by the drain's valid/done guards."""
         B, W = self.max_slots, self.decode_window
         valid = np.zeros((B,), np.int32)
-        for slot, req in enumerate(self.slots):
-            if req is not None and not req.done:
-                valid[slot] = 1
-        if self._inflight is None:
-            tokens = np.zeros((B, 1), np.int32)
-            for slot, req in enumerate(self.slots):
-                if req is None:
-                    continue
-                tokens[slot, 0] = (
-                    req.output[-1] if req.output else req.prompt[-1]
-                )
-            tok_in = jnp.asarray(tokens)
+        host_tok = np.zeros((B, 1), np.int32)
+        for s in ready:
+            valid[s] = 1
+            host_tok[s, 0] = self.slots[s].output[-1]
+        prev = self._inflight
+        if prev is not None:
+            # rows decoding in BOTH windows chain on device; rows newly
+            # joining (first window after prefill) start from their host
+            # token (fetched by _drain_pending)
+            cont = (prev[2] > 0) & (valid > 0)
+            tok_in = jnp.where(
+                jnp.asarray(cont)[:, None], prev[0][:, -1:],
+                jnp.asarray(host_tok),
+            )
         else:
-            tok_in = self._inflight[0][:, -1:]  # device array, not fetched
+            tok_in = jnp.asarray(host_tok)
         if self._tp:
             toks, self.cache = self._tp_window_fn(
                 self.params, self.cache, tok_in, jnp.asarray(valid)
@@ -381,10 +456,8 @@ class Engine:
             toks, self.cache = self._window_fn(
                 self.params, self.cache, tok_in, jnp.asarray(valid), sub, W,
             )
-        prev = self._inflight
-        self._inflight = (toks, list(self.slots))
-        if prev is not None:
-            self._drain_window(prev)
+        self._inflight = (toks, list(self.slots), valid)
+        return prev
 
     def _flush_window(self) -> None:
         if self._inflight is not None:
@@ -392,17 +465,63 @@ class Engine:
             self._drain_window(prev)
 
     def _drain_window(self, inflight) -> None:
-        toks, snapshot = inflight
+        toks, snapshot, valid = inflight
         toks = np.asarray(toks)  # ONE host sync for W tokens
         for slot, req in enumerate(snapshot):
-            if req is None or req.done:
-                continue  # idle, or retired while this window was in flight
+            if req is None or not valid[slot] or req.done:
+                continue  # idle/prefilling row, or retired in flight
             for j in range(toks.shape[1]):
                 req.output.append(int(toks[slot, j]))
                 if req.done:
                     break  # the window's remaining tokens are junk
             if req.done and self.slots[slot] is req:
                 self._retire(slot)
+
+    # -- decoupled prefill (non-TP) ---------------------------------------------
+    def _prefill_substep(self, prefilling) -> None:
+        """Advance up to ``prefill_rows`` prefilling slots by one chunk
+        through the gathered sub-batch program — decoding slots never pay
+        for it. The sampled next-token of rows that complete their prompt
+        is NOT fetched here: it goes on the pending list and is fetched at
+        the step's drain point, overlapping the in-flight window."""
+        P, C = self.prefill_rows, self.chunk
+        rows = prefilling[:P]
+        slot_ids = np.zeros((P,), np.int32)
+        valid = np.zeros((P,), np.int32)
+        tokens = np.zeros((P, C), np.int32)
+        fin = []
+        for i, s in enumerate(rows):
+            r = self.slots[s]
+            nxt = r.prompt[r.prefill_cursor : r.prefill_cursor + C]
+            tokens[i, : len(nxt)] = nxt
+            valid[i] = len(nxt)
+            slot_ids[i] = s
+            r.prefill_cursor += len(nxt)
+            if r.prefill_done:
+                fin.append((i, s, r))
+        # padding rows need DISTINCT slot ids (merge scatters by id);
+        # select() trashes their table rows via row_valid, so any unused
+        # slot works
+        pad_pool = [s for s in range(self.max_slots) if s not in rows]
+        for i in range(len(rows), P):
+            slot_ids[i] = pad_pool[i - len(rows)]
+        self._key, sub = jax.random.split(self._key)
+        sampled, self.cache = self._prefill_fn(
+            self.params, self.cache, jnp.asarray(tokens),
+            jnp.asarray(slot_ids), jnp.asarray(valid), sub,
+        )
+        if fin:
+            self._pending.append((sampled, fin))
+
+    def _drain_pending(self, pending=None) -> None:
+        if pending is None:
+            pending, self._pending = self._pending, []
+        for sampled, fin in pending:
+            vals = np.asarray(sampled)  # tiny [P]; overlaps in-flight work
+            for i, slot, req in fin:
+                req.output.append(int(vals[i]))
+                if req.done and self.slots[slot] is req:
+                    self._retire(slot)
 
     def run(self, max_steps: int = 100_000) -> Dict[int, List[int]]:
         """Step until all submitted work is finished; returns uid -> tokens."""
