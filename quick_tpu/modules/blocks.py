@@ -166,11 +166,14 @@ def attention_forward(
             from quick_tpu.ops.paged_attention import paged_decode_attention
 
             quant = getattr(cache, "quantized", False)
+            # whole page/scale stacks + layer index: pre-sliced custom-call
+            # operands would be materialized as per-step copies
             out = paged_decode_attention(
-                q[:, 0], cache.k_pages[layer_idx], cache.v_pages[layer_idx],
-                cache.block_table, start + 1, alibi_slopes=slopes,
-                k_scales=cache.k_scales[layer_idx] if quant else None,
-                v_scales=cache.v_scales[layer_idx] if quant else None,
+                q[:, 0], cache.k_pages, cache.v_pages,
+                cache.block_table, start + 1, layer=layer_idx,
+                alibi_slopes=slopes,
+                k_scales=cache.k_scales if quant else None,
+                v_scales=cache.v_scales if quant else None,
                 interpret=jax.default_backend() == "cpu",
             )[:, None]
         elif S == 1 and _use_dense_decode_kernel(B, hq, hkv, cache, hd):

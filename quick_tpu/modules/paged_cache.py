@@ -40,10 +40,14 @@ class PagedKVCache:
     (ops/paged_attention.py).
     block_table:     [max_slots, max_pages_per_seq] int32 physical page ids
     length:          [max_slots] int32 valid tokens per slot
-    k_scales/v_scales: [L, n_pages, H_kv, page_size] f32 per-token-per-head
+    k_scales/v_scales: [L, n_pages, H_kv * page_size] f32 per-token-per-head
     absmax scales when the pages are INT8-quantized (``dtype=jnp.int8`` at
     create — halves KV HBM bytes and doubles KV capacity per chip; no
     reference analog, the reference cache is fp16-only). None for float KV.
+    The (head, token) plane is stored FLAT in the minor dim: a [.., H, page]
+    layout with page < 128 pads the lane dim 2x physically (wasting ~130MB
+    HBM at 7B serving scale and doubling every scale-scatter temp), and the
+    paged-attention kernel wants the flat (head, token) lane order anyway.
     """
 
     k_pages: jax.Array
@@ -75,8 +79,14 @@ class PagedKVCache:
                 (max_slots, max_pages_per_seq), TRASH_PAGE, jnp.int32
             ),
             length=jnp.zeros((max_slots,), jnp.int32),
-            k_scales=jnp.zeros(shape[:-1], jnp.float32) if quant else None,
-            v_scales=jnp.zeros(shape[:-1], jnp.float32) if quant else None,
+            k_scales=(
+                jnp.zeros((n_layers, n_pages, n_kv * page_size), jnp.float32)
+                if quant else None
+            ),
+            v_scales=(
+                jnp.zeros((n_layers, n_pages, n_kv * page_size), jnp.float32)
+                if quant else None
+            ),
         )
 
     @property
@@ -145,15 +155,20 @@ class PagedKVCache:
             )
         if not self.quantized:
             return dataclasses.replace(self, k_pages=kp, v_pages=vp)
-        # scales layout [L, P, H, page]: the advanced-index pattern yields
-        # [B, S, H] — matching the per-token-per-head scales (small plane;
-        # the XLA scatter is cheap here)
+        # scales layout [L, P, H*page] (flat, see class docstring): scatter
+        # per-head entries at flat positions h*page + off (small plane; the
+        # XLA scatter is cheap here)
+        H = k_new.shape[2]
+        sidx = (
+            jnp.arange(H, dtype=jnp.int32)[None, None, :] * self.page_size
+            + off[:, :, None]
+        )  # [B, S, H]
         return dataclasses.replace(
             self,
             k_pages=kp,
             v_pages=vp,
-            k_scales=self.k_scales.at[layer, page, :, off].set(ks),
-            v_scales=self.v_scales.at[layer, page, :, off].set(vs),
+            k_scales=self.k_scales.at[layer, page[:, :, None], sidx].set(ks),
+            v_scales=self.v_scales.at[layer, page[:, :, None], sidx].set(vs),
         )
 
     def layer(self, i: int) -> Tuple[jax.Array, jax.Array]:
@@ -172,8 +187,11 @@ class PagedKVCache:
         v = jnp.moveaxis(v, 2, 1).reshape(B, H, -1, D)
         if not self.quantized:
             return k, v
-        ks = self.k_scales[i][self.block_table]  # [B, P_seq, H, page]
+        n_pt = self.block_table.shape[1]
+        ks = self.k_scales[i][self.block_table]  # [B, P_seq, H*page] flat
         vs = self.v_scales[i][self.block_table]
+        ks = ks.reshape(B, n_pt, H, self.page_size)
+        vs = vs.reshape(B, n_pt, H, self.page_size)
         ks = jnp.moveaxis(ks, 2, 1).reshape(B, H, -1, 1)
         vs = jnp.moveaxis(vs, 2, 1).reshape(B, H, -1, 1)
         kd = (k.astype(jnp.float32) * ks).astype(jnp.bfloat16)

@@ -32,16 +32,15 @@ NEG_INF = -1e30
 def _paged_kernel(
     bt_ref, len_ref,                  # SMEM: [B, n_pt], [B]
     q_ref, slope_ref,                 # VMEM: [1,Hq,D], [Hq,1]
-    *rest,                            # ppb x (k_ref, v_ref [1,Hkv,page,D]),
+    *rest,                            # ppb x (k_ref, v_ref [1,1,Hkv,page,D]),
                                       # then ppb x (ks_ref, vs_ref
-                                      # [1,1,Hkv*page] f32) if quantized,
-                                      # then o_ref, m/l/acc scratch
+                                      # [1,8,Hkv*page] f32 — the page's
+                                      # aligned 8-row scale group) if
+                                      # quantized, then o_ref, m/l/acc
+                                      # scratch
     page: int, gq: int, hkv: int, scale: float, use_alibi: bool,
     quantized: bool, ppb: int,
 ):
-    # ks_ref/vs_ref blocks are [1, 1, Hkv*page] f32 — pre-flattened on the
-    # host so the lane dim is already (head, token)-major (Mosaic cannot
-    # shape-cast a [Hkv, page] sublane x lane tile into lanes in-kernel)
     kv_refs = rest[: 2 * ppb]
     rest = rest[2 * ppb :]
     if quantized:
@@ -70,7 +69,7 @@ def _paged_kernel(
 
         @pl.when(base < length)
         def _compute(k_ref=k_ref, v_ref=v_ref, ks_ref=ks_ref,
-                     vs_ref=vs_ref, base=base):
+                     vs_ref=vs_ref, j=j, base=base):
             hq = hkv * gq
             T = hkv * page
             # storage-dtype (bf16) operands: MXU accumulates bf16 products
@@ -80,7 +79,7 @@ def _paged_kernel(
             # multiplies instead of [T, D] (the W4A16 kernel's output-side
             # scaling idea applied to the KV cache)
             q = q_ref[0]                                 # [Hq, D]
-            k = k_ref[0].reshape(T, -1)                  # [Hkv*page, D]
+            k = k_ref[0, 0].reshape(T, -1)               # [Hkv*page, D]
             if quantized:
                 k = k.astype(jnp.bfloat16)
             # ONE MXU-shaped dot for all heads; cross-head products are
@@ -91,7 +90,17 @@ def _paged_kernel(
                 preferred_element_type=jnp.float32,
             ) * scale                                    # [Hq, Hkv*page]
             if quantized:
-                s = s * ks_ref[0]
+                # the [1, 8, T] scale block holds the page's aligned 8-row
+                # group (a single [1, T] row is not a legal Mosaic block;
+                # see the BlockSpec note in paged_decode_attention): pick
+                # the page's row with a masked sublane reduction
+                pid = bt_ref[b, i * ppb + j]
+                sel = jax.lax.broadcasted_iota(
+                    jnp.int32, ks_ref[0].shape, 0
+                ) == pid % 8
+                s = s * jnp.sum(
+                    jnp.where(sel, ks_ref[0], 0.0), axis=0, keepdims=True
+                )                                        # [1, T] row
             head_q = jax.lax.broadcasted_iota(jnp.int32, (hq, T), 0) // gq
             head_k = jax.lax.broadcasted_iota(jnp.int32, (hq, T), 1) // page
             pos_k = base + (
@@ -108,10 +117,12 @@ def _paged_kernel(
             p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
             alpha = jnp.exp(m_prev - m_new)
             l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            v = v_ref[0].reshape(T, -1)                  # [Hkv*page, D]
+            v = v_ref[0, 0].reshape(T, -1)               # [Hkv*page, D]
             if quantized:
                 # fold v's per-row scales into the probabilities
-                p = p * vs_ref[0]
+                p = p * jnp.sum(
+                    jnp.where(sel, vs_ref[0], 0.0), axis=0, keepdims=True
+                )
                 v = v.astype(jnp.bfloat16)
             acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -128,30 +139,46 @@ def _paged_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "interpret")
+    jax.jit, static_argnames=("layer", "scale", "interpret")
 )  # quantized-ness is static via k_scales None-ness (jit re-traces)
 def paged_decode_attention(
     q: jax.Array,            # [B, Hq, D] one decode step's queries
-    k_pages: jax.Array,      # [P, Hkv, page, D] (one layer's pages)
-    v_pages: jax.Array,
+    k_pages: jax.Array,      # [L, P, Hkv, page, D] page stack — or a single
+    v_pages: jax.Array,      # layer's [P, Hkv, page, D] (wrapped as L=1)
     block_table: jax.Array,  # [B, n_pt] int32 physical page ids
     lengths: jax.Array,      # [B] int32 valid tokens per slot (incl. current)
+    layer: int = 0,
     scale: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,
-    k_scales: Optional[jax.Array] = None,  # [P, Hkv, page] f32 when the
-    v_scales: Optional[jax.Array] = None,  # pages are INT8-quantized
+    k_scales: Optional[jax.Array] = None,  # [L, P, Hkv*page] f32 (flat, see
+    v_scales: Optional[jax.Array] = None,  # paged_cache) when INT8; or
+    # a single layer's [P, Hkv, page] / [P, Hkv*page]
     interpret: bool = False,
 ) -> jax.Array:
     """Returns [B, Hq, D]. The current step's K/V must already be written
-    into the pages (the cache updates before attention)."""
+    into the pages (the cache updates before attention).
+
+    Pass the whole page/scale stacks plus ``layer`` (NOT pre-sliced layers)
+    when calling from a model step: a sliced custom-call operand makes XLA
+    materialize a copy of the slice per layer per step (see
+    ops/decode_attention.py)."""
+    single_layer = k_pages.ndim == 4
+    if single_layer:
+        k_pages, v_pages = k_pages[None], v_pages[None]
+        layer = 0
     B, Hq, D = q.shape
-    P, Hkv, page, _ = k_pages.shape
+    _, P, Hkv, page, _ = k_pages.shape
     n_pt = block_table.shape[1]
     gq = Hq // Hkv
     if scale is None:
         scale = D ** -0.5
     use_alibi = alibi_slopes is not None
     quantized = k_scales is not None
+    if quantized and single_layer:
+        # single-layer convenience forms ([P, Hkv, page] or [P, Hkv*page])
+        # -> stacked flat [1, P, Hkv*page]
+        k_scales = k_scales.reshape(1, P, Hkv * page)
+        v_scales = v_scales.reshape(1, P, Hkv * page)
     # slopes ride in VMEM as [Hq, 1] (read whole once per step, broadcast
     # along lanes) — not reassembled from SMEM scalars in the hot loop
     slopes = (
@@ -170,14 +197,8 @@ def paged_decode_attention(
             # clamp steps past the slot's last valid page to that page:
             # repeated block index -> Mosaic skips the DMA re-issue
             last = jnp.maximum(ln[b] - 1, 0) // page
-            return (bt[b, jnp.minimum(i * ppb + j, last)], 0, 0, 0)
+            return (layer, bt[b, jnp.minimum(i * ppb + j, last)], 0, 0, 0)
         return kv_index
-
-    def scale_index_j(j):
-        def scale_index(b, i, bt, ln):
-            last = jnp.maximum(ln[b] - 1, 0) // page
-            return (bt[b, jnp.minimum(i * ppb + j, last)], 0, 0)
-        return scale_index
 
     in_specs = [
         pl.BlockSpec((1, Hq, D), lambda b, i, bt, ln: (b, 0, 0)),
@@ -186,23 +207,39 @@ def paged_decode_attention(
     inputs = [q, slopes]
     for j in range(ppb):
         in_specs += [
-            pl.BlockSpec((1, Hkv, page, D), kv_index_j(j)),
-            pl.BlockSpec((1, Hkv, page, D), kv_index_j(j)),
+            pl.BlockSpec((1, 1, Hkv, page, D), kv_index_j(j)),
+            pl.BlockSpec((1, 1, Hkv, page, D), kv_index_j(j)),
         ]
         inputs += [k_pages, v_pages]
+    T = Hkv * page
     if quantized:
-        # flatten (head, token) into the lane dim host-side: the kernel
-        # multiplies [Hq, T] tiles by a [1, T] row directly
-        T = Hkv * page
-        ks2 = k_scales.reshape(P, 1, T)
-        vs2 = v_scales.reshape(P, 1, T)
+        # a single [1, T] scale row is not a legal Mosaic block over the
+        # [L, P, T] stack (second-minor block dim 1), and host-side
+        # reshapes to a legal [P, 1, T] pad every row 8x (a 16MB padded
+        # copy per layer per step, measured ~8% of the INT8 serving step).
+        # Instead each block is the page's aligned [8, T] row GROUP —
+        # legal, Mosaic-pipelined like the kv blocks — and the kernel
+        # selects the row. Boundary blocks read padding rows, never
+        # selected (pid's own row is always real).
+        def scale_index_j(j):
+            def scale_index(b, i, bt, ln):
+                last = jnp.maximum(ln[b] - 1, 0) // page
+                pid = bt[b, jnp.minimum(i * ppb + j, last)]
+                return (layer, pid // 8, 0)
+            return scale_index
+
         for j in range(ppb):
             in_specs += [
-                pl.BlockSpec((1, 1, T), scale_index_j(j)),
-                pl.BlockSpec((1, 1, T), scale_index_j(j)),
+                pl.BlockSpec((1, 8, T), scale_index_j(j)),
+                pl.BlockSpec((1, 8, T), scale_index_j(j)),
             ]
-            inputs += [ks2, vs2]
+            inputs += [k_scales, v_scales]
 
+    scratch_shapes = [
+        pltpu.VMEM((Hq, 1), jnp.float32),
+        pltpu.VMEM((Hq, 1), jnp.float32),
+        pltpu.VMEM((Hq, D), jnp.float32),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, n_pt // ppb),
@@ -210,11 +247,7 @@ def paged_decode_attention(
         out_specs=pl.BlockSpec(
             (1, Hq, D), lambda b, i, bt, ln: (b, 0, 0)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((Hq, 1), jnp.float32),
-            pltpu.VMEM((Hq, 1), jnp.float32),
-            pltpu.VMEM((Hq, D), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     out = pl.pallas_call(
         functools.partial(

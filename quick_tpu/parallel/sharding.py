@@ -228,7 +228,9 @@ def paged_cache_spec(quantized: bool = False):
     INT8 per-token scale planes (same head sharding)."""
     from quick_tpu.modules.paged_cache import PagedKVCache
 
-    sc = P(None, None, MODEL_AXIS, None) if quantized else None
+    # scales are [L, P, Hkv*page] with (head, token) flat in the minor dim:
+    # sharding that dim over model splits it into contiguous head groups
+    sc = P(None, None, MODEL_AXIS) if quantized else None
     return PagedKVCache(
         k_pages=P(None, None, MODEL_AXIS, None, None),
         v_pages=P(None, None, MODEL_AXIS, None, None),
