@@ -38,6 +38,11 @@ class Request:
     # runtime state
     output: List[int] = dataclasses.field(default_factory=list)
     prefill_cursor: int = 0
+    # prefix caching (runtime/prefix_cache.py): chain hashes of the
+    # prompt's shareable full pages, and how many leading pages this
+    # request REUSES from the index (those are never re-registered)
+    page_hashes: List[int] = dataclasses.field(default_factory=list)
+    n_reused: int = 0
 
     @property
     def prefill_done(self) -> bool:
@@ -96,6 +101,10 @@ class Engine:
         # program (non-TP): admissions prefill through a
         # [prefill_rows, chunk] program over gathered slot metadata while
         # decode windows keep running — see step()
+        prefix_cache: bool = True,  # automatic prefix caching: requests
+        # sharing a prompt prefix reuse its KV pages and skip recomputing
+        # it (runtime/prefix_cache.py); retired prompts stay warm in an
+        # LRU until allocation pressure evicts them
     ):
         from quick_tpu.runtime.generate import SamplingParams
 
@@ -114,6 +123,12 @@ class Engine:
             cfg.num_key_value_heads, cfg.head_dim, dtype,
         )
         self.alloc = PageAllocator(n_pages)
+        if prefix_cache:
+            from quick_tpu.runtime.prefix_cache import PrefixCache
+
+            self.prefix: Optional[PrefixCache] = PrefixCache(self.alloc)
+        else:
+            self.prefix = None
         self.queue: Deque[Request] = deque()
         self.slots: List[Optional[Request]] = [None] * max_slots
         self.slot_pages: List[List[int]] = [[] for _ in range(max_slots)]
@@ -127,6 +142,21 @@ class Engine:
         # un-fetched first-token samples from completed prefills:
         # (device [P] sampled, [(row, slot, request)]) — see _drain_pending
         self._pending = []
+        # scheduler observability (the reference has no metrics subsystem;
+        # SURVEY.md section 5): program dispatch counts by kind, token
+        # totals, and occupancy-weighted step counts
+        self.stats = {
+            "steps": 0,            # scheduler turns
+            "window_steps": 0,     # fused decode-window dispatches
+            "prefill_substeps": 0,  # decoupled [P, chunk] dispatches
+            "mixed_steps": 0,      # padded [B, chunk] / [B, 1] dispatches
+            "tokens_out": 0,       # sampled tokens delivered to requests
+            "prompt_tokens": 0,    # prompt tokens consumed by prefill
+            "admitted": 0,
+            "retired": 0,
+            "decode_slot_steps": 0,  # sum over windows of ready-slots * W
+            "prefix_hit_tokens": 0,  # prompt tokens served from the index
+        }
 
         self._tp = mesh is not None
         if mesh is not None:
@@ -251,10 +281,27 @@ class Engine:
                     f"request {req.uid} needs {need} pages > table width "
                     f"{max_pages}; raise max_seq"
                 )
-            pages = self.alloc.alloc(need)
-            if pages is None:
-                return  # no memory — retry after a retirement
+            covered = 0
+            if self.prefix is not None:
+                from quick_tpu.runtime.prefix_cache import page_hashes
+
+                req.page_hashes = page_hashes(req.prompt, self.page_size)
+                reused = self.prefix.match(req.page_hashes)
+                fresh = self.prefix.alloc(need - len(reused))
+                if fresh is None:
+                    self.prefix.release(reused)
+                    return  # no memory — retry after a retirement
+                pages = reused + fresh
+                req.n_reused = len(reused)
+                covered = len(reused) * self.page_size
+                req.prefill_cursor = covered
+                self.stats["prefix_hit_tokens"] += covered
+            else:
+                pages = self.alloc.alloc(need)
+                if pages is None:
+                    return  # no memory — retry after a retirement
             self.queue.popleft()
+            self.stats["admitted"] += 1
             self.slots[slot] = req
             self.slot_pages[slot] = pages
             row = np.full((max_pages,), 0, np.int32)
@@ -264,13 +311,19 @@ class Engine:
                 block_table=self.cache.block_table.at[slot].set(
                     jnp.asarray(row)
                 ),
-                length=self.cache.length.at[slot].set(0),
+                # reused prefix pages are already-valid context: the slot
+                # starts life mid-prefill at ``covered`` tokens
+                length=self.cache.length.at[slot].set(covered),
             )
 
     def _retire(self, slot: int) -> None:
         req = self.slots[slot]
+        self.stats["retired"] += 1
         self.finished[req.uid] = req.output
-        self.alloc.release(self.slot_pages[slot])
+        if self.prefix is not None:
+            self.prefix.release(self.slot_pages[slot])
+        else:
+            self.alloc.release(self.slot_pages[slot])
         self.slot_pages[slot] = []
         self.slots[slot] = None
         # CRITICAL: reset the slot's table row and length. An idle slot still
@@ -285,6 +338,19 @@ class Engine:
             ),
             length=self.cache.length.at[slot].set(0),
         )
+
+    def _register_prompt_pages(self, slot: int, req, old_cursor: int) -> None:
+        """Publish prompt pages this slot finished writing (their prefill
+        chunk has been DISPATCHED; any future sharer's programs are
+        dispatched — and so execute — strictly after it)."""
+        if self.prefix is None:
+            return
+        lo = max(old_cursor // self.page_size, req.n_reused)
+        hi = min(
+            req.prefill_cursor // self.page_size, len(req.page_hashes)
+        )
+        for i in range(lo, hi):
+            self.prefix.register(req.page_hashes[i], self.slot_pages[slot][i])
 
     @property
     def has_work(self) -> bool:
@@ -320,6 +386,7 @@ class Engine:
         start (nothing decoding yet), TP, capacity-tight tails, and
         decode_window=1."""
         self._admit()
+        self.stats["steps"] += 1
         B = self.max_slots
         W = self.decode_window
         prefilling = [
@@ -348,8 +415,15 @@ class Engine:
                 # whole window — they wait one step (pending_prev)
                 pending_prev, self._pending = self._pending, []
                 prev = self._dispatch_window(ready) if ready else None
-                if prefilling:
-                    self._prefill_substep(prefilling)
+                # the whole prefill backlog advances every step (one
+                # sub-batch program dispatch per prefill_rows slots):
+                # capping admission at one substep starves slot occupancy
+                # under churn — decode emits ~ready*window tokens per step,
+                # so admission must keep pace
+                for off in range(0, len(prefilling), self.prefill_rows):
+                    self._prefill_substep(
+                        prefilling[off : off + self.prefill_rows]
+                    )
                 if prev is not None:
                     self._drain_window(prev)
                 elif not ready:
@@ -407,15 +481,24 @@ class Engine:
                 jnp.asarray(valid), sub,
             )
         sampled = np.asarray(sampled)
+        self.stats["mixed_steps"] += 1
+        self.stats["prompt_tokens"] += int(
+            sum(v for s2, v in enumerate(valid) if self.slots[s2] is not None
+                and not self.slots[s2].prefill_done)
+        )
         for slot, req in enumerate(self.slots):
             if req is None:
                 continue
             if not req.prefill_done:
+                old_cursor = req.prefill_cursor
                 req.prefill_cursor += int(valid[slot])
+                self._register_prompt_pages(slot, req, old_cursor)
                 if req.prefill_done:
                     req.output.append(int(sampled[slot]))
+                    self.stats["tokens_out"] += 1
             else:
                 req.output.append(int(sampled[slot]))
+                self.stats["tokens_out"] += 1
             if req.done:
                 self._retire(slot)
 
@@ -457,6 +540,8 @@ class Engine:
                 self.params, self.cache, tok_in, jnp.asarray(valid), sub, W,
             )
         self._inflight = (toks, list(self.slots), valid)
+        self.stats["window_steps"] += 1
+        self.stats["decode_slot_steps"] += int(valid.sum()) * W
         return prev
 
     def _flush_window(self) -> None:
@@ -472,6 +557,7 @@ class Engine:
                 continue  # idle/prefilling row, or retired in flight
             for j in range(toks.shape[1]):
                 req.output.append(int(toks[slot, j]))
+                self.stats["tokens_out"] += 1
                 if req.done:
                     break  # the window's remaining tokens are junk
             if req.done and self.slots[slot] is req:
@@ -496,7 +582,9 @@ class Engine:
             tokens[i, : len(nxt)] = nxt
             valid[i] = len(nxt)
             slot_ids[i] = s
+            old_cursor = r.prefill_cursor
             r.prefill_cursor += len(nxt)
+            self._register_prompt_pages(s, r, old_cursor)
             if r.prefill_done:
                 fin.append((i, s, r))
         # padding rows need DISTINCT slot ids (merge scatters by id);
@@ -505,6 +593,8 @@ class Engine:
         pad_pool = [s for s in range(self.max_slots) if s not in rows]
         for i in range(len(rows), P):
             slot_ids[i] = pad_pool[i - len(rows)]
+        self.stats["prefill_substeps"] += 1
+        self.stats["prompt_tokens"] += int(valid.sum())
         self._key, sub = jax.random.split(self._key)
         sampled, self.cache = self._prefill_fn(
             self.params, self.cache, jnp.asarray(tokens),
@@ -520,6 +610,7 @@ class Engine:
             vals = np.asarray(sampled)  # tiny [P]; overlaps in-flight work
             for i, slot, req in fin:
                 req.output.append(int(vals[i]))
+                self.stats["tokens_out"] += 1
                 if req.done and self.slots[slot] is req:
                     self._retire(slot)
 

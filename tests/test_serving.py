@@ -391,3 +391,80 @@ def test_engine_window_respects_capacity(params):
     assert len(outs[uid]) == 8
     ref = _greedy_reference(params, prompt, 8)
     assert outs[uid] == ref
+
+
+def test_engine_multi_substep_and_stats(params):
+    """prefill_rows=2 with 5 concurrent prefills forces multiple decoupled
+    prefill sub-batches per step; outputs must still match independent
+    greedy generation, and the scheduler stats must account for every
+    token."""
+    rng = np.random.default_rng(3)
+    reqs = [([int(t) for t in rng.integers(0, 256, int(rng.integers(4, 14)))],
+             int(rng.integers(2, 7))) for _ in range(8)]
+    refs = [_greedy_reference(params, p, g) for p, g in reqs]
+    eng = Engine(params, TINY, max_slots=6, max_seq=48, page_size=4, chunk=4,
+                 dtype=jnp.float32, decode_window=4, prefill_rows=2)
+    uids = [eng.submit(p, max_new_tokens=g) for p, g in reqs]
+    outs = eng.run()
+    for uid, ref in zip(uids, refs):
+        assert outs[uid] == ref, uid
+    st = eng.stats
+    assert st["admitted"] == 8 and st["retired"] == 8
+    assert st["tokens_out"] == sum(len(v) for v in outs.values())
+    assert st["prompt_tokens"] == sum(len(p) for p, _ in reqs)
+    assert st["steps"] > 0 and (
+        st["window_steps"] + st["mixed_steps"] > 0
+    )
+
+
+def test_prefix_cache_reuse_and_correctness(params):
+    """Second request with the same prompt must reuse the first's KV pages
+    (skipping their recompute) and still produce identical greedy output;
+    a divergent-suffix request must only share the common full pages."""
+    prompt = list(range(3, 25))       # 22 tokens, page=4 -> 5 shareable
+    div = prompt[:8] + [99, 98, 97]   # shares first 2 pages only
+    ref = _greedy_reference(params, prompt, 6)
+    ref_div = _greedy_reference(params, div, 6)
+
+    eng = Engine(params, TINY, max_slots=2, max_seq=64, page_size=4, chunk=4,
+                 dtype=jnp.float32)
+    u1 = eng.submit(prompt, max_new_tokens=6)
+    outs = eng.run()
+    assert outs[u1] == ref
+    assert eng.stats["prefix_hit_tokens"] == 0
+    # warm: same prompt -> 5 pages (20 tokens) served from the index
+    u2 = eng.submit(prompt, max_new_tokens=6)
+    u3 = eng.submit(div, max_new_tokens=6)
+    outs = eng.run()
+    assert outs[u2] == ref
+    assert outs[u3] == ref_div
+    assert eng.stats["prefix_hit_tokens"] == 20 + 8
+    assert eng.prefix.hits == 5 + 2
+
+
+def test_prefix_cache_eviction_under_pressure(params):
+    """A tiny page pool forces LRU eviction of retained prompts; admission
+    must still succeed and outputs stay correct."""
+    p1 = list(range(3, 19))
+    p2 = list(range(40, 56))
+    refs = [_greedy_reference(params, p, 4) for p in (p1, p2)]
+    # pool sized so both prompts cannot stay retained at once
+    eng = Engine(params, TINY, max_slots=1, max_seq=32, page_size=4, chunk=8,
+                 dtype=jnp.float32, n_pages=7)
+    for _ in range(2):  # alternate: forces evictions on each re-admit
+        for p, ref in zip((p1, p2), refs):
+            uid = eng.submit(p, max_new_tokens=4)
+            assert eng.run()[uid] == ref
+
+
+def test_prefix_cache_off_matches_on(params):
+    """prefix_cache=False must produce the same outputs (pure perf
+    feature)."""
+    prompts = [list(range(5, 21)), list(range(5, 21)), list(range(60, 70))]
+    def run(flag):
+        eng = Engine(params, TINY, max_slots=2, max_seq=64, page_size=4,
+                     chunk=4, dtype=jnp.float32, prefix_cache=flag)
+        uids = [eng.submit(p, max_new_tokens=5) for p in prompts]
+        outs = eng.run()
+        return [outs[u] for u in uids]
+    assert run(True) == run(False)

@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--window", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--shared_prefix", type=int, default=0, help="prepend a "
+                    "common system-prompt of this many tokens to every "
+                    "request (exercises the prefix cache)")
     args = ap.parse_args()
 
     cfg = ModelConfig(
@@ -63,8 +66,11 @@ def main():
     plens, olens = sharegpt_like_lengths(
         rng, args.requests, args.max_seq // 2, args.max_seq // 3
     )
+    sys_prompt = [int(t) for t in rng.integers(0, 32000, args.shared_prefix)]
+    plens = plens + args.shared_prefix
     for p, o in zip(plens, olens):
-        eng.submit([int(t) for t in rng.integers(0, 32000, p)], int(o))
+        body = [int(t) for t in rng.integers(0, 32000, p - args.shared_prefix)]
+        eng.submit(sys_prompt + body, int(o))
     n_prompt, n_out = int(plens.sum()), int(olens.sum())
     print(f"{args.requests} requests: {n_prompt} prompt tok "
           f"(median {int(np.median(plens))}), {n_out} output tok "
@@ -81,7 +87,8 @@ def main():
           f"-> {got/wall1:.1f} out tok/s", flush=True)
 
     for p, o in zip(plens, olens):
-        eng.submit([int(t) for t in rng.integers(0, 32000, p)], int(o))
+        body = [int(t) for t in rng.integers(0, 32000, p - args.shared_prefix)]
+        eng.submit(sys_prompt + body, int(o))
     t0 = time.time()
     outs2 = eng.run()
     wall = time.time() - t0
@@ -91,6 +98,7 @@ def main():
     print(f"  output throughput: {got2/wall:.1f} tok/s", flush=True)
     print(f"  total throughput (prompt+output): "
           f"{(n_prompt+got2)/wall:.1f} tok/s", flush=True)
+    print(f"  scheduler stats: {eng.stats}", flush=True)
 
 
 main()
