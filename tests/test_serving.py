@@ -468,3 +468,33 @@ def test_prefix_cache_off_matches_on(params):
         outs = eng.run()
         return [outs[u] for u in uids]
     assert run(True) == run(False)
+
+
+def test_engine_fuzz_shared_prefixes(params):
+    """Fuzz with prompts drawn from a few shared prefix families: prefix
+    reuse under slot churn and pipelined windows must not perturb any
+    output."""
+    rng = np.random.default_rng(11)
+    families = [
+        [int(t) for t in rng.integers(0, 256, 12)] for _ in range(3)
+    ]
+    eng = Engine(params, TINY, max_slots=3, max_seq=48, page_size=4, chunk=4,
+                 dtype=jnp.float32, decode_window=4, prefill_rows=2)
+    reqs = []
+    for i in range(12):
+        fam = families[int(rng.integers(0, 3))]
+        cut = int(rng.integers(0, 13))
+        tail = [int(t) for t in rng.integers(0, 256, int(rng.integers(1, 6)))]
+        prompt = fam[:cut] + tail
+        reqs.append((prompt, int(rng.integers(1, 6))))
+    refs = [_greedy_reference(params, p, g) for p, g in reqs]
+    uids = []
+    for prompt, glen in reqs:
+        uids.append(eng.submit(prompt, max_new_tokens=glen))
+        for _ in range(int(rng.integers(0, 3))):
+            if eng.has_work:
+                eng.step()
+    outs = eng.run()
+    for uid, ref in zip(uids, refs):
+        assert outs[uid] == ref, uid
+    assert eng.prefix.hits > 0  # families DID share pages
