@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 from collections import deque
-from typing import Deque, Dict, List, Optional
+from typing import Callable, Deque, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,9 +35,18 @@ class Request:
     prompt: List[int]
     max_new_tokens: int
     eos_token_id: Optional[int] = None
+    # additional stop tokens (any hit ends the request, like HF generate's
+    # ``eos_token_id`` list form / vLLM's ``stop_token_ids``)
+    stop_token_ids: Optional[frozenset] = None
+    # streaming: called as on_token(uid, token_id) for every token the
+    # scheduler DELIVERS (fused decode windows deliver in bursts of up to
+    # ``decode_window`` tokens — that batching is the engine's throughput
+    # mechanism, not a buffering artifact)
+    on_token: Optional[Callable[[int, int], None]] = None
     # runtime state
     output: List[int] = dataclasses.field(default_factory=list)
     prefill_cursor: int = 0
+    aborted: bool = False
     # prefix caching (runtime/prefix_cache.py): chain hashes of the
     # prompt's shareable full pages, and how many leading pages this
     # request REUSES from the index (those are never re-registered)
@@ -50,13 +59,14 @@ class Request:
 
     @property
     def done(self) -> bool:
-        if len(self.output) >= self.max_new_tokens:
+        if self.aborted or len(self.output) >= self.max_new_tokens:
             return True
-        return bool(
-            self.output
-            and self.eos_token_id is not None
-            and self.output[-1] == self.eos_token_id
-        )
+        if not self.output:
+            return False
+        last = self.output[-1]
+        if self.eos_token_id is not None and last == self.eos_token_id:
+            return True
+        return bool(self.stop_token_ids) and last in self.stop_token_ids
 
 
 class Engine:
@@ -260,13 +270,46 @@ class Engine:
         prompt: List[int],
         max_new_tokens: int,
         eos_token_id: Optional[int] = None,
+        stop_token_ids=None,
+        on_token: Optional[Callable[[int, int], None]] = None,
     ) -> int:
         uid = self._uid
         self._uid += 1
         self.queue.append(
-            Request(uid, list(prompt), max_new_tokens, eos_token_id)
+            Request(
+                uid, list(prompt), max_new_tokens, eos_token_id,
+                frozenset(stop_token_ids) if stop_token_ids else None,
+                on_token,
+            )
         )
         return uid
+
+    def abort(self, uid: int) -> bool:
+        """Cancel a request. Queued requests are dropped; active requests
+        retire immediately with whatever they produced so far (the partial
+        output appears in ``finished``/``run()`` like a completed one; an
+        in-flight decode window may still be computing the slot — its junk
+        tokens are discarded by the drain's done guard, and its page writes
+        land on the retired slot's reset (trash) table row). Returns False
+        if the uid is unknown or already finished."""
+        for req in self.queue:
+            if req.uid == uid:
+                req.aborted = True
+                self.queue.remove(req)
+                self.finished[uid] = req.output
+                return True
+        for slot, req in enumerate(self.slots):
+            if req is not None and req.uid == uid:
+                req.aborted = True
+                self._retire(slot)
+                return True
+        return False
+
+    def _emit(self, req: Request, token: int) -> None:
+        req.output.append(token)
+        self.stats["tokens_out"] += 1
+        if req.on_token is not None:
+            req.on_token(req.uid, token)
 
     # -- scheduling -------------------------------------------------------------
     def _admit(self) -> None:
@@ -494,12 +537,10 @@ class Engine:
                 req.prefill_cursor += int(valid[slot])
                 self._register_prompt_pages(slot, req, old_cursor)
                 if req.prefill_done:
-                    req.output.append(int(sampled[slot]))
-                    self.stats["tokens_out"] += 1
+                    self._emit(req, int(sampled[slot]))
             else:
-                req.output.append(int(sampled[slot]))
-                self.stats["tokens_out"] += 1
-            if req.done:
+                self._emit(req, int(sampled[slot]))
+            if req.done and self.slots[slot] is req:
                 self._retire(slot)
 
     def _dispatch_window(self, ready) -> Optional[tuple]:
@@ -556,8 +597,7 @@ class Engine:
             if req is None or not valid[slot] or req.done:
                 continue  # idle/prefilling row, or retired in flight
             for j in range(toks.shape[1]):
-                req.output.append(int(toks[slot, j]))
-                self.stats["tokens_out"] += 1
+                self._emit(req, int(toks[slot, j]))
                 if req.done:
                     break  # the window's remaining tokens are junk
             if req.done and self.slots[slot] is req:
@@ -609,8 +649,9 @@ class Engine:
         for sampled, fin in pending:
             vals = np.asarray(sampled)  # tiny [P]; overlaps in-flight work
             for i, slot, req in fin:
-                req.output.append(int(vals[i]))
-                self.stats["tokens_out"] += 1
+                if req.done:
+                    continue  # aborted while its first token was pending
+                self._emit(req, int(vals[i]))
                 if req.done and self.slots[slot] is req:
                     self._retire(slot)
 

@@ -498,3 +498,59 @@ def test_engine_fuzz_shared_prefixes(params):
     for uid, ref in zip(uids, refs):
         assert outs[uid] == ref, uid
     assert eng.prefix.hits > 0  # families DID share pages
+
+
+def test_stop_token_ids(params):
+    """Generation halts at the first token in stop_token_ids, like at eos."""
+    prompt = list(range(5, 17))
+    ref = _greedy_reference(params, prompt, 12)
+    eng = Engine(params, TINY, max_slots=2, max_seq=64, page_size=4, chunk=4,
+                 dtype=jnp.float32)
+    stop = ref[4]
+    uid = eng.submit(prompt, max_new_tokens=12, stop_token_ids={stop, 9999})
+    out = eng.run()[uid]
+    first = ref.index(stop)
+    assert out == ref[: first + 1]
+
+
+def test_abort_queued_and_active(params):
+    """Aborting a queued request drops it; aborting an active one retires
+    it with partial output; untouched requests still match the greedy
+    reference."""
+    prompts = [list(range(3, 15)), list(range(40, 50)), list(range(90, 99))]
+    refs = [_greedy_reference(params, p, 10) for p in prompts]
+    eng = Engine(params, TINY, max_slots=2, max_seq=64, page_size=4, chunk=4,
+                 dtype=jnp.float32, decode_window=2)
+    uids = [eng.submit(p, max_new_tokens=10) for p in prompts]
+    # third request queues behind the two slots; abort it before it runs
+    assert eng.abort(uids[2])
+    assert eng.finished[uids[2]] == []
+    # run a few steps, then abort the first mid-generation
+    for _ in range(6):
+        eng.step()
+    assert eng.abort(uids[0])
+    partial = eng.finished[uids[0]]
+    outs = eng.run()
+    assert outs[uids[1]] == refs[1]
+    # the partial output is a strict prefix of the full greedy output and
+    # never grows after the abort
+    assert outs[uids[0]] == partial
+    assert partial == refs[0][: len(partial)]
+    assert not eng.abort(uids[0])  # already finished
+    assert not eng.abort(12345)    # unknown
+
+
+def test_streaming_callback(params):
+    """on_token delivers exactly the output tokens, in order, tagged with
+    the right uid."""
+    prompts = [list(range(3, 15)), list(range(40, 50))]
+    refs = [_greedy_reference(params, p, 6) for p in prompts]
+    eng = Engine(params, TINY, max_slots=2, max_seq=64, page_size=4, chunk=4,
+                 dtype=jnp.float32, decode_window=2)
+    seen = {}
+    cb = lambda uid, tok: seen.setdefault(uid, []).append(tok)
+    uids = [eng.submit(p, max_new_tokens=6, on_token=cb) for p in prompts]
+    outs = eng.run()
+    for uid, ref in zip(uids, refs):
+        assert outs[uid] == ref
+        assert seen[uid] == ref

@@ -1,0 +1,100 @@
+"""Where does INT8 KV lose vs bf16 at serving scale? Stage breakdown.
+
+engine_bench at 128 slots measures bf16 5591 tok/s (22.9 ms/step) vs INT8
+3947 (32.4 ms/step) — INT8 streams HALF the KV bytes yet is 40% slower.
+This tool times the two INT8-specific stages in isolation at the same
+shapes to locate the regression:
+
+  1. paged_decode_attention, bf16 vs int8 pages (B=128, page=64, len=190)
+  2. PagedKVCache.update decode write, bf16 vs int8 (Pallas RMW + the
+     INT8 scale scatter)
+
+Run from repo root on TPU:
+    JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
+    JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5 \
+    timeout 590 python tools/int8_gap_bench.py
+"""
+import sys; sys.path.insert(0, ".")
+import dataclasses, functools, time
+import numpy as np, jax, jax.numpy as jnp
+
+from quick_tpu.modules.paged_cache import PagedKVCache
+from quick_tpu.ops.paged_attention import paged_decode_attention
+
+L, B, Hq, Hkv, D, page = 32, 128, 32, 8, 128, 64
+n_pt = 4                 # max_seq 256
+LEN = 190
+n_pages = 1 + B * n_pt
+rng = np.random.default_rng(0)
+q = jnp.asarray(rng.standard_normal((B, Hq, D)) * 0.3, jnp.bfloat16)
+bt = jnp.asarray(
+    rng.permutation(np.arange(1, n_pages))[: B * n_pt].reshape(B, n_pt),
+    jnp.int32)
+lens = jnp.full((B,), LEN, jnp.int32)
+
+
+def diff_time(run, n1=10, n2=210, reps=4):
+    run(n1)
+    best1 = best2 = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter(); run(n1); best1 = min(best1, time.perf_counter() - t0)
+        t0 = time.perf_counter(); run(n2); best2 = min(best2, time.perf_counter() - t0)
+    return (best2 - best1) / (n2 - n1)
+
+
+# ---- stage 1: attention kernel (single layer's pages, L folded = 1) ----
+def bench_attn(tag, kp, vp, ks, vs, bytes_tok):
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(q, n):
+        def body(i, qq):
+            o = paged_decode_attention(qq, kp, vp, bt, lens,
+                                       k_scales=ks, v_scales=vs)
+            return qq + 0.0 * o.astype(qq.dtype)
+        return jax.lax.fori_loop(0, n, body, q)
+    per = diff_time(lambda n: np.asarray(loop(q, n)[:1, :1]))
+    toks = B * LEN
+    print(f"attn {tag}: {per*1e6:7.1f} us/step  "
+          f"({toks*bytes_tok/per/1e9:5.0f} GB/s eff KV)", flush=True)
+    return per
+
+
+# ---- stage 2: cache decode write (one layer per iteration) ----
+def bench_write(tag, dtype):
+    cache = PagedKVCache.create(L, n_pages, page, B, n_pt * page, Hkv, D,
+                                dtype)
+    cache = dataclasses.replace(cache, block_table=bt, length=lens)
+    kn = jnp.asarray(rng.standard_normal((B, 1, Hkv, D)) * 0.3, jnp.bfloat16)
+    start = lens
+
+    @functools.partial(jax.jit, static_argnames="n", donate_argnums=0)
+    def loop(cache, n):
+        def body(i, c):
+            return c.update(0, kn, kn, start)
+        return jax.lax.fori_loop(0, n, body, cache)
+    per = diff_time(lambda n: np.asarray(loop(cache, n).k_pages[0, 1, 0, 0, :1]),
+                    n1=10, n2=510)
+    print(f"write {tag}: {per*1e6:7.1f} us/layer  (x{2*L} per step = "
+          f"{per*2*L*1e3:.2f} ms)", flush=True)
+    return per
+
+
+if __name__ == "__main__":
+    stages = sys.argv[1:] or ["attn_bf16", "attn_int8", "write_bf16",
+                              "write_int8"]
+    kp = jnp.asarray(rng.standard_normal((n_pages, Hkv, page, D)) * 0.3,
+                     jnp.bfloat16)
+    vp = jnp.asarray(rng.standard_normal((n_pages, Hkv, page, D)) * 0.3,
+                     jnp.bfloat16)
+    kq = jnp.asarray(rng.integers(-127, 128, (n_pages, Hkv, page, D)), jnp.int8)
+    sc = jnp.full((n_pages, Hkv * page), 0.01, jnp.float32)
+    for st in stages:
+        t0 = time.time()
+        if st == "attn_bf16":
+            bench_attn("bf16", kp, vp, None, None, 2 * Hkv * D * 2)
+        elif st == "attn_int8":
+            bench_attn("int8", kq, kq, sc, sc, 2 * Hkv * (D + 4))
+        elif st == "write_bf16":
+            bench_write("bf16", jnp.bfloat16)
+        elif st == "write_int8":
+            bench_write("int8", jnp.int8)
+        print(f"  [{st}: {time.time()-t0:.0f}s total]", flush=True)
