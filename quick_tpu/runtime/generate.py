@@ -48,6 +48,43 @@ def sample_token(
     return jax.random.categorical(key, logits).astype(jnp.int32)
 
 
+def sample_token_rows(
+    logits: jax.Array,   # [B, V]
+    temps: jax.Array,    # [B] f32; 0 => greedy for that row
+    top_ks: jax.Array,   # [B] i32; 0 => disabled
+    top_ps: jax.Array,   # [B] f32; 1.0 => disabled
+    key: jax.Array,
+) -> jax.Array:
+    """Per-ROW sampling for continuous batching: every slot carries its own
+    (temperature, top_k, top_p) — vLLM-style heterogeneous sampling, which
+    the reference's fixed-batch ``model.generate`` cannot express. Fully
+    vectorized: one descending sort per row serves both the top-k threshold
+    (k-th largest value) and the top-p threshold (value at the nucleus
+    cutoff); rows mix greedy and sampled freely. When EVERY row is greedy
+    the sort never executes (lax.cond fast path) — the serving engine's
+    default stays argmax-only. Returns [B] int32."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def _sampled(_):
+        V = logits.shape[-1]
+        t = jnp.where(temps > 0, temps, 1.0)[:, None]
+        scaled = logits.astype(jnp.float32) / t
+        sl = jnp.sort(scaled, axis=-1)[:, ::-1]  # descending
+        k = jnp.clip(top_ks, 0, V)
+        kth = jnp.take_along_axis(sl, jnp.maximum(k - 1, 0)[:, None], axis=-1)
+        kth = jnp.where((k > 0)[:, None], kth, -jnp.inf)
+        probs = jax.nn.softmax(sl, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # smallest prefix whose mass reaches top_p (top-1 always kept)
+        cut = jnp.sum(cum < top_ps[:, None], axis=-1, keepdims=True)
+        pth = jnp.take_along_axis(sl, jnp.minimum(cut, V - 1), axis=-1)
+        masked = jnp.where(scaled < jnp.maximum(kth, pth), -1e9, scaled)
+        drawn = jax.random.categorical(key, masked).astype(jnp.int32)
+        return jnp.where(temps == 0, greedy, drawn)
+
+    return jax.lax.cond(jnp.any(temps > 0), _sampled, lambda _: greedy, None)
+
+
 def make_cache(cfg: ModelConfig, batch: int, max_seq: int, dtype=jnp.bfloat16) -> KVCache:
     return KVCache.create(
         cfg.num_hidden_layers, batch, max_seq,

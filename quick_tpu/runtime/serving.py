@@ -43,6 +43,10 @@ class Request:
     # ``decode_window`` tokens — that batching is the engine's throughput
     # mechanism, not a buffering artifact)
     on_token: Optional[Callable[[int, int], None]] = None
+    # per-request SamplingParams (vLLM-style): None falls back to the
+    # engine-wide default. Heterogeneous rows share one program — see
+    # runtime/generate.py::sample_token_rows
+    sampling: Optional[tuple] = None
     # runtime state
     output: List[int] = dataclasses.field(default_factory=list)
     prefill_cursor: int = 0
@@ -198,11 +202,9 @@ class Engine:
                     donate_argnums=(1,),
                 )
         else:
-            from quick_tpu.runtime.generate import sample_token
+            from quick_tpu.runtime.generate import sample_token_rows
 
-            sampling_cfg = self.sampling
-
-            def step_fn(params, cache, tokens, valid, key):
+            def step_fn(params, cache, tokens, valid, key, temps, tks, tps):
                 logits, cache = model_forward(
                     params, cfg, tokens, cache, advance=valid
                 )
@@ -210,18 +212,17 @@ class Engine:
                 row = jnp.take_along_axis(
                     logits, last[:, None, None], axis=1
                 )[:, 0]  # [B, V] logits at each slot's last valid token
-                return sample_token(row, sampling_cfg, key), cache
+                return sample_token_rows(row, temps, tks, tps, key), cache
 
         # donate the cache so XLA aliases k_pages/v_pages in place instead of
         # copying GBs of cache every step
         self._step_fn = jax.jit(step_fn, donate_argnums=(1,))
 
         if not self._tp:
-            from quick_tpu.runtime.generate import sample_token
+            from quick_tpu.runtime.generate import sample_token_rows
 
-            sampling_cfg2 = self.sampling
-
-            def window_fn(params, cache, tokens, valid, key, d):
+            def window_fn(params, cache, tokens, valid, key,
+                          temps, tks, tps, d):
                 # d decode steps fused into one program: the sampled token
                 # feeds the next step ON DEVICE, so the host syncs once per
                 # window instead of once per token
@@ -231,7 +232,7 @@ class Engine:
                     logits, cache = model_forward(
                         params, cfg, tokens, cache, advance=valid
                     )
-                    nxt = sample_token(logits[:, 0], sampling_cfg2, sub)
+                    nxt = sample_token_rows(logits[:, 0], temps, tks, tps, sub)
                     out = jax.lax.dynamic_update_slice(
                         out, nxt[:, None].astype(jnp.int32), (0, i)
                     )
@@ -244,10 +245,11 @@ class Engine:
                 return out, cache
 
             self._window_fn = jax.jit(
-                window_fn, static_argnums=(5,), donate_argnums=(1,)
+                window_fn, static_argnums=(8,), donate_argnums=(1,)
             )
 
-            def prefill_fn(params, cache, tokens, slot_ids, valid, key):
+            def prefill_fn(params, cache, tokens, slot_ids, valid, key,
+                           temps, tks, tps):
                 # decoupled prefill: [P, C] chunk over a gathered sub-batch
                 # view of the shared page pool (paged_cache.select/merge)
                 row_valid = valid > 0
@@ -259,7 +261,7 @@ class Engine:
                 row = jnp.take_along_axis(
                     logits, last[:, None, None], axis=1
                 )[:, 0]
-                sampled = sample_token(row, sampling_cfg, key)
+                sampled = sample_token_rows(row, temps, tks, tps, key)
                 return sampled, cache.merge(sub, slot_ids, row_valid)
 
             self._prefill_fn = jax.jit(prefill_fn, donate_argnums=(1,))
@@ -272,17 +274,37 @@ class Engine:
         eos_token_id: Optional[int] = None,
         stop_token_ids=None,
         on_token: Optional[Callable[[int, int], None]] = None,
+        sampling=None,
     ) -> int:
+        if sampling is not None and self._tp and sampling.temperature != 0.0:
+            raise NotImplementedError(
+                "TP serving currently samples greedily"
+            )
         uid = self._uid
         self._uid += 1
         self.queue.append(
             Request(
                 uid, list(prompt), max_new_tokens, eos_token_id,
                 frozenset(stop_token_ids) if stop_token_ids else None,
-                on_token,
+                on_token, sampling,
             )
         )
         return uid
+
+    def _samp_rows(self, reqs):
+        """Per-row sampling arrays for a dispatch; None rows (idle or
+        padding) are greedy so an all-greedy batch keeps the argmax-only
+        fast path inside sample_token_rows."""
+        n = len(reqs)
+        temps = np.zeros((n,), np.float32)
+        tks = np.zeros((n,), np.int32)
+        tps = np.ones((n,), np.float32)
+        for i, r in enumerate(reqs):
+            if r is None:
+                continue
+            sp = r.sampling or self.sampling
+            temps[i], tks[i], tps[i] = sp.temperature, sp.top_k, sp.top_p
+        return jnp.asarray(temps), jnp.asarray(tks), jnp.asarray(tps)
 
     def abort(self, uid: int) -> bool:
         """Cancel a request. Queued requests are dropped; active requests
@@ -519,9 +541,10 @@ class Engine:
             )
         else:
             self._key, sub = jax.random.split(self._key)
+            temps, tks, tps = self._samp_rows(self.slots)
             sampled, self.cache = self._step_fn(
                 self.params, self.cache, jnp.asarray(tokens),
-                jnp.asarray(valid), sub,
+                jnp.asarray(valid), sub, temps, tks, tps,
             )
         sampled = np.asarray(sampled)
         self.stats["mixed_steps"] += 1
@@ -577,8 +600,12 @@ class Engine:
             )
         else:
             self._key, sub = jax.random.split(self._key)
+            temps, tks, tps = self._samp_rows(
+                [r if valid[s] else None for s, r in enumerate(self.slots)]
+            )
             toks, self.cache = self._window_fn(
-                self.params, self.cache, tok_in, jnp.asarray(valid), sub, W,
+                self.params, self.cache, tok_in, jnp.asarray(valid), sub,
+                temps, tks, tps, W,
             )
         self._inflight = (toks, list(self.slots), valid)
         self.stats["window_steps"] += 1
@@ -636,9 +663,12 @@ class Engine:
         self.stats["prefill_substeps"] += 1
         self.stats["prompt_tokens"] += int(valid.sum())
         self._key, sub = jax.random.split(self._key)
+        temps, tks, tps = self._samp_rows(
+            [self.slots[s] for s in rows] + [None] * (P - len(rows))
+        )
         sampled, self.cache = self._prefill_fn(
             self.params, self.cache, jnp.asarray(tokens),
-            jnp.asarray(slot_ids), jnp.asarray(valid), sub,
+            jnp.asarray(slot_ids), jnp.asarray(valid), sub, temps, tks, tps,
         )
         if fin:
             self._pending.append((sampled, fin))

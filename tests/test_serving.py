@@ -554,3 +554,39 @@ def test_streaming_callback(params):
     for uid, ref in zip(uids, refs):
         assert outs[uid] == ref
         assert seen[uid] == ref
+
+
+def test_per_request_sampling(params):
+    """Per-request SamplingParams: a greedy request and constrained-sampled
+    requests (top_k=1 / tiny top_p with high temperature — both must equal
+    greedy) coexist in one batch with a free-sampling request."""
+    prompts = [list(range(3, 15)), list(range(40, 50)),
+               list(range(90, 99)), list(range(7, 21))]
+    refs = [_greedy_reference(params, p, 6) for p in prompts]
+    eng = Engine(params, TINY, max_slots=4, max_seq=64, page_size=4, chunk=4,
+                 dtype=jnp.float32, decode_window=2, seed=3)
+    u_greedy = eng.submit(prompts[0], 6)
+    u_topk1 = eng.submit(prompts[1], 6,
+                         sampling=SamplingParams(temperature=5.0, top_k=1))
+    u_topp0 = eng.submit(prompts[2], 6,
+                         sampling=SamplingParams(temperature=5.0, top_p=1e-6))
+    u_free = eng.submit(prompts[3], 6,
+                        sampling=SamplingParams(temperature=1.0))
+    outs = eng.run()
+    assert outs[u_greedy] == refs[0]
+    assert outs[u_topk1] == refs[1]
+    assert outs[u_topp0] == refs[2]
+    assert len(outs[u_free]) == 6
+    assert all(0 <= t < TINY.vocab_size for t in outs[u_free])
+
+
+def test_per_request_sampling_deterministic(params):
+    """Same seed => identical sampled outputs across engine instances."""
+    prompt = list(range(3, 15))
+    def run():
+        eng = Engine(params, TINY, max_slots=2, max_seq=64, page_size=4,
+                     chunk=4, dtype=jnp.float32, decode_window=2, seed=7)
+        uid = eng.submit(prompt, 8,
+                         sampling=SamplingParams(temperature=0.8, top_k=40))
+        return eng.run()[uid]
+    assert run() == run()
