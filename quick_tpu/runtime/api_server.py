@@ -1,0 +1,348 @@
+"""OpenAI-compatible HTTP serving front-end over the continuous-batching
+engine.
+
+The reference's deployment story is its vLLM fork (SURVEY.md section 2.3:
+vllm-quick, ShareGPT throughput README rows); the TPU build serves through
+its own engine (runtime/serving.py), and this module gives it the same
+consumable surface: an OpenAI-style REST API on the Python stdlib only
+(ThreadingHTTPServer — no web-framework dependency).
+
+Endpoints:
+  POST /v1/completions        prompt in, text out; ``stream: true`` => SSE
+  POST /v1/chat/completions   messages in (chat template when the tokenizer
+                              has one), same sampling/stream contract
+  GET  /v1/models             model listing
+  GET  /health                liveness
+  GET  /metrics               engine scheduler stats (runtime/serving.py)
+
+Design: HTTP handler threads never touch the device — they submit under a
+lock and wait. ONE scheduler thread drives ``engine.step()`` whenever the
+engine has work, so all jit dispatch stays single-threaded (XLA programs
+are not re-entrant per buffer donation) and continuous batching happens
+naturally across concurrent HTTP requests: every in-flight request shares
+the same paged cache and step programs.
+
+Streaming rides the engine's ``on_token`` callback into a per-request
+queue; tokens are decoded one at a time (a token that is only half a
+unicode glyph decodes with replacement characters until its pair arrives —
+same tradeoff vLLM's delta decoding makes).
+"""
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from queue import Empty, Queue
+from typing import Dict, Optional
+
+from quick_tpu.runtime.generate import SamplingParams
+from quick_tpu.runtime.serving import Engine
+
+
+class _Completion:
+    """Server-side record of one in-flight API request."""
+
+    def __init__(self, uid: int, n_prompt: int, max_tokens: int,
+                 eos_id: Optional[int], stop_ids: frozenset):
+        self.uid = uid
+        self.n_prompt = n_prompt
+        self.max_tokens = max_tokens
+        self.eos_id = eos_id
+        self.stop_ids = stop_ids
+        self.tokens = Queue()  # streamed token ids; None terminates
+
+    def finish_reason(self, output) -> str:
+        if output and (
+            output[-1] == self.eos_id or output[-1] in self.stop_ids
+        ):
+            return "stop"
+        return "length" if len(output) >= self.max_tokens else "stop"
+
+
+class APIServer:
+    """Serve an Engine over HTTP. ``tokenizer`` needs ``encode(str) ->
+    list[int]`` and ``decode(list[int]) -> str`` (a HF tokenizer works;
+    ``apply_chat_template`` is used for /v1/chat/completions when
+    present)."""
+
+    def __init__(self, engine: Engine, tokenizer, model_name: str = "quick_tpu",
+                 eos_token_id: Optional[int] = None):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.model_name = model_name
+        self.eos_token_id = (
+            eos_token_id
+            if eos_token_id is not None
+            else getattr(tokenizer, "eos_token_id", None)
+        )
+        self._lock = threading.Lock()
+        self._completions: Dict[int, _Completion] = {}
+        self._shutdown = threading.Event()
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._threads = []
+
+    # -- scheduler thread ------------------------------------------------------
+    def _drive(self):
+        while not self._shutdown.is_set():
+            with self._lock:
+                busy = self.engine.has_work
+                if busy:
+                    self.engine.step()
+                    self._signal_finished()
+            if not busy:
+                time.sleep(0.002)
+
+    def _signal_finished(self):
+        # called under the lock after each step: close the token stream of
+        # every completion whose request retired
+        done = [
+            uid for uid in self._completions
+            if uid in self.engine.finished
+        ]
+        for uid in done:
+            self._completions[uid].tokens.put(None)
+
+    # -- submission (handler threads) ------------------------------------------
+    def _submit(self, prompt_ids, max_tokens, sampling, stop_ids) -> _Completion:
+        with self._lock:
+            comp_holder = {}
+
+            def on_token(uid, tok):
+                comp_holder["c"].tokens.put(tok)
+
+            uid = self.engine.submit(
+                list(prompt_ids), max_tokens,
+                eos_token_id=self.eos_token_id,
+                stop_token_ids=stop_ids or None,
+                on_token=on_token,
+                sampling=sampling,
+            )
+            comp = _Completion(uid, len(prompt_ids), max_tokens,
+                               self.eos_token_id, frozenset(stop_ids or ()))
+            comp_holder["c"] = comp
+            self._completions[uid] = comp
+        return comp
+
+    def _wait(self, comp: _Completion, timeout: float = 600.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            with self._lock:
+                out = self.engine.finished.get(comp.uid)
+                if out is not None:
+                    self._completions.pop(comp.uid, None)
+                    return list(out)
+            time.sleep(0.002)
+        raise TimeoutError(f"request {comp.uid} timed out")
+
+    def _iter_stream(self, comp: _Completion, timeout: float = 600.0):
+        """Yield token ids as the scheduler delivers them."""
+        deadline = time.time() + timeout
+        while True:
+            try:
+                tok = comp.tokens.get(timeout=min(1.0, deadline - time.time()))
+            except (Empty, ValueError):
+                if time.time() >= deadline:
+                    raise TimeoutError(f"request {comp.uid} timed out")
+                continue
+            if tok is None:
+                with self._lock:
+                    self._completions.pop(comp.uid, None)
+                return
+            yield tok
+
+    # -- lifecycle -------------------------------------------------------------
+    def start(self, host: str = "127.0.0.1", port: int = 8000) -> int:
+        """Start the scheduler thread and HTTP server; returns the bound
+        port (pass port=0 for an ephemeral one)."""
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                server._handle_get(self)
+
+            def do_POST(self):
+                server._handle_post(self)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._httpd.daemon_threads = True
+        t_http = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t_sched = threading.Thread(target=self._drive, daemon=True)
+        t_http.start()
+        t_sched.start()
+        self._threads = [t_http, t_sched]
+        return self._httpd.server_address[1]
+
+    def stop(self):
+        self._shutdown.set()
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+        for t in self._threads:
+            t.join(timeout=5)
+
+    # -- HTTP plumbing ---------------------------------------------------------
+    def _handle_get(self, h: BaseHTTPRequestHandler):
+        if h.path == "/health":
+            self._json(h, 200, {"status": "ok"})
+        elif h.path == "/v1/models":
+            self._json(h, 200, {
+                "object": "list",
+                "data": [{"id": self.model_name, "object": "model",
+                          "owned_by": "quick_tpu"}],
+            })
+        elif h.path == "/metrics":
+            with self._lock:
+                stats = dict(self.engine.stats)
+            self._json(h, 200, stats)
+        else:
+            self._json(h, 404, {"error": "not found"})
+
+    def _handle_post(self, h: BaseHTTPRequestHandler):
+        try:
+            n = int(h.headers.get("Content-Length", 0))
+            body = json.loads(h.rfile.read(n) or b"{}")
+        except (ValueError, json.JSONDecodeError):
+            return self._json(h, 400, {"error": "invalid JSON body"})
+        try:
+            if h.path == "/v1/completions":
+                self._completion(h, body, chat=False)
+            elif h.path == "/v1/chat/completions":
+                self._completion(h, body, chat=True)
+            else:
+                self._json(h, 404, {"error": "not found"})
+        except (KeyError, TypeError, ValueError) as e:
+            self._json(h, 400, {"error": str(e)})
+
+    def _completion(self, h, body, chat: bool):
+        if chat:
+            messages = body["messages"]
+            if hasattr(self.tokenizer, "apply_chat_template"):
+                prompt_ids = self.tokenizer.apply_chat_template(
+                    messages, add_generation_prompt=True
+                )
+            else:
+                text = "\n".join(
+                    f"{m['role']}: {m['content']}" for m in messages
+                ) + "\nassistant:"
+                prompt_ids = self.tokenizer.encode(text)
+        else:
+            prompt = body["prompt"]
+            prompt_ids = (
+                prompt if isinstance(prompt, list)
+                else self.tokenizer.encode(prompt)
+            )
+        max_tokens = int(body.get("max_tokens", 16))
+        temperature = float(body.get("temperature", 0.0))
+        sampling = SamplingParams(
+            temperature=temperature,
+            top_k=int(body.get("top_k", 0)),
+            top_p=float(body.get("top_p", 1.0)),
+        )
+        stop_ids = body.get("stop_token_ids")
+        comp = self._submit(prompt_ids, max_tokens, sampling, stop_ids)
+        rid = f"cmpl-{uuid.uuid4().hex[:24]}"
+        kind = "chat.completion" if chat else "text_completion"
+        if body.get("stream"):
+            h.send_response(200)
+            h.send_header("Content-Type", "text/event-stream")
+            h.send_header("Cache-Control", "no-cache")
+            h.end_headers()
+            out = []
+            try:
+                for tok in self._iter_stream(comp):
+                    out.append(tok)
+                    piece = self.tokenizer.decode([tok])
+                    delta = (
+                        {"delta": {"content": piece}} if chat
+                        else {"text": piece}
+                    )
+                    chunk = {"id": rid, "object": kind + ".chunk",
+                             "model": self.model_name,
+                             "choices": [{"index": 0, **delta,
+                                          "finish_reason": None}]}
+                    h.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
+                    h.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                # client went away: stop paying for its tokens
+                with self._lock:
+                    self.engine.abort(comp.uid)
+                    self._completions.pop(comp.uid, None)
+                return
+            fin = {"id": rid, "object": kind + ".chunk",
+                   "model": self.model_name,
+                   "choices": [{"index": 0,
+                                **({"delta": {}} if chat else {"text": ""}),
+                                "finish_reason": comp.finish_reason(out)}]}
+            h.wfile.write(f"data: {json.dumps(fin)}\n\n".encode())
+            h.wfile.write(b"data: [DONE]\n\n")
+            h.wfile.flush()
+            return
+        out = self._wait(comp)
+        text = self.tokenizer.decode(out)
+        choice = (
+            {"index": 0, "message": {"role": "assistant", "content": text},
+             "finish_reason": comp.finish_reason(out)}
+            if chat else
+            {"index": 0, "text": text,
+             "finish_reason": comp.finish_reason(out)}
+        )
+        self._json(h, 200, {
+            "id": rid, "object": kind, "model": self.model_name,
+            "choices": [choice],
+            "usage": {"prompt_tokens": comp.n_prompt,
+                      "completion_tokens": len(out),
+                      "total_tokens": comp.n_prompt + len(out)},
+        })
+
+    @staticmethod
+    def _json(h: BaseHTTPRequestHandler, code: int, obj):
+        payload = json.dumps(obj).encode()
+        h.send_response(code)
+        h.send_header("Content-Type", "application/json")
+        h.send_header("Content-Length", str(len(payload)))
+        h.end_headers()
+        h.wfile.write(payload)
+
+
+def main(argv=None):
+    """python -m quick_tpu.runtime.api_server --quant_path out/ [--port 8000]"""
+    import argparse
+
+    import jax.numpy as jnp
+
+    from quick_tpu.models.auto import AutoQuickModel
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quant_path", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max_slots", type=int, default=8)
+    ap.add_argument("--max_seq", type=int, default=2048)
+    ap.add_argument("--page_size", type=int, default=64)
+    ap.add_argument("--chunk", type=int, default=64)
+    ap.add_argument("--kv", choices=["bf16", "int8"], default="bf16")
+    args = ap.parse_args(argv)
+
+    model = AutoQuickModel.from_quantized(args.quant_path)
+    eng = Engine(
+        model.params, model.cfg, max_slots=args.max_slots,
+        max_seq=args.max_seq, page_size=args.page_size, chunk=args.chunk,
+        dtype=jnp.int8 if args.kv == "int8" else jnp.bfloat16,
+    )
+    srv = APIServer(eng, model.tokenizer, model_name=args.quant_path)
+    port = srv.start(args.host, args.port)
+    print(f"quick_tpu API server on http://{args.host}:{port}/v1", flush=True)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""OpenAI-compatible API server tests (CPU, tiny model, stub tokenizer)."""
+import http.client
+import json
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from quick_tpu import ModelConfig
+from quick_tpu.models import init_float_params
+from quick_tpu.runtime import SamplingParams, generate
+from quick_tpu.runtime.api_server import APIServer
+from quick_tpu.runtime.serving import Engine
+
+TINY = ModelConfig(
+    vocab_size=256, hidden_size=128, intermediate_size=256,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    max_position_embeddings=128,
+)
+
+
+class StubTokenizer:
+    """Reversible toy tokenizer: char -> 32 + (ord % 180)."""
+    eos_token_id = 255
+
+    def encode(self, text):
+        return [32 + (ord(c) % 180) for c in text]
+
+    def decode(self, ids):
+        return "".join(chr(i) for i in ids)
+
+
+@pytest.fixture(scope="module")
+def server():
+    params = init_float_params(TINY, jax.random.PRNGKey(0))
+    eng = Engine(params, TINY, max_slots=2, max_seq=64, page_size=4,
+                 chunk=4, dtype=jnp.float32, decode_window=2)
+    srv = APIServer(eng, StubTokenizer(), model_name="tiny-test")
+    port = srv.start(port=0)
+    yield srv, port, params
+    srv.stop()
+
+
+def _post(port, path, body):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    conn.request("POST", path, json.dumps(body),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, data
+
+
+def _get(port, path):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, data
+
+
+def test_health_models_metrics(server):
+    _, port, _ = server
+    st, body = _get(port, "/health")
+    assert st == 200 and json.loads(body)["status"] == "ok"
+    st, body = _get(port, "/v1/models")
+    assert st == 200
+    assert json.loads(body)["data"][0]["id"] == "tiny-test"
+    st, body = _get(port, "/metrics")
+    assert st == 200 and "steps" in json.loads(body)
+
+
+def test_completion_matches_engine_greedy(server):
+    srv, port, params = server
+    prompt = "hello quick"
+    ids = StubTokenizer().encode(prompt)
+    st, body = _post(port, "/v1/completions",
+                     {"prompt": prompt, "max_tokens": 6})
+    assert st == 200
+    out = json.loads(body)
+    assert out["object"] == "text_completion"
+    assert out["usage"] == {"prompt_tokens": len(ids),
+                            "completion_tokens": 6, "total_tokens": len(ids) + 6}
+    # greedy reference through the plain generate loop
+    import numpy as np
+    ref = generate(params, TINY, jnp.asarray([ids], jnp.int32),
+                   max_new_tokens=6, sampling=SamplingParams(temperature=0.0))
+    ref_text = StubTokenizer().decode(
+        [int(t) for t in np.asarray(ref)[0, len(ids):]]
+    )
+    assert out["choices"][0]["text"] == ref_text
+    assert out["choices"][0]["finish_reason"] in ("stop", "length")
+
+
+def test_completion_token_ids_prompt(server):
+    _, port, _ = server
+    st, body = _post(port, "/v1/completions",
+                     {"prompt": [5, 6, 7, 8, 9], "max_tokens": 4})
+    assert st == 200
+    assert len(json.loads(body)["choices"][0]["text"]) == 4
+
+
+def test_streaming_matches_non_streaming(server):
+    _, port, _ = server
+    req = {"prompt": "stream me", "max_tokens": 5}
+    st, body = _post(port, "/v1/completions", req)
+    full = json.loads(body)["choices"][0]["text"]
+    st, raw = _post(port, "/v1/completions", {**req, "stream": True})
+    assert st == 200
+    events = [ln[len("data: "):] for ln in raw.decode().split("\n\n")
+              if ln.startswith("data: ")]
+    assert events[-1] == "[DONE]"
+    pieces = []
+    finish = None
+    for ev in events[:-1]:
+        obj = json.loads(ev)
+        ch = obj["choices"][0]
+        pieces.append(ch["text"])
+        if ch["finish_reason"]:
+            finish = ch["finish_reason"]
+    assert "".join(pieces) == full
+    assert finish in ("stop", "length")
+
+
+def test_chat_completion(server):
+    _, port, _ = server
+    st, body = _post(port, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 4,
+    })
+    assert st == 200
+    out = json.loads(body)
+    assert out["object"] == "chat.completion"
+    msg = out["choices"][0]["message"]
+    assert msg["role"] == "assistant" and len(msg["content"]) == 4
+
+
+def test_concurrent_requests_batch(server):
+    """Two concurrent requests continuous-batch in the engine and both
+    complete; greedy determinism: identical prompts => identical text."""
+    import threading
+    _, port, _ = server
+    results = {}
+
+    def go(name):
+        st, body = _post(port, "/v1/completions",
+                         {"prompt": "same prompt", "max_tokens": 6})
+        results[name] = (st, json.loads(body)["choices"][0]["text"])
+
+    ts = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join(timeout=300) for t in ts]
+    assert results[0][0] == 200 and results[1][0] == 200
+    assert results[0][1] == results[1][1]
+
+
+def test_bad_request(server):
+    _, port, _ = server
+    st, body = _post(port, "/v1/completions", {"max_tokens": 4})
+    assert st == 400
+    st, _ = _post(port, "/v1/nope", {})
+    assert st == 404
