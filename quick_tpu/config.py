@@ -122,6 +122,10 @@ class ModelConfig:
     max_position_embeddings: int = 4096
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
+    #: HF ``rope_scaling`` stored as a hashable tuple of sorted (key, value)
+    #: pairs (the config must stay hashable — it rides jit static args);
+    #: ops/rope.py::rope_table consumes it (linear / dynamic / yarn / llama3)
+    rope_scaling: Optional[tuple] = None
     tie_word_embeddings: bool = False
     # family switches
     model_type: str = "llama"
@@ -151,6 +155,24 @@ class ModelConfig:
         if self.head_dim is None:
             object.__setattr__(
                 self, "head_dim", self.hidden_size // self.num_attention_heads
+            )
+        if self.rope_scaling is not None and not isinstance(
+            self.rope_scaling, tuple
+        ):
+            # normalize dict / JSON-round-tripped list to the hashable form;
+            # non-scalar values (e.g. qwen2-vl mrope_section lists) are
+            # dropped — rope_table only reads scalars
+            items = (
+                self.rope_scaling.items()
+                if isinstance(self.rope_scaling, dict)
+                else self.rope_scaling
+            )
+            object.__setattr__(
+                self, "rope_scaling",
+                tuple(sorted(
+                    (k, v) for k, v in items
+                    if isinstance(v, (str, int, float, bool))
+                )),
             )
 
     @property
@@ -191,6 +213,13 @@ class ModelConfig:
         kw["intermediate_size"] = hf.get("intermediate_size", hf.get("ffn_dim", 4 * kw["hidden_size"]))
         kw["rms_norm_eps"] = hf.get("rms_norm_eps", hf.get("layer_norm_epsilon", 1e-5))
         kw["rope_theta"] = hf.get("rope_theta", 10000.0)
+        rs = hf.get("rope_scaling")
+        if isinstance(rs, (list, tuple)):  # our own config.json round trip
+            rs = dict(rs)
+        if isinstance(rs, dict) and (
+            rs.get("rope_type", rs.get("type", "default")) != "default"
+        ):
+            kw["rope_scaling"] = rs  # normalized to a tuple in __post_init__
         kw["tie_word_embeddings"] = hf.get("tie_word_embeddings", False)
         kw["attention_bias"] = hf.get("attention_bias", mt == "qwen")
         if "head_dim" in hf and hf["head_dim"]:

@@ -162,7 +162,8 @@ def init_float_params(
             )
         )
     cos, sin = rope_table(
-        cfg.max_position_embeddings, cfg.rotary_dim or hd, cfg.rope_theta
+        cfg.max_position_embeddings, cfg.rotary_dim or hd, cfg.rope_theta,
+        cfg.rope_scaling,
     )
     embed = jax.random.normal(keys[-1], (cfg.vocab_size, D), dtype) * 0.02
     lm_head = (
@@ -251,7 +252,8 @@ def init_quant_params(
             )
         )
     cos, sin = rope_table(
-        cfg.max_position_embeddings, cfg.rotary_dim or hd, cfg.rope_theta
+        cfg.max_position_embeddings, cfg.rotary_dim or hd, cfg.rope_theta,
+        cfg.rope_scaling,
     )
     embed = jax.random.normal(keys[-1], (cfg.vocab_size, D), dtype) * 0.02
     return ModelParams(

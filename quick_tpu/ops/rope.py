@@ -13,15 +13,75 @@ import jax.numpy as jnp
 
 
 def rope_table(
-    max_seq_len: int, head_dim: int, theta: float = 10000.0
+    max_seq_len: int, head_dim: int, theta: float = 10000.0, scaling=None
 ) -> tuple[jax.Array, jax.Array]:
-    """Precompute (cos, sin) tables of shape [max_seq_len, head_dim//2]."""
-    inv_freq = 1.0 / (
-        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
-    )
+    """Precompute (cos, sin) tables of shape [max_seq_len, head_dim//2].
+
+    ``scaling`` is an HF ``rope_scaling`` config (dict, or the hashable
+    tuple-of-pairs form ModelConfig stores): supported ``rope_type``s are
+    ``linear`` (position interpolation), ``dynamic`` (NTK-aware theta
+    rescale, applied statically at the table's full length), ``yarn``
+    (ramp-blended interpolation/extrapolation with the mscale attention
+    factor folded into the tables, HF convention), and ``llama3``
+    (frequency-piecewise scaling: high-frequency dims keep full
+    resolution, low-frequency dims interpolate). The reference inherits
+    whatever ``transformers`` did at trace time; here the scaled table IS
+    the single runtime convention (see apply_rope)."""
+    import math
+
+    half = jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim
+    inv_freq = 1.0 / theta ** half
+    attn_factor = 1.0
+    d = dict(scaling) if scaling else {}
+    rtype = d.get("rope_type", d.get("type", "default"))
+    factor = float(d.get("factor", 1.0))
+    if rtype == "linear":
+        inv_freq = inv_freq / factor
+    elif rtype == "dynamic":
+        L0 = int(d.get("original_max_position_embeddings", max_seq_len))
+        if max_seq_len > L0:
+            theta2 = theta * (
+                factor * max_seq_len / L0 - (factor - 1)
+            ) ** (head_dim / (head_dim - 2))
+            inv_freq = 1.0 / theta2 ** half
+    elif rtype == "llama3":
+        low = float(d.get("low_freq_factor", 1.0))
+        high = float(d.get("high_freq_factor", 4.0))
+        L0 = int(d.get("original_max_position_embeddings", 8192))
+        wavelen = 2.0 * jnp.pi / inv_freq
+        smooth = jnp.clip((L0 / wavelen - low) / (high - low), 0.0, 1.0)
+        blended = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+        inv_freq = jnp.where(
+            wavelen > L0 / low, inv_freq / factor,
+            jnp.where(wavelen < L0 / high, inv_freq, blended),
+        )
+    elif rtype == "yarn":
+        L0 = int(d.get("original_max_position_embeddings", max_seq_len))
+        beta_fast = float(d.get("beta_fast", 32.0))
+        beta_slow = float(d.get("beta_slow", 1.0))
+
+        def corr_dim(n_rot):
+            return (head_dim * math.log(L0 / (n_rot * 2 * math.pi))
+                    ) / (2 * math.log(theta))
+
+        lo = max(math.floor(corr_dim(beta_fast)), 0)
+        hi = min(math.ceil(corr_dim(beta_slow)), head_dim - 1)
+        ramp = jnp.clip(
+            (jnp.arange(head_dim // 2, dtype=jnp.float32) - lo)
+            / max(hi - lo, 1e-3), 0.0, 1.0,
+        )
+        extrap_w = 1.0 - ramp  # 1 for high-freq dims: keep extrapolation
+        inv_freq = (inv_freq / factor) * (1.0 - extrap_w) + inv_freq * extrap_w
+        af = d.get("attention_factor")
+        attn_factor = (
+            float(af) if af is not None
+            else (0.1 * math.log(factor) + 1.0 if factor > 1.0 else 1.0)
+        )
+    elif rtype not in ("default", None):
+        raise NotImplementedError(f"rope_scaling type {rtype!r}")
     t = jnp.arange(max_seq_len, dtype=jnp.float32)
     freqs = jnp.outer(t, inv_freq)  # [S, D/2]
-    return jnp.cos(freqs), jnp.sin(freqs)
+    return jnp.cos(freqs) * attn_factor, jnp.sin(freqs) * attn_factor
 
 
 def apply_rope(

@@ -155,7 +155,7 @@ def flat_to_params(
         )
     cos, sin = rope_table(
         cfg.max_position_embeddings, cfg.rotary_dim or cfg.head_dim,
-        cfg.rope_theta,
+        cfg.rope_theta, cfg.rope_scaling,
     )
     opt = lambda k: jnp.asarray(flat[k]) if k in flat else None
     return ModelParams(
@@ -331,6 +331,8 @@ def export_autoawq(
         "torch_dtype": "float16",
         "quantization_config": qcfg.to_transformers_dict(),
     }
+    if cfg.rope_scaling:
+        hf_cfg["rope_scaling"] = dict(cfg.rope_scaling)
     with open(os.path.join(save_dir, "config.json"), "w") as f:
         json.dump(hf_cfg, f, indent=2)
     qcfg.save_pretrained(save_dir)
@@ -472,7 +474,7 @@ def _import_llama_family(
         lm_head = Linear(W("lm_head.weight"))
     cos, sin = rope_table(
         cfg.max_position_embeddings, cfg.rotary_dim or cfg.head_dim,
-        cfg.rope_theta,
+        cfg.rope_theta, cfg.rope_scaling,
     )
     return ModelParams(
         embed=embed,
@@ -586,7 +588,7 @@ def _import_mpt(raw, cfg: ModelConfig, dtype) -> ModelParams:
     embed = V("transformer.wte.weight")
     cos, sin = rope_table(
         cfg.max_position_embeddings, cfg.rotary_dim or cfg.head_dim,
-        cfg.rope_theta,
+        cfg.rope_theta, cfg.rope_scaling,
     )
     return ModelParams(
         embed=embed,
@@ -658,7 +660,7 @@ def _import_falcon(raw, cfg: ModelConfig, dtype) -> ModelParams:
     embed = V("transformer.word_embeddings.weight")
     cos, sin = rope_table(
         cfg.max_position_embeddings, cfg.rotary_dim or cfg.head_dim,
-        cfg.rope_theta,
+        cfg.rope_theta, cfg.rope_scaling,
     )
     lm_head = (
         Linear(W("lm_head.weight")) if "lm_head.weight" in raw
@@ -720,7 +722,7 @@ def _import_gpt_neox(raw, cfg: ModelConfig, dtype) -> ModelParams:
     embed = V("gpt_neox.embed_in.weight")
     cos, sin = rope_table(
         cfg.max_position_embeddings, cfg.rotary_dim or cfg.head_dim,
-        cfg.rope_theta,
+        cfg.rope_theta, cfg.rope_scaling,
     )
     lm_head = (
         Linear(W("embed_out.weight")) if "embed_out.weight" in raw
@@ -770,7 +772,8 @@ def _import_gptj(raw, cfg: ModelConfig, dtype) -> ModelParams:
             )
         )
     embed = V("transformer.wte.weight")
-    cos, sin = rope_table(cfg.max_position_embeddings, r, cfg.rope_theta)
+    cos, sin = rope_table(cfg.max_position_embeddings, r, cfg.rope_theta,
+                          cfg.rope_scaling)
     lm_head = (
         Linear(W("lm_head.weight"), B("lm_head"))
         if "lm_head.weight" in raw else Linear(embed.T)
@@ -975,7 +978,8 @@ def _import_baichuan(raw, cfg: ModelConfig, dtype) -> ModelParams:
         )
     embed = V("model.embed_tokens.weight")
     cos, sin = rope_table(
-        cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta
+        cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta,
+        cfg.rope_scaling,
     )
     lm_head = (
         Linear(W("lm_head.weight")) if "lm_head.weight" in raw
@@ -1021,7 +1025,8 @@ def _import_qwen(raw, cfg: ModelConfig, dtype) -> ModelParams:
         )
     embed = V("transformer.wte.weight")
     cos, sin = rope_table(
-        cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta
+        cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta,
+        cfg.rope_scaling,
     )
     lm_head = (
         Linear(W("lm_head.weight")) if "lm_head.weight" in raw
@@ -1156,7 +1161,8 @@ def load_autoawq(model_dir: str) -> Tuple[ModelParams, ModelConfig, QuantConfig]
         else Linear(embed.T)
     )
     cos, sin = rope_table(
-        cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta
+        cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta,
+        cfg.rope_scaling,
     )
     params = ModelParams(
         embed=embed,
