@@ -143,6 +143,9 @@ class ModelConfig:
     # (opt / gpt_bigcode); table lives in ModelParams.pos_embed
     embed_norm: bool = False              # layernorm right after the token
     # embedding (bloom's word_embeddings_layernorm)
+    embed_scale: bool = False             # gemma: hidden = embed * sqrt(D)
+    use_qk_norm: bool = False             # qwen3: per-head RMSNorm on q/k
+    # projections before RoPE (q_norm/k_norm weights on AttentionParams)
     layernorm: str = "rmsnorm"            # "rmsnorm" | "layernorm"
     act_fn: str = "silu"                  # "silu" | "gelu" | "relu"
     gated_mlp: bool = True                # swiglu vs plain 2-layer mlp
@@ -292,6 +295,33 @@ class ModelConfig:
             # HF Qwen-1 halves intermediate_size in code (modeling_qwen
             # ff dims = intermediate_size // 2)
             kw["intermediate_size"] = kw["intermediate_size"] // 2
+        elif mt == "phi":
+            # phi-1.5/phi-2: layernorm + gelu MLP, ONE shared input
+            # layernorm feeding parallel attn+mlp branches, partial rotary,
+            # biases everywhere (HF modeling_phi)
+            kw["layernorm"] = "layernorm"
+            kw["act_fn"] = "gelu"
+            kw["gated_mlp"] = False
+            kw["parallel_residual"] = True
+            kw["attention_bias"] = True
+            kw["mlp_bias"] = True
+            kw["rms_norm_eps"] = hf.get("layer_norm_eps", 1e-5)
+            hd = kw.get("head_dim") or D // H
+            kw["rotary_dim"] = max(
+                2, int(hd * hf.get("partial_rotary_factor", 0.5))
+            )
+        elif mt == "gemma":
+            # gemma: GeGLU (tanh gelu), embeddings scaled by sqrt(D), tied
+            # lm_head, RMSNorm weights stored as (w - 1) — folded to our
+            # x*w convention at import (utils/checkpoint.py::_import_gemma)
+            kw["act_fn"] = "gelu"
+            kw["embed_scale"] = True
+            kw["tie_word_embeddings"] = True
+            kw["rms_norm_eps"] = hf.get("rms_norm_eps", 1e-6)
+        elif mt == "qwen3":
+            # llama-like + per-head q/k RMSNorm, explicit head_dim, no bias
+            kw["use_qk_norm"] = True
+            kw["attention_bias"] = hf.get("attention_bias", False)
         elif mt == "baichuan":
             # Baichuan-13B is the ALiBi variant (reference models/baichuan.py:116);
             # the 7B uses RoPE. Distinguish by width.

@@ -50,6 +50,13 @@ MODEL_TYPE_MAP: Dict[str, dict] = {
     "gpt_bigcode": {"layernorm": "layernorm", "act_fn": "gelu",
                     "gated_mlp": False},
     "llava": {},           # language tower is llama; vision tower external
+    # post-reference families (no reference analog — current-gen coverage)
+    "phi": {"parallel_residual": True, "layernorm": "layernorm",
+            "act_fn": "gelu", "gated_mlp": False, "attention_bias": True,
+            "mlp_bias": True},
+    "gemma": {"act_fn": "gelu", "embed_scale": True,
+              "tie_word_embeddings": True},
+    "qwen3": {"use_qk_norm": True},
 }
 
 

@@ -80,6 +80,10 @@ def model_forward(
     if advance is not None:
         token_mask = jnp.arange(S)[None, :] < jnp.reshape(advance, (-1, 1))
     x = params.embed[tokens].astype(jnp.bfloat16)
+    if cfg.embed_scale:
+        # gemma: hidden = embed * sqrt(D), with the normalizer rounded to
+        # the activation dtype first (HF casts the scalar before the mul)
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5).astype(x.dtype)
     if params.pos_embed is not None:
         P = params.pos_embed.shape[0]
         x = x + params.pos_embed[jnp.minimum(positions, P - 1)].astype(x.dtype)
@@ -133,6 +137,8 @@ def init_float_params(
         attn = AttentionParams(
             qkv_proj=qkv,
             o_proj=dense(ks[1], hq * hd, D),
+            q_norm=jnp.ones(hd, dtype) if cfg.use_qk_norm else None,
+            k_norm=jnp.ones(hd, dtype) if cfg.use_qk_norm else None,
         )
         if cfg.is_moe:
             E = cfg.num_local_experts
@@ -227,6 +233,8 @@ def init_quant_params(
         attn = AttentionParams(
             qkv_proj=qlin(ks[0], D, (hq + 2 * hkv) * hd),
             o_proj=qlin(ks[1], hq * hd, D),
+            q_norm=jnp.ones(hd, dtype) if cfg.use_qk_norm else None,
+            k_norm=jnp.ones(hd, dtype) if cfg.use_qk_norm else None,
         )
         if cfg.is_moe:
             E = cfg.num_local_experts
@@ -345,7 +353,8 @@ def quantize_params(
     new_blocks = []
     for blk in params.blocks:
         attn = AttentionParams(
-            q(blk.attn.qkv_proj, "qkv"), q(blk.attn.o_proj, "o")
+            q(blk.attn.qkv_proj, "qkv"), q(blk.attn.o_proj, "o"),
+            q_norm=blk.attn.q_norm, k_norm=blk.attn.k_norm,
         )
         if isinstance(blk.mlp, MoEParams):
             mlp = MoEParams(

@@ -35,6 +35,10 @@ AnyLinear = QuantLinear | Linear
 class AttentionParams:
     qkv_proj: AnyLinear  # fused [D, (Hq + 2*Hkv) * hd]
     o_proj: AnyLinear
+    #: qwen3-style per-head RMSNorm weights [head_dim] applied to q/k after
+    #: the projection reshape, before RoPE (cfg.use_qk_norm)
+    q_norm: Optional[jax.Array] = None
+    k_norm: Optional[jax.Array] = None
 
 
 @jax.tree_util.register_dataclass
@@ -155,6 +159,10 @@ def attention_forward(
     q = q.reshape(B, S, hq, hd)
     k = k.reshape(B, S, hkv, hd)
     v = v.reshape(B, S, hkv, hd)
+    if cfg.use_qk_norm:
+        # qwen3: RMSNorm over head_dim, shared weights across heads
+        q = rms_norm(q, p.q_norm, cfg.rms_norm_eps)
+        k = rms_norm(k, p.k_norm, cfg.rms_norm_eps)
     if cfg.use_rope:
         q = apply_rope(q, positions, rope_cos, rope_sin)
         k = apply_rope(k, positions, rope_cos, rope_sin)

@@ -92,6 +92,9 @@ def param_specs(params: "ModelParams", cfg: ModelConfig) -> "ModelParams":
         attn = AttentionParams(
             qkv_proj=_linear_spec(blk.attn.qkv_proj, col_parallel=True),
             o_proj=_linear_spec(blk.attn.o_proj, col_parallel=False),
+            # per-head norms [head_dim]: replicated across TP shards
+            q_norm=None if blk.attn.q_norm is None else rep1,
+            k_norm=None if blk.attn.k_norm is None else rep1,
         )
         if isinstance(blk.mlp, MoEParams):
             mlp = MoEParams(

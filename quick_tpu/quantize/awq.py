@@ -336,6 +336,8 @@ def awq_quantize_block(
             if "o" in skip
             else QuantLinear.from_float(o_w, blk.attn.o_proj.bias, G, zp)
         ),
+        q_norm=blk.attn.q_norm,
+        k_norm=blk.attn.k_norm,
     )
     new_block = BlockParams(
         attn_norm=attn_norm.astype(blk.attn_norm.dtype),

@@ -69,6 +69,9 @@ def params_to_flat(params: ModelParams) -> Dict[str, np.ndarray]:
             out[f"{p}.mlp_norm_bias"] = np.asarray(blk.mlp_norm_bias)
         _lin_to_flat(f"{p}.attn.qkv", blk.attn.qkv_proj, out)
         _lin_to_flat(f"{p}.attn.o", blk.attn.o_proj, out)
+        if blk.attn.q_norm is not None:
+            out[f"{p}.attn.q_norm"] = np.asarray(blk.attn.q_norm)
+            out[f"{p}.attn.k_norm"] = np.asarray(blk.attn.k_norm)
         if isinstance(blk.mlp, MoEParams):
             _lin_to_flat(f"{p}.mlp.router", blk.mlp.router, out)
             _lin_to_flat(f"{p}.mlp.gate_up", blk.mlp.gate_up_proj, out)
@@ -121,6 +124,14 @@ def flat_to_params(
         attn = AttentionParams(
             qkv_proj=_flat_to_lin(f"{p}.attn.qkv", flat, group_size),
             o_proj=_flat_to_lin(f"{p}.attn.o", flat, group_size),
+            q_norm=(
+                jnp.asarray(flat[f"{p}.attn.q_norm"])
+                if f"{p}.attn.q_norm" in flat else None
+            ),
+            k_norm=(
+                jnp.asarray(flat[f"{p}.attn.k_norm"])
+                if f"{p}.attn.k_norm" in flat else None
+            ),
         )
         if f"{p}.mlp.router.weight" in flat:
             mlp = MoEParams(
@@ -438,6 +449,15 @@ def _import_llama_family(
         qkv = Linear(jnp.concatenate([qw, kw, vw], axis=1), bias)
         o = Linear(W(f"{p}.self_attn.o_proj.weight"),
                    maybe_bias(f"{p}.self_attn.o_proj"))
+        # qwen3-style per-head q/k RMSNorm weights (cfg.use_qk_norm)
+        qn = (
+            V(f"{p}.self_attn.q_norm.weight")
+            if f"{p}.self_attn.q_norm.weight" in raw else None
+        )
+        kn = (
+            V(f"{p}.self_attn.k_norm.weight")
+            if f"{p}.self_attn.k_norm.weight" in raw else None
+        )
         if cfg.is_moe:
             E = cfg.num_local_experts
             gus, dns = [], []
@@ -461,7 +481,8 @@ def _import_llama_family(
         blocks.append(
             BlockParams(
                 attn_norm=V(f"{p}.input_layernorm.weight"),
-                attn=AttentionParams(qkv_proj=qkv, o_proj=o),
+                attn=AttentionParams(qkv_proj=qkv, o_proj=o,
+                                     q_norm=qn, k_norm=kn),
                 mlp_norm=V(f"{p}.post_attention_layernorm.weight"),
                 mlp=mlp,
             )
@@ -1056,8 +1077,73 @@ def _import_llava(raw, cfg: ModelConfig, dtype) -> ModelParams:
     return _import_llama_family(lang, cfg, dtype)
 
 
+def _import_gemma(raw, cfg: ModelConfig, dtype) -> ModelParams:
+    """Gemma (HF modeling_gemma): llama-family tensor layout, but RMSNorm
+    weights are stored zero-centered (the module computes x * (1 + w)) —
+    fold the +1 here so the runtime's single x*w convention serves it.
+    Embedding scaling by sqrt(D) is a runtime switch (cfg.embed_scale);
+    lm_head is tied."""
+    for k in list(raw):
+        if k.endswith("layernorm.weight") or k == "model.norm.weight":
+            raw[k] = raw[k] + 1.0
+    return _import_llama_family(raw, cfg, dtype)
+
+
+def _import_phi(raw, cfg: ModelConfig, dtype) -> ModelParams:
+    """Phi-1.5/Phi-2 (HF modeling_phi): parallel attn+MLP branches fed by
+    ONE shared input layernorm (duplicated into our attn/mlp norm slots),
+    gelu fc1/fc2 MLP, partial rotary (cfg.rotary_dim), biases on every
+    linear including lm_head."""
+    W, V, B = _mk_wv(raw, dtype)
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        qw, kw, vw = (W(f"{p}.self_attn.{n}_proj.weight") for n in "qkv")
+        qb, kb, vb = (B(f"{p}.self_attn.{n}_proj") for n in "qkv")
+        qkv = Linear(
+            jnp.concatenate([qw, kw, vw], axis=1),
+            jnp.concatenate([qb, kb, vb]) if qb is not None else None,
+        )
+        ln_w = V(f"{p}.input_layernorm.weight")
+        ln_b = B(f"{p}.input_layernorm")
+        blocks.append(
+            BlockParams(
+                attn_norm=ln_w,
+                attn=AttentionParams(
+                    qkv_proj=qkv,
+                    o_proj=Linear(W(f"{p}.self_attn.dense.weight"),
+                                  B(f"{p}.self_attn.dense")),
+                ),
+                mlp_norm=ln_w,  # shared norm, both branches read x normed once
+                mlp=MLPParams(
+                    gate_up_proj=Linear(W(f"{p}.mlp.fc1.weight"),
+                                        B(f"{p}.mlp.fc1")),
+                    down_proj=Linear(W(f"{p}.mlp.fc2.weight"),
+                                     B(f"{p}.mlp.fc2")),
+                ),
+                attn_norm_bias=ln_b,
+                mlp_norm_bias=ln_b,
+            )
+        )
+    cos, sin = rope_table(
+        cfg.max_position_embeddings, cfg.rotary_dim or cfg.head_dim,
+        cfg.rope_theta, cfg.rope_scaling,
+    )
+    return ModelParams(
+        embed=V("model.embed_tokens.weight"),
+        blocks=blocks,
+        final_norm=V("model.final_layernorm.weight"),
+        lm_head=Linear(W("lm_head.weight"), B("lm_head")),
+        rope_cos=cos,
+        rope_sin=sin,
+        final_norm_bias=B("model.final_layernorm"),
+    )
+
+
 _HF_IMPORTERS = {
     "llava": _import_llava,
+    "gemma": _import_gemma,
+    "phi": _import_phi,
     "mpt": _import_mpt,
     "falcon": _import_falcon,
     "RefinedWeb": _import_falcon,

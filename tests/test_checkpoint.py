@@ -307,3 +307,35 @@ def test_exllama_import(tmp_path, rng):
 
     m = AutoQuickModel.from_quantized(dirs["exllama"])
     assert m.qcfg.version == "qtpu"
+
+
+def test_native_round_trip_qk_norm(tmp_path):
+    """q_norm/k_norm (qwen3) survive the native save/load round trip."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, use_qk_norm=True)
+    p = init_float_params(cfg, jax.random.PRNGKey(1))
+    # perturb so a dropped weight would change the forward
+    b0 = p.blocks[0]
+    p = dataclasses.replace(
+        p,
+        blocks=[dataclasses.replace(
+            b0, attn=dataclasses.replace(
+                b0.attn,
+                q_norm=b0.attn.q_norm * 1.5,
+                k_norm=b0.attn.k_norm * 0.5,
+            ),
+        )] + list(p.blocks[1:]),
+    )
+    qp = quantize_params(p, cfg, group_size=32)
+    save_quantized(qp, cfg, QuantConfig(q_group_size=32), str(tmp_path))
+    params2, cfg2, _ = load_quantized(str(tmp_path))
+    assert cfg2.use_qk_norm
+    np.testing.assert_allclose(
+        np.asarray(params2.blocks[0].attn.q_norm),
+        np.asarray(qp.blocks[0].attn.q_norm),
+    )
+    toks = jnp.arange(8, dtype=jnp.int32).reshape(1, 8)
+    l1, _ = model_forward(qp, cfg, toks)
+    l2, _ = model_forward(params2, cfg2, toks)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)

@@ -404,3 +404,123 @@ def test_refinedweb_config_translation():
     })
     assert cfg.model_type == "falcon"
     assert cfg.num_key_value_heads == 4
+
+
+def test_import_phi(tmp_path):
+    """Phi-2 layout: ONE shared input layernorm feeding parallel attn+mlp,
+    gelu fc1/fc2, partial rotary (factor 0.5), biases on every linear."""
+    cfg = {
+        "model_type": "phi", "hidden_size": D, "num_attention_heads": H,
+        "num_hidden_layers": L, "vocab_size": V, "intermediate_size": F,
+        "max_position_embeddings": 64, "partial_rotary_factor": 0.5,
+        "layer_norm_eps": 1e-5,
+    }
+    t = {"model.embed_tokens.weight": _w(V, D),
+         "model.final_layernorm.weight": np.ones(D, np.float32),
+         "model.final_layernorm.bias": np.zeros(D, np.float32),
+         "lm_head.weight": _w(V, D), "lm_head.bias": _w(V)}
+    for i in range(L):
+        p = f"model.layers.{i}"
+        t[f"{p}.input_layernorm.weight"] = np.ones(D, np.float32)
+        t[f"{p}.input_layernorm.bias"] = np.zeros(D, np.float32)
+        for n in "qkv":
+            t[f"{p}.self_attn.{n}_proj.weight"] = _w(D, D)
+            t[f"{p}.self_attn.{n}_proj.bias"] = _w(D)
+        t[f"{p}.self_attn.dense.weight"] = _w(D, D)
+        t[f"{p}.self_attn.dense.bias"] = _w(D)
+        t[f"{p}.mlp.fc1.weight"] = _w(F, D)
+        t[f"{p}.mlp.fc1.bias"] = _w(F)
+        t[f"{p}.mlp.fc2.weight"] = _w(D, F)
+        t[f"{p}.mlp.fc2.bias"] = _w(D)
+    m = AutoQuickModel.from_pretrained(_write(tmp_path, cfg, t), jnp.float32)
+    assert m.cfg.parallel_residual and m.cfg.layernorm == "layernorm"
+    assert not m.cfg.gated_mlp and m.cfg.act_fn == "gelu"
+    assert m.cfg.rotary_dim == HD // 2
+    assert m.params.lm_head.bias is not None
+    # shared norm duplicated into both slots
+    b = m.params.blocks[0]
+    np.testing.assert_allclose(np.asarray(b.attn_norm), np.asarray(b.mlp_norm))
+    _forward_ok(m)
+
+
+def test_import_gemma(tmp_path):
+    """Gemma: zero-centered RMSNorm weights folded (+1) at import, tied
+    lm_head, sqrt(D)-scaled embeddings (runtime switch)."""
+    cfg = {
+        "model_type": "gemma", "hidden_size": D, "num_attention_heads": H,
+        "num_key_value_heads": 1, "num_hidden_layers": L, "vocab_size": V,
+        "intermediate_size": F, "max_position_embeddings": 64,
+        "head_dim": HD, "rms_norm_eps": 1e-6,
+    }
+    t = {"model.embed_tokens.weight": _w(V, D),
+         # gemma stores (w - 1): zeros here must import as ones
+         "model.norm.weight": np.zeros(D, np.float32)}
+    for i in range(L):
+        p = f"model.layers.{i}"
+        t[f"{p}.input_layernorm.weight"] = np.zeros(D, np.float32)
+        t[f"{p}.post_attention_layernorm.weight"] = np.zeros(D, np.float32)
+        t[f"{p}.self_attn.q_proj.weight"] = _w(H * HD, D)
+        t[f"{p}.self_attn.k_proj.weight"] = _w(HD, D)
+        t[f"{p}.self_attn.v_proj.weight"] = _w(HD, D)
+        t[f"{p}.self_attn.o_proj.weight"] = _w(D, H * HD)
+        t[f"{p}.mlp.gate_proj.weight"] = _w(F, D)
+        t[f"{p}.mlp.up_proj.weight"] = _w(F, D)
+        t[f"{p}.mlp.down_proj.weight"] = _w(D, F)
+    m = AutoQuickModel.from_pretrained(_write(tmp_path, cfg, t), jnp.float32)
+    assert m.cfg.embed_scale and m.cfg.tie_word_embeddings
+    assert m.cfg.act_fn == "gelu" and m.cfg.num_key_value_heads == 1
+    np.testing.assert_allclose(
+        np.asarray(m.params.final_norm), np.ones(D, np.float32)
+    )
+    np.testing.assert_allclose(  # tied: lm_head is embed.T
+        np.asarray(m.params.lm_head.weight),
+        np.asarray(m.params.embed).T, atol=1e-6,
+    )
+    _forward_ok(m)
+    # embed_scale actually changes the forward
+    import dataclasses
+    cfg_noscale = dataclasses.replace(m.cfg, embed_scale=False)
+    toks = jnp.asarray([[1, 2, 3]], jnp.int32)
+    a, _ = model_forward(m.params, m.cfg, toks)
+    bld, _ = model_forward(m.params, cfg_noscale, toks)
+    assert float(jnp.abs(a - bld).max()) > 1e-3
+
+
+def test_import_qwen3(tmp_path):
+    """Qwen3: llama layout + per-head q/k RMSNorm weights applied before
+    RoPE (use_qk_norm)."""
+    cfg = {
+        "model_type": "qwen3", "hidden_size": D, "num_attention_heads": H,
+        "num_key_value_heads": 2, "num_hidden_layers": L, "vocab_size": V,
+        "intermediate_size": F, "max_position_embeddings": 64,
+        "head_dim": HD, "rms_norm_eps": 1e-6,
+    }
+    t = {"model.embed_tokens.weight": _w(V, D),
+         "model.norm.weight": np.ones(D, np.float32),
+         "lm_head.weight": _w(V, D)}
+    for i in range(L):
+        p = f"model.layers.{i}"
+        t[f"{p}.input_layernorm.weight"] = np.ones(D, np.float32)
+        t[f"{p}.post_attention_layernorm.weight"] = np.ones(D, np.float32)
+        t[f"{p}.self_attn.q_proj.weight"] = _w(H * HD, D)
+        t[f"{p}.self_attn.k_proj.weight"] = _w(2 * HD, D)
+        t[f"{p}.self_attn.v_proj.weight"] = _w(2 * HD, D)
+        t[f"{p}.self_attn.o_proj.weight"] = _w(D, H * HD)
+        t[f"{p}.self_attn.q_norm.weight"] = 1 + 0.1 * _w(HD)
+        t[f"{p}.self_attn.k_norm.weight"] = 1 + 0.1 * _w(HD)
+        t[f"{p}.mlp.gate_proj.weight"] = _w(F, D)
+        t[f"{p}.mlp.up_proj.weight"] = _w(F, D)
+        t[f"{p}.mlp.down_proj.weight"] = _w(D, F)
+    m = AutoQuickModel.from_pretrained(_write(tmp_path, cfg, t), jnp.float32)
+    assert m.cfg.use_qk_norm and m.cfg.num_key_value_heads == 2
+    assert m.params.blocks[0].attn.q_norm is not None
+    assert m.params.blocks[0].attn.q_norm.shape == (HD,)
+    _forward_ok(m)
+    # the qk-norm path is live: disabling it changes logits
+    import dataclasses
+    toks = jnp.asarray([[5, 6, 7]], jnp.int32)
+    a, _ = model_forward(m.params, m.cfg, toks)
+    bld, _ = model_forward(
+        m.params, dataclasses.replace(m.cfg, use_qk_norm=False), toks
+    )
+    assert float(jnp.abs(a - bld).max()) > 1e-3
