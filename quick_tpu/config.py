@@ -146,6 +146,45 @@ class ModelConfig:
     embed_scale: bool = False             # gemma: hidden = embed * sqrt(D)
     use_qk_norm: bool = False             # qwen3: per-head RMSNorm on q/k
     # projections before RoPE (q_norm/k_norm weights on AttentionParams)
+    use_post_norms: bool = False          # gemma2 sandwich norms: extra
+    # RMSNorm on each sub-layer OUTPUT (attn_post_norm/mlp_post_norm on
+    # BlockParams), residual added after
+    #: False = NO pre-norm on sub-layer inputs (olmo2: the ONLY norms are
+    #: the post-norms — x + post_norm(attn(x)); attn_norm/mlp_norm are None)
+    pre_norms: bool = True
+    #: qk-norm width: False = per-head [head_dim] weights (qwen3/gemma3),
+    #: True = one RMSNorm over the full [heads*head_dim] projection BEFORE
+    #: the head reshape (olmo2; under TP the mean-square is psum-reduced
+    #: over the model axis so shards see the full-width statistic)
+    qk_norm_full: bool = False
+    #: sliding-window attention width (mistral-v0.1 4096, gemma2 4096);
+    #: None = global attention everywhere. Masking-only: the KV cache keeps
+    #: the full context, and kernel paths are bypassed only when the window
+    #: actually binds (cache len > window) — see modules/blocks.py
+    sliding_window: Optional[int] = None
+    #: every Nth layer is GLOBAL, the rest sliding (gemma2: 2 — alternating,
+    #: sliding on even layer idx; gemma3: 6). None/0 = all layers sliding
+    #: (mistral)
+    sliding_window_pattern: Optional[int] = None
+    attn_logit_softcap: Optional[float] = None   # gemma2: 50.0
+    final_logit_softcap: Optional[float] = None  # gemma2: 30.0
+    #: attention scale = query_pre_attn_scalar**-0.5 instead of
+    #: head_dim**-0.5 (gemma2-9b: 256, -27b: hidden/heads). Folded into q
+    #: once so every kernel path inherits it
+    query_pre_attn_scalar: Optional[float] = None
+    #: gemma3 dual rope: sliding-window layers use this rope theta (10000)
+    #: with NO scaling, while global layers use rope_theta (1e6) with
+    #: rope_scaling. Builds a second cos/sin table on ModelParams
+    rope_local_theta: Optional[float] = None
+    #: logits multiplier applied before final_logit_softcap (cohere
+    #: logit_scale; granite 1/logits_scaling; minicpm dim_model_base/D)
+    logit_scale: Optional[float] = None
+    #: token-embedding multiplier (granite embedding_multiplier, minicpm
+    #: scale_emb). Orthogonal to embed_scale (gemma's sqrt(D))
+    embed_multiplier: Optional[float] = None
+    #: sub-layer output multiplier before each residual add (granite
+    #: residual_multiplier; minicpm scale_depth/sqrt(L))
+    residual_multiplier: Optional[float] = None
     layernorm: str = "rmsnorm"            # "rmsnorm" | "layernorm"
     act_fn: str = "silu"                  # "silu" | "gelu" | "relu"
     gated_mlp: bool = True                # swiglu vs plain 2-layer mlp
@@ -163,8 +202,8 @@ class ModelConfig:
             self.rope_scaling, tuple
         ):
             # normalize dict / JSON-round-tripped list to the hashable form;
-            # non-scalar values (e.g. qwen2-vl mrope_section lists) are
-            # dropped — rope_table only reads scalars
+            # numeric-list values (phi3 longrope short/long_factor,
+            # qwen2-vl mrope_section) become tuples, other non-scalars drop
             items = (
                 self.rope_scaling.items()
                 if isinstance(self.rope_scaling, dict)
@@ -173,14 +212,28 @@ class ModelConfig:
             object.__setattr__(
                 self, "rope_scaling",
                 tuple(sorted(
-                    (k, v) for k, v in items
-                    if isinstance(v, (str, int, float, bool))
+                    (k, tuple(v) if isinstance(v, (list, tuple)) else v)
+                    for k, v in items
+                    if isinstance(v, (str, int, float, bool, list, tuple))
                 )),
             )
 
     @property
     def is_moe(self) -> bool:
         return self.num_local_experts > 0
+
+    def layer_is_sliding(self, layer_idx: int) -> bool:
+        """True iff this layer attends through a sliding window.
+
+        With no pattern, every layer slides (mistral). With pattern N, every
+        Nth layer is global and the rest slide (gemma2 N=2: sliding on even
+        indices, matching HF's ``not bool(layer_idx % 2)``; gemma3 N=6)."""
+        if self.sliding_window is None:
+            return False
+        n = self.sliding_window_pattern
+        if not n:
+            return True
+        return (layer_idx + 1) % n != 0
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -198,6 +251,11 @@ class ModelConfig:
         mt = hf.get("model_type", "llama")
         if mt in ("RefinedWeb", "RefinedWebModel"):  # pre-rename falcon
             mt = "falcon"
+        if mt == "gemma3" and isinstance(hf.get("text_config"), dict):
+            # multimodal wrapper: the language tower carries the params
+            return cls.from_hf_config(
+                {**hf["text_config"], "model_type": "gemma3_text"}
+            )
         if mt == "llava" and isinstance(hf.get("text_config"), dict):
             # vision2seq: architecture params come from the language tower
             cfg = cls.from_hf_config({**hf["text_config"], "model_type": "llama"})
@@ -230,6 +288,10 @@ class ModelConfig:
         if mt == "mixtral":
             kw["num_local_experts"] = hf.get("num_local_experts", 8)
             kw["num_experts_per_tok"] = hf.get("num_experts_per_tok", 2)
+        if hf.get("sliding_window") and (
+            mt == "mistral" or hf.get("use_sliding_window")  # qwen2 opt-in
+        ):
+            kw["sliding_window"] = hf["sliding_window"]  # all layers sliding
 
         # -- family-specific HF config translations -------------------------
         # (authoritative: AutoQuickModel trusts these over the static
@@ -310,6 +372,43 @@ class ModelConfig:
             kw["rotary_dim"] = max(
                 2, int(hd * hf.get("partial_rotary_factor", 0.5))
             )
+        elif mt in ("gemma3", "gemma3_text"):
+            # gemma3 (HF modeling_gemma3): gemma2 minus the softcaps, plus
+            # zero-centered per-head q/k RMSNorm and DUAL rope — sliding
+            # layers (5 of every 6) at rope_local_base_freq with no
+            # scaling, global layers at rope_theta with linear scaling
+            kw["model_type"] = "gemma3"
+            kw["act_fn"] = "gelu"
+            kw["embed_scale"] = True
+            kw["tie_word_embeddings"] = hf.get("tie_word_embeddings", True)
+            kw["rms_norm_eps"] = hf.get("rms_norm_eps", 1e-6)
+            kw["use_post_norms"] = True
+            kw["use_qk_norm"] = True
+            kw["query_pre_attn_scalar"] = hf.get("query_pre_attn_scalar", 256)
+            kw["rope_theta"] = hf.get("rope_theta", 1e6)
+            kw["rope_local_theta"] = hf.get("rope_local_base_freq", 1e4)
+            if hf.get("sliding_window"):
+                kw["sliding_window"] = hf["sliding_window"]
+                kw["sliding_window_pattern"] = hf.get(
+                    "sliding_window_pattern", 6
+                )
+        elif mt == "gemma2":
+            # gemma2 (HF modeling_gemma2): gemma plus sandwich norms on both
+            # sub-layer outputs, attention+final logit softcapping, custom
+            # query scale, and alternating sliding-window/global layers
+            kw["act_fn"] = "gelu"
+            kw["embed_scale"] = True
+            kw["tie_word_embeddings"] = True
+            kw["rms_norm_eps"] = hf.get("rms_norm_eps", 1e-6)
+            kw["use_post_norms"] = True
+            kw["query_pre_attn_scalar"] = hf.get("query_pre_attn_scalar")
+            kw["attn_logit_softcap"] = hf.get("attn_logit_softcapping", 50.0)
+            kw["final_logit_softcap"] = hf.get(
+                "final_logit_softcapping", 30.0
+            )
+            if hf.get("sliding_window"):
+                kw["sliding_window"] = hf["sliding_window"]
+                kw["sliding_window_pattern"] = 2
         elif mt == "gemma":
             # gemma: GeGLU (tanh gelu), embeddings scaled by sqrt(D), tied
             # lm_head, RMSNorm weights stored as (w - 1) — folded to our
@@ -322,6 +421,95 @@ class ModelConfig:
             # llama-like + per-head q/k RMSNorm, explicit head_dim, no bias
             kw["use_qk_norm"] = True
             kw["attention_bias"] = hf.get("attention_bias", False)
+        elif mt == "phi3":
+            # phi3/phi3.5/phi4 (HF modeling_phi3): llama numerics with
+            # FUSED qkv_proj / gate_up_proj checkpoint tensors, longrope
+            # scaling (handled by rope_table), sliding window on all layers
+            kw["rms_norm_eps"] = hf.get("rms_norm_eps", 1e-5)
+            kw["tie_word_embeddings"] = hf.get("tie_word_embeddings", False)
+            hd = kw.get("head_dim") or D // H
+            if hf.get("partial_rotary_factor"):
+                kw["rotary_dim"] = max(
+                    2, int(hd * hf["partial_rotary_factor"])
+                )
+            if hf.get("sliding_window"):
+                kw["sliding_window"] = hf["sliding_window"]
+        elif mt == "starcoder2":
+            # starcoder2 (HF modeling_starcoder2): gpt_bigcode's successor —
+            # LayerNorm (w/ bias), plain gelu c_fc/c_proj MLP, RoPE, GQA,
+            # biases on every linear (use_bias), tied lm_head
+            kw["layernorm"] = "layernorm"
+            kw["act_fn"] = "gelu"
+            kw["gated_mlp"] = False
+            kw["rms_norm_eps"] = hf.get("norm_epsilon", 1e-5)
+            kw["attention_bias"] = hf.get("use_bias", True)
+            kw["mlp_bias"] = hf.get("use_bias", True)
+            kw["tie_word_embeddings"] = hf.get("tie_word_embeddings", True)
+            if hf.get("sliding_window"):
+                kw["sliding_window"] = hf["sliding_window"]
+        elif mt == "stablelm":
+            # stablelm/stablelm2 (HF modeling_stablelm): llama tree with
+            # LayerNorm (w/ bias), partial rotary (25% default), optional
+            # qkv bias (stablelm-2) and optional parallel residual (zephyr)
+            kw["layernorm"] = "layernorm"
+            kw["rms_norm_eps"] = hf.get("layer_norm_eps", 1e-5)
+            kw["attention_bias"] = hf.get("use_qkv_bias", False)
+            kw["parallel_residual"] = hf.get("use_parallel_residual", False)
+            hd = kw.get("head_dim") or D // H
+            kw["rotary_dim"] = max(
+                2, int(hd * hf.get("partial_rotary_factor", 0.25))
+            )
+        elif mt == "internlm2":
+            # internlm2 (HF modeling_internlm2): llama numerics, renamed
+            # tensor tree, grouped fused wqkv, optional bias
+            kw["attention_bias"] = hf.get("bias", False)
+        elif mt == "olmo2":
+            # olmo2 (HF modeling_olmo2): llama tree where the ONLY norms
+            # are post-norms on each sub-layer OUTPUT (x + norm(attn(x))),
+            # plus full-projection-width RMSNorm on q/k before the head
+            # reshape
+            kw["use_post_norms"] = True
+            kw["pre_norms"] = False
+            kw["use_qk_norm"] = True
+            kw["qk_norm_full"] = True
+        elif mt == "cohere":
+            # cohere command-r/r+ (HF modeling_cohere): bias-free LayerNorm,
+            # parallel attn+mlp on ONE shared input norm, logit_scale on the
+            # logits, tied embeddings, optional per-head q/k LayerNorm (r+),
+            # INTERLEAVED rope (converted to rotate-half by an import-time
+            # channel permutation, like gptj — see _import_cohere)
+            kw["layernorm"] = "layernorm"
+            kw["parallel_residual"] = True
+            kw["rms_norm_eps"] = hf.get("layer_norm_eps", 1e-5)
+            kw["logit_scale"] = hf.get("logit_scale", 0.0625)
+            kw["tie_word_embeddings"] = True
+            kw["use_qk_norm"] = hf.get("use_qk_norm", False)
+        elif mt == "granite":
+            # granite (HF modeling_granite): llama tree + four static
+            # multipliers (mup-style width scaling)
+            kw["embed_multiplier"] = hf.get("embedding_multiplier")
+            kw["residual_multiplier"] = hf.get("residual_multiplier")
+            if hf.get("logits_scaling"):
+                kw["logit_scale"] = 1.0 / hf["logits_scaling"]
+            am = hf.get("attention_multiplier")
+            if am:
+                # attention scale = am; folded via query_pre_attn_scalar
+                # (scale = qpas**-0.5), shared with the gemma2 mechanism
+                kw["query_pre_attn_scalar"] = am ** -2
+            kw["tie_word_embeddings"] = hf.get("tie_word_embeddings", True)
+        elif mt == "minicpm":
+            # minicpm 1/2 (modeling_minicpm): llama tree + mup multipliers —
+            # scale_emb on embeddings, scale_depth/sqrt(L) on residual
+            # branches, dim_model_base/D on logits
+            kw["embed_multiplier"] = hf.get("scale_emb")
+            sd = hf.get("scale_depth")
+            if sd:
+                kw["residual_multiplier"] = (
+                    sd / kw["num_hidden_layers"] ** 0.5
+                )
+            if hf.get("dim_model_base"):
+                kw["logit_scale"] = hf["dim_model_base"] / D
+            kw["tie_word_embeddings"] = hf.get("tie_word_embeddings", True)
         elif mt == "baichuan":
             # Baichuan-13B is the ALiBi variant (reference models/baichuan.py:116);
             # the 7B uses RoPE. Distinguish by width.

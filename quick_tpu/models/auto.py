@@ -56,7 +56,25 @@ MODEL_TYPE_MAP: Dict[str, dict] = {
             "mlp_bias": True},
     "gemma": {"act_fn": "gelu", "embed_scale": True,
               "tie_word_embeddings": True},
+    "gemma2": {"act_fn": "gelu", "embed_scale": True,
+               "tie_word_embeddings": True, "use_post_norms": True,
+               "attn_logit_softcap": 50.0, "final_logit_softcap": 30.0},
+    "gemma3": {"act_fn": "gelu", "embed_scale": True,
+               "tie_word_embeddings": True, "use_post_norms": True,
+               "use_qk_norm": True},
     "qwen3": {"use_qk_norm": True},
+    "phi3": {},
+    "cohere": {"layernorm": "layernorm", "parallel_residual": True,
+               "tie_word_embeddings": True, "logit_scale": 0.0625},
+    "granite": {"tie_word_embeddings": True},
+    "olmo2": {"use_post_norms": True, "pre_norms": False,
+              "use_qk_norm": True, "qk_norm_full": True},
+    "minicpm": {"tie_word_embeddings": True},
+    "starcoder2": {"layernorm": "layernorm", "act_fn": "gelu",
+                   "gated_mlp": False, "attention_bias": True,
+                   "mlp_bias": True, "tie_word_embeddings": True},
+    "stablelm": {"layernorm": "layernorm"},
+    "internlm2": {},
 }
 
 

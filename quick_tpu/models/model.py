@@ -26,7 +26,7 @@ from quick_tpu.modules.blocks import (
 from quick_tpu.modules.cache import KVCache
 from quick_tpu.modules.linear import Linear, QuantLinear, concat_linears
 from quick_tpu.ops.norms import layer_norm, rms_norm
-from quick_tpu.ops.rope import rope_table
+from quick_tpu.ops.rope import local_rope_tables, rope_table
 from quick_tpu.parallel.context import ParallelContext
 
 
@@ -47,6 +47,10 @@ class ModelParams:
     embed_norm: Optional[jax.Array] = None
     embed_norm_bias: Optional[jax.Array] = None
     lm_head_bias_unused: Optional[jax.Array] = None
+    #: gemma3 dual rope: sliding-window layers read these tables (built at
+    #: cfg.rope_local_theta, no scaling) instead of rope_cos/rope_sin
+    rope_cos_local: Optional[jax.Array] = None
+    rope_sin_local: Optional[jax.Array] = None
 
 
 def model_forward(
@@ -84,6 +88,9 @@ def model_forward(
         # gemma: hidden = embed * sqrt(D), with the normalizer rounded to
         # the activation dtype first (HF casts the scalar before the mul)
         x = x * jnp.asarray(cfg.hidden_size ** 0.5).astype(x.dtype)
+    if cfg.embed_multiplier is not None:
+        # granite embedding_multiplier / minicpm scale_emb
+        x = x * jnp.asarray(cfg.embed_multiplier, x.dtype)
     if params.pos_embed is not None:
         P = params.pos_embed.shape[0]
         x = x + params.pos_embed[jnp.minimum(positions, P - 1)].astype(x.dtype)
@@ -91,10 +98,14 @@ def model_forward(
         x = layer_norm(
             x, params.embed_norm, params.embed_norm_bias, cfg.rms_norm_eps
         )
+    use_local = params.rope_cos_local is not None
     for i, blk in enumerate(params.blocks):
+        local = use_local and cfg.layer_is_sliding(i)
         x, cache = block_forward(
-            blk, cfg, x, params.rope_cos, params.rope_sin, cache, i, positions,
-            ctx, token_mask=token_mask,
+            blk, cfg, x,
+            params.rope_cos_local if local else params.rope_cos,
+            params.rope_sin_local if local else params.rope_sin,
+            cache, i, positions, ctx, token_mask=token_mask,
         )
     if cache is not None:
         cache = cache.with_length(
@@ -107,7 +118,15 @@ def model_forward(
     else:
         x = layer_norm(x, params.final_norm, params.final_norm_bias, cfg.rms_norm_eps)
     logits = params.lm_head(x)
-    return logits.astype(jnp.float32), cache
+    logits = logits.astype(jnp.float32)
+    if cfg.logit_scale is not None:
+        # cohere logit_scale / granite 1/logits_scaling / minicpm
+        # dim_model_base/D — applied in f32, before any softcap
+        logits = logits * cfg.logit_scale
+    if cfg.final_logit_softcap is not None:
+        c = cfg.final_logit_softcap
+        logits = c * jnp.tanh(logits / c)
+    return logits, cache
 
 
 # ---------------------------------------------------------------------------
@@ -137,8 +156,14 @@ def init_float_params(
         attn = AttentionParams(
             qkv_proj=qkv,
             o_proj=dense(ks[1], hq * hd, D),
-            q_norm=jnp.ones(hd, dtype) if cfg.use_qk_norm else None,
-            k_norm=jnp.ones(hd, dtype) if cfg.use_qk_norm else None,
+            q_norm=(
+                jnp.ones(hq * hd if cfg.qk_norm_full else hd, dtype)
+                if cfg.use_qk_norm else None
+            ),
+            k_norm=(
+                jnp.ones(hkv * hd if cfg.qk_norm_full else hd, dtype)
+                if cfg.use_qk_norm else None
+            ),
         )
         if cfg.is_moe:
             E = cfg.num_local_experts
@@ -161,16 +186,23 @@ def init_float_params(
             )
         blocks.append(
             BlockParams(
-                attn_norm=jnp.ones(D, dtype),
+                attn_norm=jnp.ones(D, dtype) if cfg.pre_norms else None,
                 attn=attn,
-                mlp_norm=jnp.ones(D, dtype),
+                mlp_norm=jnp.ones(D, dtype) if cfg.pre_norms else None,
                 mlp=mlp,
+                attn_post_norm=(
+                    jnp.ones(D, dtype) if cfg.use_post_norms else None
+                ),
+                mlp_post_norm=(
+                    jnp.ones(D, dtype) if cfg.use_post_norms else None
+                ),
             )
         )
     cos, sin = rope_table(
         cfg.max_position_embeddings, cfg.rotary_dim or hd, cfg.rope_theta,
         cfg.rope_scaling,
     )
+    lcos, lsin = local_rope_tables(cfg)
     embed = jax.random.normal(keys[-1], (cfg.vocab_size, D), dtype) * 0.02
     lm_head = (
         Linear(embed.T) if cfg.tie_word_embeddings
@@ -183,6 +215,8 @@ def init_float_params(
         lm_head=lm_head,
         rope_cos=cos,
         rope_sin=sin,
+        rope_cos_local=lcos,
+        rope_sin_local=lsin,
         pos_embed=(
             jax.random.normal(
                 keys[-3], (cfg.max_position_embeddings, D), dtype
@@ -233,8 +267,14 @@ def init_quant_params(
         attn = AttentionParams(
             qkv_proj=qlin(ks[0], D, (hq + 2 * hkv) * hd),
             o_proj=qlin(ks[1], hq * hd, D),
-            q_norm=jnp.ones(hd, dtype) if cfg.use_qk_norm else None,
-            k_norm=jnp.ones(hd, dtype) if cfg.use_qk_norm else None,
+            q_norm=(
+                jnp.ones(hq * hd if cfg.qk_norm_full else hd, dtype)
+                if cfg.use_qk_norm else None
+            ),
+            k_norm=(
+                jnp.ones(hkv * hd if cfg.qk_norm_full else hd, dtype)
+                if cfg.use_qk_norm else None
+            ),
         )
         if cfg.is_moe:
             E = cfg.num_local_experts
@@ -253,16 +293,23 @@ def init_quant_params(
             )
         blocks.append(
             BlockParams(
-                attn_norm=jnp.ones(D, dtype),
+                attn_norm=jnp.ones(D, dtype) if cfg.pre_norms else None,
                 attn=attn,
-                mlp_norm=jnp.ones(D, dtype),
+                mlp_norm=jnp.ones(D, dtype) if cfg.pre_norms else None,
                 mlp=mlp,
+                attn_post_norm=(
+                    jnp.ones(D, dtype) if cfg.use_post_norms else None
+                ),
+                mlp_post_norm=(
+                    jnp.ones(D, dtype) if cfg.use_post_norms else None
+                ),
             )
         )
     cos, sin = rope_table(
         cfg.max_position_embeddings, cfg.rotary_dim or hd, cfg.rope_theta,
         cfg.rope_scaling,
     )
+    lcos, lsin = local_rope_tables(cfg)
     embed = jax.random.normal(keys[-1], (cfg.vocab_size, D), dtype) * 0.02
     return ModelParams(
         embed=embed,
@@ -271,6 +318,8 @@ def init_quant_params(
         lm_head=Linear(embed.T),
         rope_cos=cos,
         rope_sin=sin,
+        rope_cos_local=lcos,
+        rope_sin_local=lsin,
         pos_embed=(
             jax.random.normal(
                 keys[-2], (cfg.max_position_embeddings, D), dtype

@@ -75,6 +75,11 @@ class BlockParams:
     mlp: "MLPParams | MoEParams"
     attn_norm_bias: Optional[jax.Array] = None
     mlp_norm_bias: Optional[jax.Array] = None
+    #: gemma2 sandwich norms (cfg.use_post_norms): RMSNorm applied to each
+    #: sub-layer's OUTPUT before the residual add (HF gemma2's
+    #: post_attention_layernorm / post_feedforward_layernorm)
+    attn_post_norm: Optional[jax.Array] = None
+    mlp_post_norm: Optional[jax.Array] = None
 
 
 def _norm(x, w, b, cfg: ModelConfig):
@@ -156,13 +161,53 @@ def attention_forward(
         slopes = full
     qkv = p.qkv_proj(x)  # [B, S, (hq+2hkv)*hd]
     q, k, v = jnp.split(qkv, [hq * hd, (hq + hkv) * hd], axis=-1)
+    if cfg.use_qk_norm and cfg.qk_norm_full:
+        # olmo2: ONE RMSNorm over the full projection width, before the
+        # head reshape. Under TP the shards hold disjoint head ranges, so
+        # the mean-square is psum-reduced to the full-width statistic.
+        def _full_rms(t, w):
+            tf = t.astype(jnp.float32)
+            ss = jnp.sum(tf * tf, axis=-1, keepdims=True)
+            n = t.shape[-1]
+            if ctx.model_axis is not None:
+                ss = jax.lax.psum(ss, ctx.model_axis)
+                n = n * jax.lax.psum(1, ctx.model_axis)
+            y = tf * jax.lax.rsqrt(ss / n + cfg.rms_norm_eps)
+            return (y * w.astype(jnp.float32)).astype(t.dtype)
+
+        q = _full_rms(q, p.q_norm)
+        k = _full_rms(k, p.k_norm)
     q = q.reshape(B, S, hq, hd)
     k = k.reshape(B, S, hkv, hd)
     v = v.reshape(B, S, hkv, hd)
-    if cfg.use_qk_norm:
-        # qwen3: RMSNorm over head_dim, shared weights across heads
-        q = rms_norm(q, p.q_norm, cfg.rms_norm_eps)
-        k = rms_norm(k, p.k_norm, cfg.rms_norm_eps)
+    if cfg.use_qk_norm and not cfg.qk_norm_full:
+        # per-head norm on q/k before RoPE. The norm kind follows the
+        # family's norm: RMSNorm for qwen3/gemma3 ([hd] weights shared
+        # across heads), bias-free LayerNorm for cohere command-r-plus
+        # ([hq, hd] per-head weights — both broadcast against [B,S,h,hd])
+        if cfg.layernorm == "rmsnorm":
+            q = rms_norm(q, p.q_norm, cfg.rms_norm_eps)
+            k = rms_norm(k, p.k_norm, cfg.rms_norm_eps)
+        else:
+            q = layer_norm(q, p.q_norm, None, cfg.rms_norm_eps)
+            k = layer_norm(k, p.k_norm, None, cfg.rms_norm_eps)
+    if cfg.query_pre_attn_scalar is not None:
+        # gemma2 custom attention scale, folded into q (AFTER qk-norm, which
+        # would normalize it away) so every downstream path — flash, paged,
+        # dense-decode kernels — inherits it through its default hd**-0.5
+        q = q * jnp.asarray(
+            cfg.query_pre_attn_scalar ** -0.5 * hd ** 0.5, q.dtype
+        )
+    # sliding window for this layer; drop it when it cannot bind (the whole
+    # reachable context fits inside the window) so the fast kernel paths
+    # stay live for short-context serving (e.g. mistral bench at 256 ctx)
+    window = cfg.sliding_window if cfg.layer_is_sliding(layer_idx) else None
+    if window is not None:
+        reach = cache.max_seq if cache is not None else S
+        if reach <= window:
+            window = None
+    softcap = cfg.attn_logit_softcap
+    plain_attn = window is None and softcap is None
     if cfg.use_rope:
         q = apply_rope(q, positions, rope_cos, rope_sin)
         k = apply_rope(k, positions, rope_cos, rope_sin)
@@ -170,7 +215,7 @@ def attention_forward(
     if cache is not None:
         start = cache.length
         cache = cache.update(layer_idx, k, v, start)
-        if S == 1 and _use_paged_kernel(cache):
+        if S == 1 and plain_attn and _use_paged_kernel(cache):
             from quick_tpu.ops.paged_attention import paged_decode_attention
 
             quant = getattr(cache, "quantized", False)
@@ -184,7 +229,7 @@ def attention_forward(
                 v_scales=cache.v_scales if quant else None,
                 interpret=jax.default_backend() == "cpu",
             )[:, None]
-        elif S == 1 and _use_dense_decode_kernel(B, hq, hkv, cache, hd):
+        elif S == 1 and plain_attn and _use_dense_decode_kernel(B, hq, hkv, cache, hd):
             # chunked dense-decode Pallas kernel: batch-blocked grid steps,
             # DMA skipped past the valid length (ops/decode_attention.py).
             # The WHOLE cache stack goes in (layer picked by BlockSpec) —
@@ -201,6 +246,7 @@ def attention_forward(
             out = causal_attention(
                 q, k_all, v_all, q_offset=start, kv_len=start + S,
                 alibi_slopes=slopes, kv_heads_major=True,
+                window=window, logit_softcap=softcap,
             )
     elif ctx.seq_axis is not None:
         # context parallel: q stays sequence-sharded, K/V gather over ICI
@@ -209,9 +255,14 @@ def attention_forward(
         out = causal_attention(
             q, k_all, v_all, q_offset=ctx.seq_index() * S,
             alibi_slopes=slopes,
+            window=cfg.sliding_window if cfg.layer_is_sliding(layer_idx)
+            else None,  # CP shards see the full gathered context
+            logit_softcap=softcap,
         )
     else:
-        out = causal_attention(q, k, v, alibi_slopes=slopes)
+        out = causal_attention(
+            q, k, v, alibi_slopes=slopes, window=window, logit_softcap=softcap
+        )
     out = out.reshape(B, S, hq * hd)
     # row-parallel output projection: partial sums reduced over the TP axis
     # (Megatron-style; the collective rides ICI under shard_map)
@@ -368,10 +419,17 @@ def block_forward(
     ctx: ParallelContext = ParallelContext(),
     token_mask: Optional[jax.Array] = None,  # [B, S] valid-token mask
 ) -> Tuple[jax.Array, Optional[KVCache]]:
-    h = _norm(x, p.attn_norm, p.attn_norm_bias, cfg)
+    rmul = cfg.residual_multiplier  # granite / minicpm scale_depth
+    # olmo2 (pre_norms=False): sub-layers read the raw residual stream;
+    # the post-norms are the only norms
+    h = _norm(x, p.attn_norm, p.attn_norm_bias, cfg) if cfg.pre_norms else x
     attn_out, cache = attention_forward(
         p.attn, cfg, h, rope_cos, rope_sin, cache, layer_idx, positions, ctx
     )
+    if p.attn_post_norm is not None:
+        attn_out = _norm(attn_out, p.attn_post_norm, None, cfg)
+    if rmul is not None:
+        attn_out = attn_out * jnp.asarray(rmul, attn_out.dtype)
     if cfg.parallel_residual:
         # gptj/neox/falcon style: mlp on the same normed input, single residual
         h2 = _norm(x, p.mlp_norm, p.mlp_norm_bias, cfg)
@@ -380,12 +438,18 @@ def block_forward(
             if isinstance(p.mlp, MoEParams)
             else mlp_forward(p.mlp, cfg, h2, ctx)
         )
+        if rmul is not None:
+            mlp_out = mlp_out * jnp.asarray(rmul, mlp_out.dtype)
         return x + attn_out + mlp_out, cache
     x = x + attn_out
-    h2 = _norm(x, p.mlp_norm, p.mlp_norm_bias, cfg)
+    h2 = _norm(x, p.mlp_norm, p.mlp_norm_bias, cfg) if cfg.pre_norms else x
     mlp_out = (
         moe_forward(p.mlp, cfg, h2, ctx, token_mask)
         if isinstance(p.mlp, MoEParams)
         else mlp_forward(p.mlp, cfg, h2, ctx)
     )
+    if p.mlp_post_norm is not None:
+        mlp_out = _norm(mlp_out, p.mlp_post_norm, None, cfg)
+    if rmul is not None:
+        mlp_out = mlp_out * jnp.asarray(rmul, mlp_out.dtype)
     return x + mlp_out, cache

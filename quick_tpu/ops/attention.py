@@ -47,6 +47,9 @@ def causal_attention(
     scale: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,  # [Hq] per-head slopes
     kv_heads_major: bool = False,
+    window: Optional[int] = None,  # sliding-window width (mistral/gemma2);
+    # key t visible to query s iff s - window < t <= s
+    logit_softcap: Optional[float] = None,  # gemma2: cap*tanh(scores/cap)
 ) -> jax.Array:
     """Causal GQA attention, f32 softmax. Returns [B, S, Hq, D].
 
@@ -67,6 +70,7 @@ def causal_attention(
         return flash_attention(
             q, k, v, q_offset=q_offset, kv_len=kv_len, scale=scale,
             alibi_slopes=alibi_slopes, kv_heads_major=kv_heads_major,
+            window=window, logit_softcap=logit_softcap,
             interpret=jax.default_backend() == "cpu",
         )
     # keep operands in their storage dtype (bf16 on TPU): the MXU consumes
@@ -80,12 +84,17 @@ def causal_attention(
     scores = jnp.einsum(
         f"bsKgd,{kv_sub}->bKgst", qg, k, preferred_element_type=jnp.float32
     ) * scale
+    if logit_softcap is not None:
+        # gemma2: cap the raw scaled scores (before any bias/mask)
+        scores = logit_softcap * jnp.tanh(scores / logit_softcap)
     # mask broadcast shape [B, 1, 1, S, T]
     off = jnp.asarray(q_offset)
     off = off.reshape(-1, 1, 1, 1, 1) if off.ndim > 0 else off
     q_pos = jnp.arange(S).reshape(1, 1, 1, S, 1) + off
     k_pos = jnp.arange(T).reshape(1, 1, 1, 1, T)
     mask = k_pos <= q_pos  # causal
+    if window is not None:
+        mask = jnp.logical_and(mask, k_pos > q_pos - window)
     if alibi_slopes is not None:
         # bias[h, s, t] = m_h * (t - s): 0 on the diagonal, increasingly
         # negative with distance (ALiBi paper; reference fused/attn.py:89-98)

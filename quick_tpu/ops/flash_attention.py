@@ -12,8 +12,11 @@ Features beyond the reference (needed by this framework's serving runtime):
 - Per-batch query offset and kv length (scalar-prefetched from SMEM), so the
   same kernel serves full prefill, chunked prefill and paged decode views.
 - Optional ALiBi bias (slope per head, SMEM).
+- Sliding-window masking (mistral/gemma2) and tanh logit softcap (gemma2),
+  both static kernel parameters.
 - Causal block skipping: kv tiles entirely above the diagonal (or past the
-  kv length) are skipped per grid step — BOTH their compute (@pl.when) and
+  kv length, or — with a sliding window — entirely below every query row's
+  window) are skipped per grid step — BOTH their compute (@pl.when) and
   their DMA: the kv BlockSpec index maps clamp the tile index using the
   scalar-prefetched offsets/lengths, and Mosaic elides the re-fetch when
   consecutive steps reference the same block. Causal prefill halves K/V
@@ -39,6 +42,7 @@ def _flash_kernel(
     o_ref,                          # VMEM: [1,1,bq,D]
     m_scr, l_scr, acc_scr,          # VMEM scratch: [bq,1], [bq,1], [bq,D]
     *, scale: float, bq: int, bk: int, use_alibi: bool,
+    window: Optional[int], softcap: Optional[float],
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -56,8 +60,14 @@ def _flash_kernel(
     # causal block skip: this kv tile's first key position vs the q tile's
     # last absolute query position, and the valid kv length
     q_last = qoff + iq * bq + bq - 1
+    live = jnp.logical_and(ik * bk <= q_last, ik * bk < klen)
+    if window is not None:
+        # sliding window: also skip kv tiles entirely BELOW the window of
+        # every query row in this q tile (q_first - window)
+        q_first = qoff + iq * bq
+        live = jnp.logical_and(live, ik * bk + bk - 1 > q_first - window)
 
-    @pl.when(jnp.logical_and(ik * bk <= q_last, ik * bk < klen))
+    @pl.when(live)
     def _compute():
         # operands stay in their storage dtype (bf16): MXU bf16 passes with
         # exact f32 accumulation — an up-front f32 cast would force ~8x
@@ -68,6 +78,9 @@ def _flash_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale                                    # [bq, bk] f32
+        if softcap is not None:
+            # gemma2: cap the raw scaled scores (before any bias/mask)
+            s = softcap * jnp.tanh(s / softcap)
         q_pos = qoff + iq * bq + jax.lax.broadcasted_iota(
             jnp.int32, (bq, bk), 0
         )
@@ -75,6 +88,8 @@ def _flash_kernel(
         if use_alibi:
             s = s + slope_ref[h] * (k_pos - q_pos).astype(jnp.float32)
         mask = jnp.logical_and(k_pos <= q_pos, k_pos < klen)
+        if window is not None:
+            mask = jnp.logical_and(mask, k_pos > q_pos - window)
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_scr[:]                            # [bq, 1]
@@ -100,7 +115,7 @@ def _flash_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "bq", "bk", "interpret"),
+    static_argnames=("scale", "bq", "bk", "interpret", "window", "softcap"),
 )
 def _flash_bhsd(
     q: jax.Array,        # [B, Hq, Sp, D]
@@ -115,6 +130,8 @@ def _flash_bhsd(
     bq: int,
     bk: int,
     interpret: bool,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ) -> jax.Array:
     B, Hq, Sp, D = q.shape
     Hkv, Tp = k.shape[1], k.shape[2]
@@ -123,14 +140,21 @@ def _flash_bhsd(
     slopes_in = slopes if use_alibi else jnp.zeros((Hq,), jnp.float32)
 
     def kv_index(b, h, i, j, qoff_s, klen_s, sl_s):
-        # clamp skipped tiles (above the causal diagonal or past klen) onto
-        # the last NEEDED tile: repeated block index -> Mosaic skips the DMA
+        # clamp skipped tiles (above the causal diagonal, past klen, or —
+        # with a sliding window — below the q tile's window) onto a NEEDED
+        # tile: repeated block index -> Mosaic skips the DMA
         q_last = qoff_s[b] + i * bq + bq - 1
         last = jnp.maximum(jnp.minimum(q_last, klen_s[b] - 1), 0) // bk
-        return (b, h // group, jnp.minimum(j, last), 0)
+        j = jnp.minimum(j, last)
+        if window is not None:
+            q_first = qoff_s[b] + i * bq
+            first = jnp.clip(q_first - window + 1, 0, None) // bk
+            j = jnp.maximum(j, jnp.minimum(first, last))
+        return (b, h // group, j, 0)
 
     kernel = functools.partial(
-        _flash_kernel, scale=scale, bq=bq, bk=bk, use_alibi=use_alibi
+        _flash_kernel, scale=scale, bq=bq, bk=bk, use_alibi=use_alibi,
+        window=window, softcap=softcap,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -173,6 +197,8 @@ def flash_attention(
     bk: int = 512,
     kv_heads_major: bool = False,
     interpret: bool = False,
+    window: Optional[int] = None,
+    logit_softcap: Optional[float] = None,
 ) -> jax.Array:
     """Flash attention with the same contract as ops.attention.causal_attention.
 
@@ -218,6 +244,8 @@ def flash_attention(
     out = _flash_bhsd(
         qt, kt, vt, qoff, klen, slopes,
         scale=float(scale), bq=bq, bk=bk, interpret=interpret,
+        window=window,
+        softcap=None if logit_softcap is None else float(logit_softcap),
     )
     out = jnp.moveaxis(out, 1, 2)  # [B, Sp, Hq, D]
     return out[:, :S]

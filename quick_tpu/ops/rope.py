@@ -77,6 +77,27 @@ def rope_table(
             float(af) if af is not None
             else (0.1 * math.log(factor) + 1.0 if factor > 1.0 else 1.0)
         )
+    elif rtype in ("longrope", "su"):
+        # phi3/phi3.5/phi4 LongRoPE (HF modeling_phi3 rotary): per-dim
+        # frequency rescale factors — ``long_factor`` beyond the original
+        # training length, ``short_factor`` within it. A serving table is
+        # built ONCE for the deployment's full max_seq_len, so the regime
+        # is pinned by table length (dynamically re-deriving the whole
+        # table mid-request, as HF does, is incompatible with a persistent
+        # paged cache; vLLM pins per cache the same way).
+        L0 = int(d.get("original_max_position_embeddings", max_seq_len))
+        which = "long_factor" if max_seq_len > L0 else "short_factor"
+        fac = d.get(which)
+        if fac is not None:
+            inv_freq = inv_freq / jnp.asarray(
+                [float(v) for v in fac], jnp.float32
+            )
+        af = d.get("attention_factor")
+        scale = max_seq_len / L0
+        if af is not None:
+            attn_factor = float(af)
+        elif scale > 1.0:
+            attn_factor = math.sqrt(1.0 + math.log(scale) / math.log(L0))
     elif rtype not in ("default", None):
         raise NotImplementedError(f"rope_scaling type {rtype!r}")
     t = jnp.arange(max_seq_len, dtype=jnp.float32)
@@ -110,3 +131,18 @@ def apply_rope(
     if xp is not None:
         out = jnp.concatenate([out, xp], axis=-1)
     return out
+
+
+def local_rope_tables(cfg):
+    """(cos, sin) tables for gemma3's sliding-window layers —
+    cfg.rope_local_theta with NO position scaling (HF applies rope_scaling
+    only to the global-attention rope) — or (None, None) when the config
+    has a single rope."""
+    if getattr(cfg, "rope_local_theta", None) is None:
+        return None, None
+    return rope_table(
+        cfg.max_position_embeddings,
+        cfg.rotary_dim or cfg.head_dim,
+        cfg.rope_local_theta,
+        None,
+    )

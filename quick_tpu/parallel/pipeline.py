@@ -68,6 +68,16 @@ def pipeline_forward_fn(cfg: ModelConfig, mesh: Mesh, n_micro: int):
     n_micro."""
     from quick_tpu.modules.blocks import block_forward
 
+    if cfg.rope_local_theta is not None or (
+        cfg.sliding_window is not None and cfg.sliding_window_pattern
+    ):
+        # the stage body is a homogeneous lax.scan over stacked layers —
+        # per-layer attention types (gemma2/3 alternating window, dual
+        # rope) can't ride it; uniform sliding (mistral) is fine
+        raise NotImplementedError(
+            "pipeline_forward_fn requires homogeneous layers "
+            "(no alternating sliding-window pattern / dual rope)"
+        )
     n_stages = mesh.shape[PIPE_AXIS]
 
     def pipelined(embed, rope_cos, rope_sin, stacked_local, tokens):

@@ -88,13 +88,25 @@ def param_specs(params: "ModelParams", cfg: ModelConfig) -> "ModelParams":
 
     rep1 = P(None)
 
+    def _qk_norm_spec(w):
+        # [head_dim] shared across heads (qwen3/gemma3) -> replicated;
+        # [heads, head_dim] (cohere r+) or full-width [heads*head_dim]
+        # (olmo2) -> heads follow the qkv column shards on the model axis
+        if w is None:
+            return None
+        if w.ndim == 2:
+            return P(MODEL_AXIS, None)
+        return rep1 if w.shape[-1] == cfg.head_dim else P(MODEL_AXIS)
+
     def block_spec(blk: BlockParams) -> BlockParams:
         attn = AttentionParams(
             qkv_proj=_linear_spec(blk.attn.qkv_proj, col_parallel=True),
             o_proj=_linear_spec(blk.attn.o_proj, col_parallel=False),
-            # per-head norms [head_dim]: replicated across TP shards
-            q_norm=None if blk.attn.q_norm is None else rep1,
-            k_norm=None if blk.attn.k_norm is None else rep1,
+            # per-head norm weights: qwen3/gemma3 [head_dim] shared across
+            # heads -> replicated; cohere r+ [heads, head_dim] -> heads
+            # follow the qkv column shards over the model axis
+            q_norm=_qk_norm_spec(blk.attn.q_norm),
+            k_norm=_qk_norm_spec(blk.attn.k_norm),
         )
         if isinstance(blk.mlp, MoEParams):
             mlp = MoEParams(
@@ -115,12 +127,14 @@ def param_specs(params: "ModelParams", cfg: ModelConfig) -> "ModelParams":
                 act_scale=None if blk.mlp.act_scale is None else P(MODEL_AXIS),
             )
         return BlockParams(
-            attn_norm=rep1,
+            attn_norm=None if blk.attn_norm is None else rep1,
             attn=attn,
-            mlp_norm=rep1,
+            mlp_norm=None if blk.mlp_norm is None else rep1,
             mlp=mlp,
             attn_norm_bias=None if blk.attn_norm_bias is None else rep1,
             mlp_norm_bias=None if blk.mlp_norm_bias is None else rep1,
+            attn_post_norm=None if blk.attn_post_norm is None else rep1,
+            mlp_post_norm=None if blk.mlp_post_norm is None else rep1,
         )
 
     from quick_tpu.modules.linear import QuantLinear as _QL
@@ -148,6 +162,8 @@ def param_specs(params: "ModelParams", cfg: ModelConfig) -> "ModelParams":
         pos_embed=None if params.pos_embed is None else P(None, None),
         embed_norm=None if params.embed_norm is None else rep1,
         embed_norm_bias=None if params.embed_norm_bias is None else rep1,
+        rope_cos_local=None if params.rope_cos_local is None else P(None, None),
+        rope_sin_local=None if params.rope_sin_local is None else P(None, None),
     )
 
 

@@ -230,26 +230,35 @@ def awq_quantize_block(
         return layer_norm(h, w, b, cfg.rms_norm_eps)
 
     # ---------------- attention: norm -> qkv group --------------------------
-    attn_norm = blk.attn_norm.astype(jnp.float32)
-    attn_norm_bias = (
-        None if blk.attn_norm_bias is None
-        else blk.attn_norm_bias.astype(jnp.float32)
-    )
-    attn_in = norm_fwd(x, blk.attn_norm, blk.attn_norm_bias)
     qkv_w = blk.attn.qkv_proj.weight
+    if blk.attn_norm is not None:
+        attn_norm = blk.attn_norm.astype(jnp.float32)
+        attn_norm_bias = (
+            None if blk.attn_norm_bias is None
+            else blk.attn_norm_bias.astype(jnp.float32)
+        )
+        attn_in = norm_fwd(x, blk.attn_norm, blk.attn_norm_bias)
 
-    s_qkv = search_scale(
-        flat(attn_in), [qkv_w],
-        loss_forward=lambda ws: attn_fwd(ws[0], attn_in),
-        group_size=G, zero_point=zp,
-    )
-    # apply: norm (weight AND bias) /= s, qkv *= s (reference scale_ln_fcs,
-    # scale.py:71-98 divides both ln.weight and ln.bias)
-    attn_norm = attn_norm / s_qkv
-    if attn_norm_bias is not None:
-        attn_norm_bias = attn_norm_bias / s_qkv
-    qkv_w = (qkv_w.astype(jnp.float32) * s_qkv[:, None]).astype(qkv_w.dtype)
-    attn_in = attn_in / s_qkv.astype(attn_in.dtype)
+        s_qkv = search_scale(
+            flat(attn_in), [qkv_w],
+            loss_forward=lambda ws: attn_fwd(ws[0], attn_in),
+            group_size=G, zero_point=zp,
+        )
+        # apply: norm (weight AND bias) /= s, qkv *= s (reference
+        # scale_ln_fcs, scale.py:71-98 divides both ln.weight and ln.bias)
+        attn_norm = attn_norm / s_qkv
+        if attn_norm_bias is not None:
+            attn_norm_bias = attn_norm_bias / s_qkv
+        qkv_w = (qkv_w.astype(jnp.float32) * s_qkv[:, None]).astype(qkv_w.dtype)
+        attn_in = attn_in / s_qkv.astype(attn_in.dtype)
+    else:
+        # olmo2 (pre_norms=False): the qkv input is the raw residual
+        # stream — no preceding op to fold a scale into, so the qkv group
+        # keeps unit scales (clip search still applies below); the
+        # reference's apply_scale has the same prev-op requirement
+        # (quick/awq/quantize/scale.py:27-54)
+        attn_norm = attn_norm_bias = None
+        attn_in = x
 
     # o_proj group: prev_op = v section (only when shapes match, i.e. MHA —
     # reference models/llama.py:52-58 guard)
@@ -284,23 +293,33 @@ def awq_quantize_block(
     attn_out = o_in @ o_w.astype(o_in.dtype)
     if blk.attn.o_proj.bias is not None:
         attn_out = attn_out + blk.attn.o_proj.bias.astype(attn_out.dtype)
+    if blk.attn_post_norm is not None:  # gemma2/olmo2 output norm
+        attn_out = norm_fwd(attn_out, blk.attn_post_norm, None)
     x_mid = x + attn_out if not cfg.parallel_residual else x
 
     # ---------------- MLP ---------------------------------------------------
-    mlp_norm = blk.mlp_norm.astype(jnp.float32)
-    mlp_norm_bias = (
-        None if blk.mlp_norm_bias is None
-        else blk.mlp_norm_bias.astype(jnp.float32)
-    )
-    mlp_in = norm_fwd(x_mid, blk.mlp_norm, blk.mlp_norm_bias)
+    if blk.mlp_norm is not None:
+        mlp_norm = blk.mlp_norm.astype(jnp.float32)
+        mlp_norm_bias = (
+            None if blk.mlp_norm_bias is None
+            else blk.mlp_norm_bias.astype(jnp.float32)
+        )
+        mlp_in = norm_fwd(x_mid, blk.mlp_norm, blk.mlp_norm_bias)
+        ones = jnp.ones_like(mlp_norm)
+    else:
+        # olmo2: raw residual stream feeds the MLP — gate_up keeps unit
+        # scales (no preceding op), mirroring the attention side
+        mlp_norm = mlp_norm_bias = None
+        mlp_in = x_mid
+        ones = None
 
     if isinstance(blk.mlp, MoEParams):
         new_mlp, mlp_out, mlp_norm_scale = _awq_moe(
-            blk.mlp, cfg, mlp_in, jnp.ones_like(mlp_norm), qcfg, apply_clips
+            blk.mlp, cfg, mlp_in, ones, qcfg, apply_clips
         )
     else:
         new_mlp, mlp_out, mlp_norm_scale = _awq_mlp(
-            blk.mlp, cfg, mlp_in, jnp.ones_like(mlp_norm), qcfg, apply_clips
+            blk.mlp, cfg, mlp_in, ones, qcfg, apply_clips
         )
         # pack dense mlp
         def pack(name, lin):
@@ -315,10 +334,13 @@ def awq_quantize_block(
         )
     # _awq_mlp/_awq_moe return the multiplicative norm adjustment (1/s_gu);
     # apply it to weight AND bias
-    mlp_norm = mlp_norm * mlp_norm_scale
-    if mlp_norm_bias is not None:
-        mlp_norm_bias = mlp_norm_bias * mlp_norm_scale
+    if mlp_norm is not None:
+        mlp_norm = mlp_norm * mlp_norm_scale
+        if mlp_norm_bias is not None:
+            mlp_norm_bias = mlp_norm_bias * mlp_norm_scale
 
+    if blk.mlp_post_norm is not None:  # gemma2 sandwich norm
+        mlp_out = norm_fwd(mlp_out, blk.mlp_post_norm, None)
     if cfg.parallel_residual:
         x_next = x + attn_out + mlp_out
     else:
@@ -340,9 +362,15 @@ def awq_quantize_block(
         k_norm=blk.attn.k_norm,
     )
     new_block = BlockParams(
-        attn_norm=attn_norm.astype(blk.attn_norm.dtype),
+        attn_norm=(
+            None if attn_norm is None
+            else attn_norm.astype(blk.attn_norm.dtype)
+        ),
         attn=new_attn,
-        mlp_norm=mlp_norm.astype(blk.mlp_norm.dtype),
+        mlp_norm=(
+            None if mlp_norm is None
+            else mlp_norm.astype(blk.mlp_norm.dtype)
+        ),
         mlp=new_mlp,
         attn_norm_bias=(
             None if attn_norm_bias is None
@@ -352,6 +380,10 @@ def awq_quantize_block(
             None if mlp_norm_bias is None
             else mlp_norm_bias.astype(blk.mlp_norm_bias.dtype)
         ),
+        # gemma2 sandwich norms act on sub-layer outputs — no AWQ scale
+        # folds into them; carried through unchanged
+        attn_post_norm=blk.attn_post_norm,
+        mlp_post_norm=blk.mlp_post_norm,
     )
     return AwqBlockResult(block=new_block, x_next=x_next)
 
@@ -376,14 +408,15 @@ def _awq_mlp(mlp: MLPParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
             z = jax.nn.silu(z) if cfg.act_fn == "silu" else jax.nn.gelu(z)
         return z @ dn.astype(h.dtype)
 
-    s_gu = search_scale(
-        flat(mlp_in), [gu_w],
-        loss_forward=lambda ws: mlp_fwd(ws[0], dn_w, mlp_in, gu_b),
-        group_size=G, zero_point=zp,
-    )
-    mlp_norm = mlp_norm / s_gu
-    gu_w = (gu_w.astype(jnp.float32) * s_gu[:, None]).astype(gu_w.dtype)
-    mlp_in = mlp_in / s_gu.astype(mlp_in.dtype)
+    if mlp_norm is not None:
+        s_gu = search_scale(
+            flat(mlp_in), [gu_w],
+            loss_forward=lambda ws: mlp_fwd(ws[0], dn_w, mlp_in, gu_b),
+            group_size=G, zero_point=zp,
+        )
+        mlp_norm = mlp_norm / s_gu
+        gu_w = (gu_w.astype(jnp.float32) * s_gu[:, None]).astype(gu_w.dtype)
+        mlp_in = mlp_in / s_gu.astype(mlp_in.dtype)
 
     # down group: prev_op = up half (reference models/llama.py:64-71)
     z = mlp_in @ gu_w.astype(mlp_in.dtype)
@@ -448,17 +481,19 @@ def _awq_moe(moe: MoEParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
     gu = moe.gate_up_proj.weight  # [E, D, 2F]
     dn = moe.down_proj.weight     # [E, F, D]
 
-    # joint gate_up scale over all experts
-    s_gu = search_scale(
-        flat(mlp_in), [gu[e] for e in range(E)],
-        loss_forward=lambda ws: moe_forward(
-            MoEParams(moe.router, Linear(jnp.stack(ws)), Linear(dn)), cfg, mlp_in
-        ),
-        group_size=G, zero_point=zp,
-    )
-    mlp_norm = mlp_norm / s_gu
-    gu = (gu.astype(jnp.float32) * s_gu[None, :, None]).astype(gu.dtype)
-    mlp_in = mlp_in / s_gu.astype(mlp_in.dtype)
+    # joint gate_up scale over all experts (skipped when no preceding norm
+    # exists to fold the inverse into — olmo2 pre_norms=False)
+    if mlp_norm is not None:
+        s_gu = search_scale(
+            flat(mlp_in), [gu[e] for e in range(E)],
+            loss_forward=lambda ws: moe_forward(
+                MoEParams(moe.router, Linear(jnp.stack(ws)), Linear(dn)), cfg, mlp_in
+            ),
+            group_size=G, zero_point=zp,
+        )
+        mlp_norm = mlp_norm / s_gu
+        gu = (gu.astype(jnp.float32) * s_gu[None, :, None]).astype(gu.dtype)
+        mlp_in = mlp_in / s_gu.astype(mlp_in.dtype)
 
     # per-expert down scale + clips
     new_dn = []

@@ -35,7 +35,7 @@ from quick_tpu.modules.blocks import (
 )
 from quick_tpu.modules.linear import Linear, QuantLinear
 from quick_tpu.models.model import ModelParams
-from quick_tpu.ops.rope import rope_table
+from quick_tpu.ops.rope import local_rope_tables, rope_table
 
 SHARD_BYTES = 4 * 1024**3
 
@@ -61,10 +61,12 @@ def params_to_flat(params: ModelParams) -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {"embed": np.asarray(params.embed)}
     for i, blk in enumerate(params.blocks):
         p = f"blocks.{i}"
-        out[f"{p}.attn_norm"] = np.asarray(blk.attn_norm)
+        if blk.attn_norm is not None:
+            out[f"{p}.attn_norm"] = np.asarray(blk.attn_norm)
         if blk.attn_norm_bias is not None:
             out[f"{p}.attn_norm_bias"] = np.asarray(blk.attn_norm_bias)
-        out[f"{p}.mlp_norm"] = np.asarray(blk.mlp_norm)
+        if blk.mlp_norm is not None:
+            out[f"{p}.mlp_norm"] = np.asarray(blk.mlp_norm)
         if blk.mlp_norm_bias is not None:
             out[f"{p}.mlp_norm_bias"] = np.asarray(blk.mlp_norm_bias)
         _lin_to_flat(f"{p}.attn.qkv", blk.attn.qkv_proj, out)
@@ -72,6 +74,10 @@ def params_to_flat(params: ModelParams) -> Dict[str, np.ndarray]:
         if blk.attn.q_norm is not None:
             out[f"{p}.attn.q_norm"] = np.asarray(blk.attn.q_norm)
             out[f"{p}.attn.k_norm"] = np.asarray(blk.attn.k_norm)
+        if blk.attn_post_norm is not None:
+            out[f"{p}.attn_post_norm"] = np.asarray(blk.attn_post_norm)
+        if blk.mlp_post_norm is not None:
+            out[f"{p}.mlp_post_norm"] = np.asarray(blk.mlp_post_norm)
         if isinstance(blk.mlp, MoEParams):
             _lin_to_flat(f"{p}.mlp.router", blk.mlp.router, out)
             _lin_to_flat(f"{p}.mlp.gate_up", blk.mlp.gate_up_proj, out)
@@ -150,9 +156,15 @@ def flat_to_params(
             )
         blocks.append(
             BlockParams(
-                attn_norm=jnp.asarray(flat[f"{p}.attn_norm"]),
+                attn_norm=(
+                    jnp.asarray(flat[f"{p}.attn_norm"])
+                    if f"{p}.attn_norm" in flat else None
+                ),
                 attn=attn,
-                mlp_norm=jnp.asarray(flat[f"{p}.mlp_norm"]),
+                mlp_norm=(
+                    jnp.asarray(flat[f"{p}.mlp_norm"])
+                    if f"{p}.mlp_norm" in flat else None
+                ),
                 mlp=mlp,
                 attn_norm_bias=(
                     jnp.asarray(flat[f"{p}.attn_norm_bias"])
@@ -162,6 +174,14 @@ def flat_to_params(
                     jnp.asarray(flat[f"{p}.mlp_norm_bias"])
                     if f"{p}.mlp_norm_bias" in flat else None
                 ),
+                attn_post_norm=(
+                    jnp.asarray(flat[f"{p}.attn_post_norm"])
+                    if f"{p}.attn_post_norm" in flat else None
+                ),
+                mlp_post_norm=(
+                    jnp.asarray(flat[f"{p}.mlp_post_norm"])
+                    if f"{p}.mlp_post_norm" in flat else None
+                ),
             )
         )
     cos, sin = rope_table(
@@ -169,6 +189,7 @@ def flat_to_params(
         cfg.rope_theta, cfg.rope_scaling,
     )
     opt = lambda k: jnp.asarray(flat[k]) if k in flat else None
+    lcos, lsin = local_rope_tables(cfg)
     return ModelParams(
         embed=jnp.asarray(flat["embed"]),
         blocks=blocks,
@@ -180,6 +201,8 @@ def flat_to_params(
         pos_embed=opt("pos_embed"),
         embed_norm=opt("embed_norm"),
         embed_norm_bias=opt("embed_norm_bias"),
+        rope_cos_local=lcos,
+        rope_sin_local=lsin,
     )
 
 
@@ -478,6 +501,22 @@ def _import_llama_family(
                 gate_up_proj=Linear(jnp.concatenate([gate, up], axis=1)),
                 down_proj=Linear(W(f"{p}.mlp.down_proj.weight")),
             )
+        if f"{p}.pre_feedforward_layernorm.weight" in raw:
+            # gemma2 sandwich norms: HF's "post_attention_layernorm" is the
+            # attention OUTPUT norm here, and the MLP gets its own pre/post
+            # pair (modeling_gemma2.Gemma2DecoderLayer)
+            blocks.append(
+                BlockParams(
+                    attn_norm=V(f"{p}.input_layernorm.weight"),
+                    attn=AttentionParams(qkv_proj=qkv, o_proj=o,
+                                         q_norm=qn, k_norm=kn),
+                    mlp_norm=V(f"{p}.pre_feedforward_layernorm.weight"),
+                    mlp=mlp,
+                    attn_post_norm=V(f"{p}.post_attention_layernorm.weight"),
+                    mlp_post_norm=V(f"{p}.post_feedforward_layernorm.weight"),
+                )
+            )
+            continue
         blocks.append(
             BlockParams(
                 attn_norm=V(f"{p}.input_layernorm.weight"),
@@ -485,6 +524,9 @@ def _import_llama_family(
                                      q_norm=qn, k_norm=kn),
                 mlp_norm=V(f"{p}.post_attention_layernorm.weight"),
                 mlp=mlp,
+                # stablelm-style LayerNorm biases (absent for RMSNorm families)
+                attn_norm_bias=maybe_bias(f"{p}.input_layernorm"),
+                mlp_norm_bias=maybe_bias(f"{p}.post_attention_layernorm"),
             )
         )
 
@@ -497,6 +539,7 @@ def _import_llama_family(
         cfg.max_position_embeddings, cfg.rotary_dim or cfg.head_dim,
         cfg.rope_theta, cfg.rope_scaling,
     )
+    lcos, lsin = local_rope_tables(cfg)
     return ModelParams(
         embed=embed,
         blocks=blocks,
@@ -504,6 +547,9 @@ def _import_llama_family(
         lm_head=lm_head,
         rope_cos=cos,
         rope_sin=sin,
+        rope_cos_local=lcos,
+        rope_sin_local=lsin,
+        final_norm_bias=maybe_bias("model.norm"),
     )
 
 
@@ -1078,15 +1124,37 @@ def _import_llava(raw, cfg: ModelConfig, dtype) -> ModelParams:
 
 
 def _import_gemma(raw, cfg: ModelConfig, dtype) -> ModelParams:
-    """Gemma (HF modeling_gemma): llama-family tensor layout, but RMSNorm
-    weights are stored zero-centered (the module computes x * (1 + w)) —
-    fold the +1 here so the runtime's single x*w convention serves it.
-    Embedding scaling by sqrt(D) is a runtime switch (cfg.embed_scale);
-    lm_head is tied."""
+    """Gemma / Gemma2 (HF modeling_gemma{,2}): llama-family tensor layout,
+    but RMSNorm weights are stored zero-centered (the module computes
+    x * (1 + w)) — fold the +1 here so the runtime's single x*w convention
+    serves it. Covers all four gemma2 sandwich norms (the *layernorm.weight
+    suffix match) — the norm-slot mapping itself lives in
+    _import_llama_family. Embedding scaling by sqrt(D) is a runtime switch
+    (cfg.embed_scale); lm_head is tied."""
     for k in list(raw):
         if k.endswith("layernorm.weight") or k == "model.norm.weight":
             raw[k] = raw[k] + 1.0
     return _import_llama_family(raw, cfg, dtype)
+
+
+def _import_gemma3(raw, cfg: ModelConfig, dtype) -> ModelParams:
+    """Gemma3 (HF modeling_gemma3): gemma2's layout plus per-head q/k
+    RMSNorms — ALL of which (block norms, final norm, q/k norms) are stored
+    zero-centered, hence the broader *norm.weight suffix fold. Multimodal
+    checkpoints prefix the language tower with "language_model."; the
+    vision tower is dropped (reference treats llava the same way,
+    quick/awq/models/llava.py)."""
+    lm = {}
+    for k in list(raw):
+        if k.startswith("language_model."):
+            lm[k[len("language_model."):]] = raw.pop(k)
+        elif not (k.startswith("vision_tower.")
+                  or k.startswith("multi_modal_projector.")):
+            lm[k] = raw.pop(k)
+    for k in list(lm):
+        if k.endswith("norm.weight"):
+            lm[k] = lm[k] + 1.0
+    return _import_llama_family(lm, cfg, dtype)
 
 
 def _import_phi(raw, cfg: ModelConfig, dtype) -> ModelParams:
@@ -1140,9 +1208,274 @@ def _import_phi(raw, cfg: ModelConfig, dtype) -> ModelParams:
     )
 
 
+def _import_phi3(raw, cfg: ModelConfig, dtype) -> ModelParams:
+    """Phi-3/3.5/4 (HF modeling_phi3): llama tensor tree with PRE-FUSED
+    qkv_proj ([q|k|v] rows) and gate_up_proj ([gate|up] rows) — both match
+    this runtime's fused column layout directly after transpose. Longrope
+    scaling rides cfg.rope_scaling through ops/rope.py. Post-reference
+    family."""
+    W, V, B = _mk_wv(raw, dtype)
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        blocks.append(
+            BlockParams(
+                attn_norm=V(f"{p}.input_layernorm.weight"),
+                attn=AttentionParams(
+                    qkv_proj=Linear(W(f"{p}.self_attn.qkv_proj.weight"),
+                                    B(f"{p}.self_attn.qkv_proj")),
+                    o_proj=Linear(W(f"{p}.self_attn.o_proj.weight"),
+                                  B(f"{p}.self_attn.o_proj")),
+                ),
+                mlp_norm=V(f"{p}.post_attention_layernorm.weight"),
+                mlp=MLPParams(
+                    gate_up_proj=Linear(W(f"{p}.mlp.gate_up_proj.weight")),
+                    down_proj=Linear(W(f"{p}.mlp.down_proj.weight")),
+                ),
+            )
+        )
+    embed = V("model.embed_tokens.weight")
+    cos, sin = rope_table(
+        cfg.max_position_embeddings, cfg.rotary_dim or cfg.head_dim,
+        cfg.rope_theta, cfg.rope_scaling,
+    )
+    lm_head = (
+        Linear(W("lm_head.weight"))
+        if "lm_head.weight" in raw and not cfg.tie_word_embeddings
+        else Linear(embed.T)
+    )
+    return ModelParams(
+        embed=embed,
+        blocks=blocks,
+        final_norm=V("model.norm.weight"),
+        lm_head=lm_head,
+        rope_cos=cos,
+        rope_sin=sin,
+    )
+
+
+def _import_starcoder2(raw, cfg: ModelConfig, dtype) -> ModelParams:
+    """StarCoder2 (HF modeling_starcoder2): llama tensor tree but LayerNorm
+    (weight+bias) everywhere, a plain gelu c_fc/c_proj MLP, biases on every
+    linear (use_bias), RoPE, tied lm_head. Post-reference family — no
+    reference analog (closest: gpt_bigcode, quick/awq/models/gpt_bigcode.py,
+    its predecessor architecture)."""
+    W, V, B = _mk_wv(raw, dtype)
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        qw, kw, vw = (W(f"{p}.self_attn.{n}_proj.weight") for n in "qkv")
+        qb, kb, vb = (B(f"{p}.self_attn.{n}_proj") for n in "qkv")
+        blocks.append(
+            BlockParams(
+                attn_norm=V(f"{p}.input_layernorm.weight"),
+                attn=AttentionParams(
+                    qkv_proj=Linear(
+                        jnp.concatenate([qw, kw, vw], axis=1),
+                        jnp.concatenate([qb, kb, vb])
+                        if qb is not None else None,
+                    ),
+                    o_proj=Linear(W(f"{p}.self_attn.o_proj.weight"),
+                                  B(f"{p}.self_attn.o_proj")),
+                ),
+                mlp_norm=V(f"{p}.post_attention_layernorm.weight"),
+                mlp=MLPParams(
+                    gate_up_proj=Linear(W(f"{p}.mlp.c_fc.weight"),
+                                        B(f"{p}.mlp.c_fc")),
+                    down_proj=Linear(W(f"{p}.mlp.c_proj.weight"),
+                                     B(f"{p}.mlp.c_proj")),
+                ),
+                attn_norm_bias=B(f"{p}.input_layernorm"),
+                mlp_norm_bias=B(f"{p}.post_attention_layernorm"),
+            )
+        )
+    embed = V("model.embed_tokens.weight")
+    cos, sin = rope_table(
+        cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta,
+        cfg.rope_scaling,
+    )
+    lm_head = (
+        Linear(W("lm_head.weight")) if "lm_head.weight" in raw
+        else Linear(embed.T)
+    )
+    return ModelParams(
+        embed=embed,
+        blocks=blocks,
+        final_norm=V("model.norm.weight"),
+        lm_head=lm_head,
+        rope_cos=cos,
+        rope_sin=sin,
+        final_norm_bias=B("model.norm"),
+    )
+
+
+def _import_internlm2(raw, cfg: ModelConfig, dtype) -> ModelParams:
+    """InternLM2 (HF modeling_internlm2): llama numerics with renamed
+    tensors (attention.wqkv/wo, feed_forward.w1/w3/w2, attention_norm /
+    ffn_norm, model.tok_embeddings, output) and a GROUPED fused wqkv whose
+    columns are laid out [hkv, g+2, hd] — the same grouping falcon's new
+    decoder uses, so the same degroup routine applies. Post-reference
+    family."""
+    W, V, B = _mk_wv(raw, dtype)
+    hq, hkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                   cfg.head_dim)
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        wqkv = _degroup_falcon_qkv(W(f"{p}.attention.wqkv.weight"),
+                                   hq, hkv, hd)
+        bqkv = None
+        if f"{p}.attention.wqkv.bias" in raw:
+            b = B(f"{p}.attention.wqkv")
+            bqkv = _degroup_falcon_qkv(b[None, :], hq, hkv, hd)[0]
+        gate = W(f"{p}.feed_forward.w1.weight")
+        up = W(f"{p}.feed_forward.w3.weight")
+        blocks.append(
+            BlockParams(
+                attn_norm=V(f"{p}.attention_norm.weight"),
+                attn=AttentionParams(
+                    qkv_proj=Linear(wqkv, bqkv),
+                    o_proj=Linear(W(f"{p}.attention.wo.weight"),
+                                  B(f"{p}.attention.wo")),
+                ),
+                mlp_norm=V(f"{p}.ffn_norm.weight"),
+                mlp=MLPParams(
+                    gate_up_proj=Linear(jnp.concatenate([gate, up], axis=1)),
+                    down_proj=Linear(W(f"{p}.feed_forward.w2.weight")),
+                ),
+            )
+        )
+    embed = V("model.tok_embeddings.weight")
+    cos, sin = rope_table(
+        cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta,
+        cfg.rope_scaling,
+    )
+    lm_head = (
+        Linear(W("output.weight")) if "output.weight" in raw
+        else Linear(embed.T)
+    )
+    return ModelParams(
+        embed=embed,
+        blocks=blocks,
+        final_norm=V("model.norm.weight"),
+        lm_head=lm_head,
+        rope_cos=cos,
+        rope_sin=sin,
+    )
+
+
+def _import_olmo2(raw, cfg: ModelConfig, dtype) -> ModelParams:
+    """OLMo-2 (HF modeling_olmo2): llama tensor tree where BOTH norms are
+    post-norms on the sub-layer outputs (x + post_attention_layernorm(attn)
+    then h + post_feedforward_layernorm(mlp)) — mapped to the
+    attn_post_norm/mlp_post_norm slots with NO pre-norms — plus one
+    full-projection-width RMSNorm on q/k before the head reshape.
+    Post-reference family."""
+    W, V, B = _mk_wv(raw, dtype)
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        qw, kw, vw = (W(f"{p}.self_attn.{n}_proj.weight") for n in "qkv")
+        gate = W(f"{p}.mlp.gate_proj.weight")
+        up = W(f"{p}.mlp.up_proj.weight")
+        blocks.append(
+            BlockParams(
+                attn_norm=None,
+                attn=AttentionParams(
+                    qkv_proj=Linear(jnp.concatenate([qw, kw, vw], axis=1)),
+                    o_proj=Linear(W(f"{p}.self_attn.o_proj.weight")),
+                    q_norm=V(f"{p}.self_attn.q_norm.weight"),
+                    k_norm=V(f"{p}.self_attn.k_norm.weight"),
+                ),
+                mlp_norm=None,
+                mlp=MLPParams(
+                    gate_up_proj=Linear(jnp.concatenate([gate, up], axis=1)),
+                    down_proj=Linear(W(f"{p}.mlp.down_proj.weight")),
+                ),
+                attn_post_norm=V(f"{p}.post_attention_layernorm.weight"),
+                mlp_post_norm=V(f"{p}.post_feedforward_layernorm.weight"),
+            )
+        )
+    embed = V("model.embed_tokens.weight")
+    cos, sin = rope_table(
+        cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta,
+        cfg.rope_scaling,
+    )
+    lm_head = (
+        Linear(W("lm_head.weight")) if "lm_head.weight" in raw
+        else Linear(embed.T)
+    )
+    return ModelParams(
+        embed=embed,
+        blocks=blocks,
+        final_norm=V("model.norm.weight"),
+        lm_head=lm_head,
+        rope_cos=cos,
+        rope_sin=sin,
+    )
+
+
+def _import_cohere(raw, cfg: ModelConfig, dtype) -> ModelParams:
+    """Cohere command-r/r+ (HF modeling_cohere): llama tensor tree with ONE
+    shared input_layernorm feeding parallel attn+mlp (duplicated into both
+    norm slots, like phi), INTERLEAVED rope — converted to rotate-half by
+    the gptj channel permutation over the full head_dim, applied to q/k
+    projections AND (r+) the per-head q/k LayerNorm weights so the norm
+    commutes with the permutation. Tied lm_head with logit_scale applied in
+    the runtime. Post-reference family."""
+    W, V, B = _mk_wv(raw, dtype)
+    hq, hkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                   cfg.head_dim)
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        qw = _gptj_rope_permute(W(f"{p}.self_attn.q_proj.weight"), hq, hd, hd)
+        kw = _gptj_rope_permute(W(f"{p}.self_attn.k_proj.weight"), hkv, hd, hd)
+        vw = W(f"{p}.self_attn.v_proj.weight")
+        qn = kn = None
+        if f"{p}.self_attn.q_norm.weight" in raw:
+            # per-head [h, hd] LayerNorm weights, permuted like the channels
+            perm = np.concatenate([np.arange(0, hd, 2), np.arange(1, hd, 2)])
+            qn = V(f"{p}.self_attn.q_norm.weight")[:, perm]
+            kn = V(f"{p}.self_attn.k_norm.weight")[:, perm]
+        gate = W(f"{p}.mlp.gate_proj.weight")
+        up = W(f"{p}.mlp.up_proj.weight")
+        ln = V(f"{p}.input_layernorm.weight")
+        blocks.append(
+            BlockParams(
+                attn_norm=ln,
+                attn=AttentionParams(
+                    qkv_proj=Linear(jnp.concatenate([qw, kw, vw], axis=1)),
+                    o_proj=Linear(W(f"{p}.self_attn.o_proj.weight")),
+                    q_norm=qn, k_norm=kn,
+                ),
+                mlp_norm=ln,  # shared: both branches read x normed once
+                mlp=MLPParams(
+                    gate_up_proj=Linear(jnp.concatenate([gate, up], axis=1)),
+                    down_proj=Linear(W(f"{p}.mlp.down_proj.weight")),
+                ),
+            )
+        )
+    embed = V("model.embed_tokens.weight")
+    cos, sin = rope_table(
+        cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta,
+        cfg.rope_scaling,
+    )
+    return ModelParams(
+        embed=embed,
+        blocks=blocks,
+        final_norm=V("model.norm.weight"),
+        lm_head=Linear(embed.T),
+        rope_cos=cos,
+        rope_sin=sin,
+    )
+
+
 _HF_IMPORTERS = {
     "llava": _import_llava,
     "gemma": _import_gemma,
+    "gemma2": _import_gemma,
+    "gemma3": _import_gemma3,
     "phi": _import_phi,
     "mpt": _import_mpt,
     "falcon": _import_falcon,
@@ -1155,6 +1488,14 @@ _HF_IMPORTERS = {
     "gpt_bigcode": _import_gpt_bigcode,
     "baichuan": _import_baichuan,
     "qwen": _import_qwen,
+    "phi3": _import_phi3,
+    "starcoder2": _import_starcoder2,
+    "internlm2": _import_internlm2,
+    "cohere": _import_cohere,
+    "olmo2": _import_olmo2,
+    # stablelm / granite / minicpm ride _import_llama_family (llama tensor
+    # tree; stablelm's LayerNorm biases are picked up when present, granite/
+    # minicpm multipliers are pure ModelConfig switches)
 }
 
 

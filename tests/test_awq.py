@@ -168,3 +168,60 @@ def test_awq_bias_scaling_exact():
     pq = jax.nn.log_softmax(lq[:, -1])
     kl = float(jnp.sum(jnp.exp(pf) * (pf - pq), axis=-1).mean())
     assert np.isfinite(kl) and kl < 0.3, kl
+
+
+def test_awq_gemma2_block():
+    """gemma2-style block (sandwich post-norms, softcaps, sliding window):
+    AWQ quantizes with post-norms carried through, and quantized logits
+    stay close to float."""
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, model_type="gemma2",
+        use_post_norms=True, embed_scale=True, tie_word_embeddings=True,
+        attn_logit_softcap=50.0, final_logit_softcap=30.0,
+        sliding_window=8, sliding_window_pattern=2,
+        act_fn="gelu",
+    )
+    p = init_float_params(cfg, jax.random.PRNGKey(0))
+    assert p.blocks[0].attn_post_norm is not None
+    calib = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 0, 64)
+    qp = awq_quantize_model(
+        p, cfg, calib, QuantConfig(q_group_size=32), verbose=False
+    )
+    assert qp.blocks[0].attn_post_norm is not None
+    toks = jax.random.randint(jax.random.PRNGKey(2), (1, 16), 0, 64)
+    lf, _ = model_forward(p, cfg, toks)
+    lq, _ = model_forward(qp, cfg, toks)
+    assert bool(jnp.isfinite(lq).all())
+    assert float(jnp.abs(lq).max()) <= 30.0 + 1e-4
+    # quantization error small on a tiny model
+    assert float(jnp.abs(lf - lq).mean()) < 0.5
+
+
+def test_awq_olmo2_block():
+    """olmo2-style block (NO pre-norms — post-norms only, full-width qk
+    norm): the qkv/gate_up scale groups are skipped (no preceding op to
+    fold into), o/down groups and clips still apply, and quantized logits
+    stay close to float."""
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, model_type="olmo2",
+        use_post_norms=True, pre_norms=False, use_qk_norm=True,
+        qk_norm_full=True,
+    )
+    p = init_float_params(cfg, jax.random.PRNGKey(0))
+    assert p.blocks[0].attn_norm is None
+    assert p.blocks[0].attn.q_norm.shape == (64,)  # full width (4*16)
+    calib = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 0, 64)
+    qp = awq_quantize_model(
+        p, cfg, calib, QuantConfig(q_group_size=32), verbose=False
+    )
+    assert qp.blocks[0].attn_norm is None
+    assert qp.blocks[0].attn_post_norm is not None
+    toks = jax.random.randint(jax.random.PRNGKey(2), (1, 16), 0, 64)
+    lf, _ = model_forward(p, cfg, toks)
+    lq, _ = model_forward(qp, cfg, toks)
+    assert bool(jnp.isfinite(lq).all())
+    assert float(jnp.abs(lf - lq).mean()) < 0.5

@@ -524,3 +524,484 @@ def test_import_qwen3(tmp_path):
         m.params, dataclasses.replace(m.cfg, use_qk_norm=False), toks
     )
     assert float(jnp.abs(a - bld).max()) > 1e-3
+
+
+def test_import_gemma2(tmp_path):
+    """Gemma2: four sandwich norms per block (all stored zero-centered),
+    softcaps, query_pre_attn_scalar, alternating sliding window. The
+    incremental-vs-full check in _forward_ok exercises window+softcap
+    consistency between the prefill and cached decode paths (window 4 binds
+    at 10 tokens)."""
+    cfg = {
+        "model_type": "gemma2", "hidden_size": D, "num_attention_heads": H,
+        "num_key_value_heads": 2, "num_hidden_layers": L, "vocab_size": V,
+        "intermediate_size": F, "max_position_embeddings": 64,
+        "head_dim": HD, "rms_norm_eps": 1e-6, "query_pre_attn_scalar": 64,
+        "attn_logit_softcapping": 50.0, "final_logit_softcapping": 30.0,
+        "sliding_window": 4,
+    }
+    t = {"model.embed_tokens.weight": _w(V, D),
+         "model.norm.weight": np.zeros(D, np.float32)}
+    for i in range(L):
+        p = f"model.layers.{i}"
+        for n in ("input_layernorm", "post_attention_layernorm",
+                  "pre_feedforward_layernorm", "post_feedforward_layernorm"):
+            t[f"{p}.{n}.weight"] = np.zeros(D, np.float32)
+        t[f"{p}.self_attn.q_proj.weight"] = _w(H * HD, D)
+        t[f"{p}.self_attn.k_proj.weight"] = _w(2 * HD, D)
+        t[f"{p}.self_attn.v_proj.weight"] = _w(2 * HD, D)
+        t[f"{p}.self_attn.o_proj.weight"] = _w(D, H * HD)
+        t[f"{p}.mlp.gate_proj.weight"] = _w(F, D)
+        t[f"{p}.mlp.up_proj.weight"] = _w(F, D)
+        t[f"{p}.mlp.down_proj.weight"] = _w(D, F)
+    m = AutoQuickModel.from_pretrained(_write(tmp_path, cfg, t), jnp.float32)
+    assert m.cfg.use_post_norms and m.cfg.embed_scale
+    assert m.cfg.attn_logit_softcap == 50.0
+    assert m.cfg.final_logit_softcap == 30.0
+    assert m.cfg.query_pre_attn_scalar == 64
+    assert m.cfg.sliding_window == 4 and m.cfg.sliding_window_pattern == 2
+    # alternating: sliding on even layer idx, global on odd
+    assert m.cfg.layer_is_sliding(0) and not m.cfg.layer_is_sliding(1)
+    b0 = m.params.blocks[0]
+    assert b0.attn_post_norm is not None and b0.mlp_post_norm is not None
+    np.testing.assert_allclose(  # zero-centered folding on all 4 norms
+        np.asarray(b0.attn_post_norm), np.ones(D, np.float32)
+    )
+    logits = _forward_ok(m)
+    # final softcap bounds the logits
+    assert float(jnp.abs(logits).max()) <= 30.0 + 1e-4
+    # the sliding window is live: widening it changes prefill logits
+    import dataclasses
+    wide = dataclasses.replace(m.cfg, sliding_window=None)
+    toks = jnp.asarray(RNG.integers(0, V, (1, 12)), jnp.int32)
+    a, _ = model_forward(m.params, m.cfg, toks)
+    bld, _ = model_forward(m.params, wide, toks)
+    assert float(jnp.abs(a - bld).max()) > 1e-4
+
+
+def test_import_gemma3(tmp_path):
+    """Gemma3: multimodal checkpoint (language_model. prefix + vision tower
+    dropped), zero-centered q/k norms folded, dual rope (local table for
+    sliding layers), 5:1 sliding pattern."""
+    text_cfg = {
+        "model_type": "gemma3_text", "hidden_size": D,
+        "num_attention_heads": H, "num_key_value_heads": 2,
+        "num_hidden_layers": L, "vocab_size": V, "intermediate_size": F,
+        "max_position_embeddings": 64, "head_dim": HD,
+        "rms_norm_eps": 1e-6, "query_pre_attn_scalar": HD,
+        "sliding_window": 4, "sliding_window_pattern": 2,
+        "rope_theta": 1000000.0, "rope_local_base_freq": 10000.0,
+    }
+    cfg = {"model_type": "gemma3", "text_config": text_cfg}
+    t = {"language_model.model.embed_tokens.weight": _w(V, D),
+         "language_model.model.norm.weight": np.zeros(D, np.float32),
+         "vision_tower.blocks.0.w": _w(4, 4),          # must be dropped
+         "multi_modal_projector.w": _w(4, 4)}
+    for i in range(L):
+        p = f"language_model.model.layers.{i}"
+        for n in ("input_layernorm", "post_attention_layernorm",
+                  "pre_feedforward_layernorm", "post_feedforward_layernorm"):
+            t[f"{p}.{n}.weight"] = np.zeros(D, np.float32)
+        t[f"{p}.self_attn.q_proj.weight"] = _w(H * HD, D)
+        t[f"{p}.self_attn.k_proj.weight"] = _w(2 * HD, D)
+        t[f"{p}.self_attn.v_proj.weight"] = _w(2 * HD, D)
+        t[f"{p}.self_attn.o_proj.weight"] = _w(D, H * HD)
+        t[f"{p}.self_attn.q_norm.weight"] = np.zeros(HD, np.float32)
+        t[f"{p}.self_attn.k_norm.weight"] = np.zeros(HD, np.float32)
+        t[f"{p}.mlp.gate_proj.weight"] = _w(F, D)
+        t[f"{p}.mlp.up_proj.weight"] = _w(F, D)
+        t[f"{p}.mlp.down_proj.weight"] = _w(D, F)
+    m = AutoQuickModel.from_pretrained(_write(tmp_path, cfg, t), jnp.float32)
+    assert m.cfg.model_type == "gemma3"
+    assert m.cfg.use_qk_norm and m.cfg.use_post_norms and m.cfg.embed_scale
+    assert m.cfg.attn_logit_softcap is None  # gemma3 dropped the softcaps
+    assert m.cfg.rope_local_theta == 10000.0
+    assert m.params.rope_cos_local is not None
+    # zero-centered fold applied to the per-head norms too
+    np.testing.assert_allclose(
+        np.asarray(m.params.blocks[0].attn.q_norm), np.ones(HD, np.float32)
+    )
+    # local and global tables genuinely differ (theta 1e4 vs 1e6)
+    assert float(jnp.abs(
+        m.params.rope_cos_local - m.params.rope_cos
+    ).max()) > 1e-3
+    _forward_ok(m)
+    # the dual rope is live: zeroing the local table changes logits
+    import dataclasses
+    toks = jnp.asarray(RNG.integers(0, V, (1, 10)), jnp.int32)
+    a, _ = model_forward(m.params, m.cfg, toks)
+    p2 = dataclasses.replace(
+        m.params, rope_cos_local=None, rope_sin_local=None
+    )
+    bld, _ = model_forward(p2, m.cfg, toks)
+    assert float(jnp.abs(a - bld).max()) > 1e-4
+
+def test_import_starcoder2(tmp_path):
+    """StarCoder2: LayerNorm w/ bias everywhere, plain gelu c_fc/c_proj MLP,
+    biases on every linear, RoPE, tied lm_head."""
+    cfg = {
+        "model_type": "starcoder2", "hidden_size": D,
+        "num_attention_heads": H, "num_key_value_heads": 2,
+        "num_hidden_layers": L, "vocab_size": V, "intermediate_size": F,
+        "max_position_embeddings": 64, "norm_epsilon": 1e-5,
+        "use_bias": True,
+    }
+    t = {"model.embed_tokens.weight": _w(V, D),
+         "model.norm.weight": np.ones(D, np.float32),
+         "model.norm.bias": np.zeros(D, np.float32)}
+    for i in range(L):
+        p = f"model.layers.{i}"
+        for n in ("input_layernorm", "post_attention_layernorm"):
+            t[f"{p}.{n}.weight"] = np.ones(D, np.float32)
+            t[f"{p}.{n}.bias"] = np.zeros(D, np.float32)
+        t[f"{p}.self_attn.q_proj.weight"] = _w(H * HD, D)
+        t[f"{p}.self_attn.q_proj.bias"] = _w(H * HD)
+        t[f"{p}.self_attn.k_proj.weight"] = _w(2 * HD, D)
+        t[f"{p}.self_attn.k_proj.bias"] = _w(2 * HD)
+        t[f"{p}.self_attn.v_proj.weight"] = _w(2 * HD, D)
+        t[f"{p}.self_attn.v_proj.bias"] = _w(2 * HD)
+        t[f"{p}.self_attn.o_proj.weight"] = _w(D, H * HD)
+        t[f"{p}.self_attn.o_proj.bias"] = _w(D)
+        t[f"{p}.mlp.c_fc.weight"] = _w(F, D)
+        t[f"{p}.mlp.c_fc.bias"] = _w(F)
+        t[f"{p}.mlp.c_proj.weight"] = _w(D, F)
+        t[f"{p}.mlp.c_proj.bias"] = _w(D)
+    m = AutoQuickModel.from_pretrained(_write(tmp_path, cfg, t), jnp.float32)
+    assert m.cfg.layernorm == "layernorm" and not m.cfg.gated_mlp
+    assert m.cfg.act_fn == "gelu" and m.cfg.use_rope
+    assert m.cfg.tie_word_embeddings
+    b0 = m.params.blocks[0]
+    assert b0.attn.qkv_proj.bias is not None
+    assert b0.attn_norm_bias is not None and b0.mlp_norm_bias is not None
+    np.testing.assert_allclose(  # tied head
+        np.asarray(m.params.lm_head.weight), np.asarray(m.params.embed).T,
+        atol=1e-6,
+    )
+    _forward_ok(m)
+
+
+def test_import_stablelm(tmp_path):
+    """StableLM-2: llama tensor tree + LayerNorm biases (picked up by the
+    family importer), partial rotary (25%), qkv bias via use_qkv_bias."""
+    cfg = {
+        "model_type": "stablelm", "hidden_size": D,
+        "num_attention_heads": H, "num_key_value_heads": 2,
+        "num_hidden_layers": L, "vocab_size": V, "intermediate_size": F,
+        "max_position_embeddings": 64, "layer_norm_eps": 1e-5,
+        "partial_rotary_factor": 0.25, "use_qkv_bias": True,
+        "use_parallel_residual": False,
+    }
+    t = {"model.embed_tokens.weight": _w(V, D),
+         "model.norm.weight": np.ones(D, np.float32),
+         "model.norm.bias": np.zeros(D, np.float32),
+         "lm_head.weight": _w(V, D)}
+    for i in range(L):
+        p = f"model.layers.{i}"
+        for n in ("input_layernorm", "post_attention_layernorm"):
+            t[f"{p}.{n}.weight"] = np.ones(D, np.float32)
+            t[f"{p}.{n}.bias"] = np.zeros(D, np.float32)
+        t[f"{p}.self_attn.q_proj.weight"] = _w(H * HD, D)
+        t[f"{p}.self_attn.q_proj.bias"] = _w(H * HD)
+        t[f"{p}.self_attn.k_proj.weight"] = _w(2 * HD, D)
+        t[f"{p}.self_attn.k_proj.bias"] = _w(2 * HD)
+        t[f"{p}.self_attn.v_proj.weight"] = _w(2 * HD, D)
+        t[f"{p}.self_attn.v_proj.bias"] = _w(2 * HD)
+        t[f"{p}.self_attn.o_proj.weight"] = _w(D, H * HD)
+        t[f"{p}.mlp.gate_proj.weight"] = _w(F, D)
+        t[f"{p}.mlp.up_proj.weight"] = _w(F, D)
+        t[f"{p}.mlp.down_proj.weight"] = _w(D, F)
+    m = AutoQuickModel.from_pretrained(_write(tmp_path, cfg, t), jnp.float32)
+    assert m.cfg.layernorm == "layernorm" and m.cfg.gated_mlp
+    assert m.cfg.rotary_dim == HD // 4 and not m.cfg.parallel_residual
+    b0 = m.params.blocks[0]
+    assert b0.attn.qkv_proj.bias is not None      # use_qkv_bias
+    assert b0.attn.o_proj.bias is None
+    assert b0.attn_norm_bias is not None
+    assert m.params.final_norm_bias is not None
+    _forward_ok(m)
+
+
+def test_import_internlm2(tmp_path):
+    """InternLM2: renamed llama tree with GROUPED fused wqkv (columns
+    [hkv, g+2, hd]); degrouping must reproduce a plain [q|k|v] concat."""
+    HKV = 2
+    g = H // HKV
+    cfg = {
+        "model_type": "internlm2", "hidden_size": D,
+        "num_attention_heads": H, "num_key_value_heads": HKV,
+        "num_hidden_layers": L, "vocab_size": V, "intermediate_size": F,
+        "max_position_embeddings": 64, "rms_norm_eps": 1e-5, "bias": False,
+    }
+    wq = _w(H * HD, D)
+    wk = _w(HKV * HD, D)
+    wv = _w(HKV * HD, D)
+    # rows ordered [hkv, g+2, hd]: per kv group, g q-heads then k then v
+    grouped = np.concatenate([
+        np.concatenate([
+            wq[h * g * HD:(h + 1) * g * HD],
+            wk[h * HD:(h + 1) * HD],
+            wv[h * HD:(h + 1) * HD],
+        ]) for h in range(HKV)
+    ])
+    t = {"model.tok_embeddings.weight": _w(V, D),
+         "model.norm.weight": np.ones(D, np.float32),
+         "output.weight": _w(V, D)}
+    for i in range(L):
+        p = f"model.layers.{i}"
+        t[f"{p}.attention_norm.weight"] = np.ones(D, np.float32)
+        t[f"{p}.ffn_norm.weight"] = np.ones(D, np.float32)
+        t[f"{p}.attention.wqkv.weight"] = grouped
+        t[f"{p}.attention.wo.weight"] = _w(D, H * HD)
+        t[f"{p}.feed_forward.w1.weight"] = _w(F, D)
+        t[f"{p}.feed_forward.w3.weight"] = _w(F, D)
+        t[f"{p}.feed_forward.w2.weight"] = _w(D, F)
+    m = AutoQuickModel.from_pretrained(_write(tmp_path, cfg, t), jnp.float32)
+    assert m.cfg.num_key_value_heads == HKV
+    expect = np.concatenate([wq.T, wk.T, wv.T], axis=1)
+    np.testing.assert_allclose(
+        np.asarray(m.params.blocks[0].attn.qkv_proj.weight), expect,
+        atol=1e-6,
+    )
+    _forward_ok(m)
+
+def test_import_phi3(tmp_path):
+    """Phi-3: pre-fused qkv_proj/gate_up_proj tensors import directly;
+    longrope scaling builds the table; fused layout matches a manual
+    [q|k|v] / [gate|up] concat."""
+    cfg = {
+        "model_type": "phi3", "hidden_size": D, "num_attention_heads": H,
+        "num_key_value_heads": 2, "num_hidden_layers": L, "vocab_size": V,
+        "intermediate_size": F, "max_position_embeddings": 64,
+        "original_max_position_embeddings": 32, "rms_norm_eps": 1e-5,
+        "rope_scaling": {"rope_type": "longrope",
+                         "short_factor": [1.0] * (HD // 2),
+                         "long_factor": [2.0] * (HD // 2),
+                         "original_max_position_embeddings": 32},
+    }
+    wq = _w(H * HD, D)
+    wk = _w(2 * HD, D)
+    wv = _w(2 * HD, D)
+    gate = _w(F, D)
+    up = _w(F, D)
+    t = {"model.embed_tokens.weight": _w(V, D),
+         "model.norm.weight": np.ones(D, np.float32),
+         "lm_head.weight": _w(V, D)}
+    for i in range(L):
+        p = f"model.layers.{i}"
+        t[f"{p}.input_layernorm.weight"] = np.ones(D, np.float32)
+        t[f"{p}.post_attention_layernorm.weight"] = np.ones(D, np.float32)
+        t[f"{p}.self_attn.qkv_proj.weight"] = np.concatenate([wq, wk, wv])
+        t[f"{p}.self_attn.o_proj.weight"] = _w(D, H * HD)
+        t[f"{p}.mlp.gate_up_proj.weight"] = np.concatenate([gate, up])
+        t[f"{p}.mlp.down_proj.weight"] = _w(D, F)
+    m = AutoQuickModel.from_pretrained(_write(tmp_path, cfg, t), jnp.float32)
+    assert m.cfg.gated_mlp and m.cfg.layernorm == "rmsnorm"
+    assert dict(m.cfg.rope_scaling)["long_factor"] == (2.0,) * (HD // 2)
+    b0 = m.params.blocks[0]
+    np.testing.assert_allclose(
+        np.asarray(b0.attn.qkv_proj.weight),
+        np.concatenate([wq.T, wk.T, wv.T], axis=1), atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(b0.mlp.gate_up_proj.weight),
+        np.concatenate([gate.T, up.T], axis=1), atol=1e-6,
+    )
+    # longrope attention factor applied (64 > original 32)
+    import math
+    mscale = math.sqrt(1.0 + math.log(2.0) / math.log(32.0))
+    np.testing.assert_allclose(
+        np.asarray(m.params.rope_cos[0, 0]), mscale, rtol=1e-5
+    )
+    _forward_ok(m)
+
+def test_import_cohere(tmp_path):
+    """Cohere command-r+: shared input norm feeding parallel attn+mlp,
+    interleaved-rope conversion (channel permutation on q/k AND the
+    per-head q/k LayerNorm weights), logit_scale, tied head."""
+    cfg = {
+        "model_type": "cohere", "hidden_size": D, "num_attention_heads": H,
+        "num_key_value_heads": 2, "num_hidden_layers": L, "vocab_size": V,
+        "intermediate_size": F, "max_position_embeddings": 64,
+        "layer_norm_eps": 1e-5, "logit_scale": 0.25, "use_qk_norm": True,
+    }
+    t = {"model.embed_tokens.weight": _w(V, D),
+         "model.norm.weight": np.ones(D, np.float32)}
+    for i in range(L):
+        p = f"model.layers.{i}"
+        t[f"{p}.input_layernorm.weight"] = np.ones(D, np.float32)
+        t[f"{p}.self_attn.q_proj.weight"] = _w(H * HD, D)
+        t[f"{p}.self_attn.k_proj.weight"] = _w(2 * HD, D)
+        t[f"{p}.self_attn.v_proj.weight"] = _w(2 * HD, D)
+        t[f"{p}.self_attn.o_proj.weight"] = _w(D, H * HD)
+        t[f"{p}.self_attn.q_norm.weight"] = 1 + 0.1 * _w(H, HD)
+        t[f"{p}.self_attn.k_norm.weight"] = 1 + 0.1 * _w(2, HD)
+        t[f"{p}.mlp.gate_proj.weight"] = _w(F, D)
+        t[f"{p}.mlp.up_proj.weight"] = _w(F, D)
+        t[f"{p}.mlp.down_proj.weight"] = _w(D, F)
+    m = AutoQuickModel.from_pretrained(_write(tmp_path, cfg, t), jnp.float32)
+    assert m.cfg.parallel_residual and m.cfg.layernorm == "layernorm"
+    assert m.cfg.logit_scale == 0.25 and m.cfg.tie_word_embeddings
+    b0 = m.params.blocks[0]
+    assert b0.attn.q_norm.shape == (H, HD)   # per-head LayerNorm weights
+    np.testing.assert_allclose(  # shared norm duplicated into both slots
+        np.asarray(b0.attn_norm), np.asarray(b0.mlp_norm)
+    )
+    _forward_ok(m)
+    # logit_scale is live and exactly linear in the logits
+    import dataclasses
+    toks = jnp.asarray(RNG.integers(0, V, (1, 5)), jnp.int32)
+    a, _ = model_forward(m.params, m.cfg, toks)
+    b, _ = model_forward(
+        m.params, dataclasses.replace(m.cfg, logit_scale=0.5), toks
+    )
+    np.testing.assert_allclose(np.asarray(a) * 2, np.asarray(b), rtol=1e-5)
+
+
+def test_cohere_norm_permutation_commutes():
+    """LayerNorm over head_dim commutes with the interleave->rotate-half
+    channel permutation (mean/var are permutation invariant), so permuting
+    the projection AND the norm weights preserves cohere's numerics."""
+    hd = 16
+    perm = np.concatenate([np.arange(0, hd, 2), np.arange(1, hd, 2)])
+    x = RNG.standard_normal((3, hd)).astype(np.float32)
+    w = (1 + 0.1 * RNG.standard_normal(hd)).astype(np.float32)
+
+    def ln(x, w):
+        mu = x.mean(-1, keepdims=True)
+        var = x.var(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + 1e-5) * w
+
+    np.testing.assert_allclose(
+        ln(x[:, perm], w[perm]), ln(x, w)[:, perm], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_import_granite(tmp_path):
+    """Granite: llama tree + four static multipliers (embedding, residual,
+    logits, attention)."""
+    cfg = {
+        "model_type": "granite", "hidden_size": D,
+        "num_attention_heads": H, "num_key_value_heads": 2,
+        "num_hidden_layers": L, "vocab_size": V, "intermediate_size": F,
+        "max_position_embeddings": 64, "rms_norm_eps": 1e-5,
+        "embedding_multiplier": 12.0, "residual_multiplier": 0.22,
+        "logits_scaling": 8.0, "attention_multiplier": 0.5,
+    }
+    t = {"model.embed_tokens.weight": _w(V, D),
+         "model.norm.weight": np.ones(D, np.float32)}
+    for i in range(L):
+        p = f"model.layers.{i}"
+        t[f"{p}.input_layernorm.weight"] = np.ones(D, np.float32)
+        t[f"{p}.post_attention_layernorm.weight"] = np.ones(D, np.float32)
+        t[f"{p}.self_attn.q_proj.weight"] = _w(H * HD, D)
+        t[f"{p}.self_attn.k_proj.weight"] = _w(2 * HD, D)
+        t[f"{p}.self_attn.v_proj.weight"] = _w(2 * HD, D)
+        t[f"{p}.self_attn.o_proj.weight"] = _w(D, H * HD)
+        t[f"{p}.mlp.gate_proj.weight"] = _w(F, D)
+        t[f"{p}.mlp.up_proj.weight"] = _w(F, D)
+        t[f"{p}.mlp.down_proj.weight"] = _w(D, F)
+    m = AutoQuickModel.from_pretrained(_write(tmp_path, cfg, t), jnp.float32)
+    assert m.cfg.embed_multiplier == 12.0
+    assert m.cfg.residual_multiplier == 0.22
+    assert m.cfg.logit_scale == 1 / 8.0
+    # attention_multiplier am -> query_pre_attn_scalar am**-2 (scale == am)
+    assert abs(m.cfg.query_pre_attn_scalar - 4.0) < 1e-9
+    _forward_ok(m)
+    # each multiplier is live
+    import dataclasses
+    toks = jnp.asarray(RNG.integers(0, V, (1, 6)), jnp.int32)
+    a, _ = model_forward(m.params, m.cfg, toks)
+    for off in ("embed_multiplier", "residual_multiplier",
+                "query_pre_attn_scalar"):
+        b, _ = model_forward(
+            m.params, dataclasses.replace(m.cfg, **{off: None}), toks
+        )
+        assert float(jnp.abs(a - b).max()) > 1e-4, off
+
+
+def test_minicpm_config_translation():
+    """MiniCPM mup multipliers: scale_emb -> embed, scale_depth/sqrt(L) ->
+    residual, dim_model_base/D -> logit scale."""
+    from quick_tpu import ModelConfig
+    cfg = ModelConfig.from_hf_config({
+        "model_type": "minicpm", "hidden_size": 64,
+        "num_attention_heads": 4, "num_hidden_layers": 4, "vocab_size": 128,
+        "intermediate_size": 128, "scale_emb": 12.0, "scale_depth": 1.4,
+        "dim_model_base": 16,
+    })
+    assert cfg.embed_multiplier == 12.0
+    assert abs(cfg.residual_multiplier - 1.4 / 2.0) < 1e-9
+    assert abs(cfg.logit_scale - 16 / 64) < 1e-9
+    assert cfg.tie_word_embeddings
+
+def test_import_olmo2(tmp_path):
+    """OLMo-2: post-norm-only block (x + post_norm(attn(x))), full-width
+    q/k RMSNorm before the head reshape."""
+    cfg = {
+        "model_type": "olmo2", "hidden_size": D, "num_attention_heads": H,
+        "num_key_value_heads": 2, "num_hidden_layers": L, "vocab_size": V,
+        "intermediate_size": F, "max_position_embeddings": 64,
+        "rms_norm_eps": 1e-5,
+    }
+    t = {"model.embed_tokens.weight": _w(V, D),
+         "model.norm.weight": np.ones(D, np.float32),
+         "lm_head.weight": _w(V, D)}
+    for i in range(L):
+        p = f"model.layers.{i}"
+        t[f"{p}.post_attention_layernorm.weight"] = np.ones(D, np.float32)
+        t[f"{p}.post_feedforward_layernorm.weight"] = np.ones(D, np.float32)
+        t[f"{p}.self_attn.q_proj.weight"] = _w(H * HD, D)
+        t[f"{p}.self_attn.k_proj.weight"] = _w(2 * HD, D)
+        t[f"{p}.self_attn.v_proj.weight"] = _w(2 * HD, D)
+        t[f"{p}.self_attn.o_proj.weight"] = _w(D, H * HD)
+        t[f"{p}.self_attn.q_norm.weight"] = 1 + 0.1 * _w(H * HD)
+        t[f"{p}.self_attn.k_norm.weight"] = 1 + 0.1 * _w(2 * HD)
+        t[f"{p}.mlp.gate_proj.weight"] = _w(F, D)
+        t[f"{p}.mlp.up_proj.weight"] = _w(F, D)
+        t[f"{p}.mlp.down_proj.weight"] = _w(D, F)
+    m = AutoQuickModel.from_pretrained(_write(tmp_path, cfg, t), jnp.float32)
+    assert not m.cfg.pre_norms and m.cfg.use_post_norms
+    assert m.cfg.qk_norm_full and m.cfg.use_qk_norm
+    b0 = m.params.blocks[0]
+    assert b0.attn_norm is None and b0.mlp_norm is None
+    assert b0.attn_post_norm is not None and b0.mlp_post_norm is not None
+    assert b0.attn.q_norm.shape == (H * HD,)
+    assert b0.attn.k_norm.shape == (2 * HD,)
+    _forward_ok(m)
+    # full-width q/k norm matches a manual reference on the first block
+    # (rms over the WHOLE projection, not per head)
+    x = jnp.asarray(RNG.standard_normal((1, 3, D)), jnp.float32)
+    qkv = x @ b0.attn.qkv_proj.weight
+    q = np.asarray(qkv[..., : H * HD], np.float64)
+    ref = (q / np.sqrt((q ** 2).mean(-1, keepdims=True) + 1e-5)
+           ) * np.asarray(b0.attn.q_norm, np.float64)
+    from quick_tpu.ops.norms import rms_norm
+    got = rms_norm(jnp.asarray(q, jnp.float32), b0.attn.q_norm, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_olmo2_save_quantize_roundtrip(tmp_path):
+    """olmo2's pre-norm-less blocks survive RTN quantize + save + load
+    (None norms round-trip through the flat checkpoint schema)."""
+    from quick_tpu import ModelConfig, QuantConfig
+    from quick_tpu.models.model import quantize_params
+    from quick_tpu.utils.checkpoint import load_quantized, save_quantized
+
+    cfg = ModelConfig(
+        model_type="olmo2", vocab_size=V, hidden_size=D,
+        intermediate_size=F, num_hidden_layers=L, num_attention_heads=H,
+        num_key_value_heads=2, max_position_embeddings=64,
+        use_post_norms=True, pre_norms=False, use_qk_norm=True,
+        qk_norm_full=True,
+    )
+    m = AutoQuickModel.from_random(cfg, dtype=jnp.float32)
+    qp = quantize_params(m.params, cfg, group_size=32)
+    d = str(tmp_path / "q")
+    save_quantized(qp, cfg, QuantConfig(q_group_size=32), d)
+    p2, cfg2, _ = load_quantized(d)
+    assert cfg2.pre_norms is False and cfg2.qk_norm_full
+    assert p2.blocks[0].attn_norm is None
+    toks = jnp.asarray(RNG.integers(0, V, (1, 8)), jnp.int32)
+    a, _ = model_forward(qp, cfg, toks)
+    b, _ = model_forward(p2, cfg2, toks)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

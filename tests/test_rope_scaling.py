@@ -81,7 +81,59 @@ def test_yarn_mscale_and_blend():
 
 def test_unknown_type_raises():
     with pytest.raises(NotImplementedError):
-        rope_table(16, 8, scaling={"rope_type": "longrope"})
+        rope_table(16, 8, scaling={"rope_type": "mrope"})
+
+
+def test_longrope_factors_and_mscale():
+    """phi3 longrope: per-dim factor division + sqrt-log attention factor.
+    Table longer than the original window uses long_factor; within it,
+    short_factor."""
+    D, L0 = 16, 32
+    short = [1.0] * (D // 2)
+    long = [1.0, 2.0, 4.0, 8.0, 1.5, 2.5, 3.5, 4.5]
+    sc = {"rope_type": "longrope", "short_factor": short,
+          "long_factor": long, "original_max_position_embeddings": L0}
+    # extended table (64 > L0): long factors + mscale
+    cos, sin = rope_table(64, D, theta=10000.0, scaling=sc)
+    mscale = math.sqrt(1.0 + math.log(64 / L0) / math.log(L0))
+    np.testing.assert_allclose(np.asarray(cos[0]), mscale, rtol=1e-6)
+    inv = 1.0 / 10000.0 ** (np.arange(0, D, 2) / D) / np.asarray(long)
+    p = 13
+    np.testing.assert_allclose(
+        np.asarray(cos[p]), np.cos(p * inv) * mscale, rtol=1e-5, atol=1e-5
+    )
+    # within the original window: short factors, no mscale
+    cos_s, _ = rope_table(L0, D, theta=10000.0, scaling=sc)
+    cos_ref, _ = rope_table(L0, D, theta=10000.0)
+    np.testing.assert_allclose(
+        np.asarray(cos_s), np.asarray(cos_ref), rtol=1e-6
+    )
+    # explicit attention_factor wins
+    cos_af, _ = rope_table(64, D, scaling={**sc, "attention_factor": 1.0})
+    np.testing.assert_allclose(np.asarray(cos_af[0]), 1.0, rtol=1e-6)
+
+
+def test_longrope_config_roundtrip():
+    """The per-dim factor lists survive ModelConfig normalization (tuples,
+    hashable) and a JSON round trip."""
+    hf = {"model_type": "phi3", "vocab_size": 128, "hidden_size": 64,
+          "num_hidden_layers": 2, "num_attention_heads": 4,
+          "num_key_value_heads": 4, "intermediate_size": 128,
+          "max_position_embeddings": 64,
+          "rope_scaling": {"rope_type": "longrope",
+                           "short_factor": [1.0] * 8,
+                           "long_factor": [2.0] * 8,
+                           "original_max_position_embeddings": 32}}
+    cfg = ModelConfig.from_hf_config(hf)
+    hash(cfg)
+    d = dict(cfg.rope_scaling)
+    assert d["long_factor"] == (2.0,) * 8
+    import json
+    cfg2 = ModelConfig.from_dict(json.loads(json.dumps(cfg.to_dict())))
+    assert cfg2.rope_scaling == cfg.rope_scaling
+    # and the table builds from the normalized form
+    cos, _ = rope_table(64, 16, scaling=cfg.rope_scaling)
+    assert np.isfinite(np.asarray(cos)).all()
 
 
 def test_config_normalizes_and_stays_hashable():
