@@ -191,7 +191,44 @@ class ModelConfig:
     # MoE (mixtral)
     num_local_experts: int = 0
     num_experts_per_tok: int = 2
+    # -- DeepSeek-V2/V3 MLA (multi-head latent attention) --------------------
+    #: latent rank of the compressed KV (v2/v3: 512). > 0 switches the
+    #: attention to MLA: the cache holds ONLY [c_kv | k_pe] per token
+    #: (kv_lora_rank + qk_rope_head_dim bytes regardless of head count)
+    kv_lora_rank: int = 0
+    q_lora_rank: Optional[int] = None     # v2/v3 full: 1536; lite: None
+    qk_nope_head_dim: int = 128
+    qk_rope_head_dim: int = 64
+    v_head_dim: int = 128
+    # -- DeepSeekMoE ----------------------------------------------------------
+    n_shared_experts: int = 0             # always-on shared experts
+    moe_intermediate_size: Optional[int] = None  # per-expert ffn width
+    first_k_dense_replace: int = 0        # first K layers use a dense MLP
+    moe_layer_freq: int = 1               # MoE every Nth layer after that
+    n_group: Optional[int] = None         # group-limited routing
+    topk_group: Optional[int] = None
+    routed_scaling_factor: float = 1.0
+    norm_topk_prob: bool = True
+    scoring_func: str = "softmax"         # "softmax" (v2) | "sigmoid" (v3)
+    #: router algorithm: "mixtral" = softmax over the top-k raw logits;
+    #: "deepseek" = score-all-first + group-limited selection (see
+    #: modules/blocks.py::moe_forward)
+    moe_router: str = "mixtral"
     # norm epsilon name differences handled at import time
+
+    @property
+    def is_mla(self) -> bool:
+        return self.kv_lora_rank > 0
+
+    def layer_is_moe(self, layer_idx: int) -> bool:
+        """DeepSeekMoE layer placement: dense for the first
+        ``first_k_dense_replace`` layers, MoE every ``moe_layer_freq``-th
+        after (mixtral: every layer)."""
+        if not self.is_moe:
+            return False
+        if layer_idx < self.first_k_dense_replace:
+            return False
+        return layer_idx % max(self.moe_layer_freq, 1) == 0
 
     def __post_init__(self):
         if self.head_dim is None:
@@ -463,6 +500,38 @@ class ModelConfig:
             # internlm2 (HF modeling_internlm2): llama numerics, renamed
             # tensor tree, grouped fused wqkv, optional bias
             kw["attention_bias"] = hf.get("bias", False)
+        elif mt in ("deepseek_v2", "deepseek_v3"):
+            # deepseek v2/v3 (HF modeling_deepseek_v2/v3): MLA attention
+            # (latent KV cache) + DeepSeekMoE (shared experts, group-limited
+            # routing; v3 adds sigmoid scoring with a selection bias)
+            kw["rms_norm_eps"] = hf.get("rms_norm_eps", 1e-6)
+            kw["kv_lora_rank"] = hf.get("kv_lora_rank", 512)
+            kw["q_lora_rank"] = hf.get("q_lora_rank")
+            kw["qk_nope_head_dim"] = hf.get("qk_nope_head_dim", 128)
+            kw["qk_rope_head_dim"] = hf.get("qk_rope_head_dim", 64)
+            kw["v_head_dim"] = hf.get("v_head_dim", 128)
+            kw["head_dim"] = kw["qk_nope_head_dim"] + kw["qk_rope_head_dim"]
+            kw["rotary_dim"] = kw["qk_rope_head_dim"]
+            if hf.get("n_routed_experts"):
+                kw["num_local_experts"] = hf["n_routed_experts"]
+                kw["num_experts_per_tok"] = hf.get("num_experts_per_tok", 6)
+                kw["moe_router"] = "deepseek"
+                kw["n_shared_experts"] = hf.get("n_shared_experts") or 0
+                kw["moe_intermediate_size"] = hf.get("moe_intermediate_size")
+                kw["first_k_dense_replace"] = hf.get(
+                    "first_k_dense_replace", 0
+                )
+                kw["moe_layer_freq"] = hf.get("moe_layer_freq", 1)
+                if hf.get("topk_method") in (
+                    "group_limited_greedy", "noaux_tc",
+                ):
+                    kw["n_group"] = hf.get("n_group")
+                    kw["topk_group"] = hf.get("topk_group")
+                kw["routed_scaling_factor"] = hf.get(
+                    "routed_scaling_factor", 1.0
+                )
+                kw["norm_topk_prob"] = hf.get("norm_topk_prob", True)
+                kw["scoring_func"] = hf.get("scoring_func", "softmax")
         elif mt == "olmo2":
             # olmo2 (HF modeling_olmo2): llama tree where the ONLY norms
             # are post-norms on each sub-layer OUTPUT (x + norm(attn(x))),

@@ -75,6 +75,8 @@ MODEL_TYPE_MAP: Dict[str, dict] = {
                    "mlp_bias": True, "tie_word_embeddings": True},
     "stablelm": {"layernorm": "layernorm"},
     "internlm2": {},
+    "deepseek_v2": {"moe_router": "deepseek"},
+    "deepseek_v3": {"moe_router": "deepseek", "scoring_func": "sigmoid"},
 }
 
 

@@ -133,6 +133,35 @@ def model_forward(
 # Construction
 # ---------------------------------------------------------------------------
 
+def _init_mla(cfg: ModelConfig, ks, dtype, make, float_make=None):
+    """Random MLAParams (deepseek). ``make`` builds the (possibly
+    quantized) linears; kv_b always stays float — it is consumed as the
+    absorbed W_UK/W_UV einsum operands (modules/mla.py)."""
+    from quick_tpu.modules.mla import MLAParams
+
+    D = cfg.hidden_size
+    hq = cfg.num_attention_heads
+    dn, dr = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    dv, R = cfg.v_head_dim, cfg.kv_lora_rank
+    fm = float_make or make
+    if cfg.q_lora_rank:
+        q = make(ks[0], D, cfg.q_lora_rank)
+        q_b = make(ks[7], cfg.q_lora_rank, hq * (dn + dr))
+        q_a_norm = jnp.ones(cfg.q_lora_rank, dtype)
+    else:
+        q = make(ks[0], D, hq * (dn + dr))
+        q_b = q_a_norm = None
+    return MLAParams(
+        q_proj=q,
+        kv_a_proj=make(ks[8], D, R + dr),
+        kv_a_norm=jnp.ones(R, dtype),
+        kv_b_proj=fm(ks[9], R, hq * (dn + dv)),
+        o_proj=make(ks[1], hq * dv, D),
+        q_b_proj=q_b,
+        q_a_norm=q_a_norm,
+    )
+
+
 def init_float_params(
     cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16
 ) -> ModelParams:
@@ -149,34 +178,49 @@ def init_float_params(
 
     blocks = []
     for i in range(cfg.num_hidden_layers):
-        ks = jax.random.split(keys[i], 8)
-        qkv = dense(ks[0], D, (hq + 2 * hkv) * hd)
-        if cfg.attention_bias:
-            qkv = Linear(qkv.weight, jnp.zeros((hq + 2 * hkv) * hd, dtype))
-        attn = AttentionParams(
-            qkv_proj=qkv,
-            o_proj=dense(ks[1], hq * hd, D),
-            q_norm=(
-                jnp.ones(hq * hd if cfg.qk_norm_full else hd, dtype)
-                if cfg.use_qk_norm else None
-            ),
-            k_norm=(
-                jnp.ones(hkv * hd if cfg.qk_norm_full else hd, dtype)
-                if cfg.use_qk_norm else None
-            ),
-        )
-        if cfg.is_moe:
+        ks = jax.random.split(keys[i], 10)
+        if cfg.is_mla:
+            attn = _init_mla(cfg, ks, dtype, dense)
+        else:
+            qkv = dense(ks[0], D, (hq + 2 * hkv) * hd)
+            if cfg.attention_bias:
+                qkv = Linear(
+                    qkv.weight, jnp.zeros((hq + 2 * hkv) * hd, dtype)
+                )
+            attn = AttentionParams(
+                qkv_proj=qkv,
+                o_proj=dense(ks[1], hq * hd, D),
+                q_norm=(
+                    jnp.ones(hq * hd if cfg.qk_norm_full else hd, dtype)
+                    if cfg.use_qk_norm else None
+                ),
+                k_norm=(
+                    jnp.ones(hkv * hd if cfg.qk_norm_full else hd, dtype)
+                    if cfg.use_qk_norm else None
+                ),
+            )
+        if cfg.layer_is_moe(i):
             E = cfg.num_local_experts
+            Fe = cfg.moe_intermediate_size or F
             gu = Linear(
-                jax.random.normal(ks[2], (E, D, 2 * F), dtype) / jnp.sqrt(D)
+                jax.random.normal(ks[2], (E, D, 2 * Fe), dtype) / jnp.sqrt(D)
             )
             dn = Linear(
-                jax.random.normal(ks[3], (E, F, D), dtype) / jnp.sqrt(F)
+                jax.random.normal(ks[3], (E, Fe, D), dtype) / jnp.sqrt(Fe)
             )
+            Fs = Fe * cfg.n_shared_experts
             mlp = MoEParams(
                 router=dense(ks[4], D, E),
                 gate_up_proj=gu,
                 down_proj=dn,
+                shared_gate_up=(
+                    dense(ks[5], D, 2 * Fs) if Fs else None
+                ),
+                shared_down=dense(ks[6], Fs, D) if Fs else None,
+                score_bias=(
+                    jnp.zeros(E, jnp.float32)
+                    if cfg.scoring_func == "sigmoid" else None
+                ),
             )
         else:
             width = 2 * F if cfg.gated_mlp else F
@@ -261,29 +305,45 @@ def init_quant_params(
             bias=None, group_size=G,
         )
 
+    def fdense(k, kin, kout):
+        return Linear(
+            jax.random.normal(k, (kin, kout), dtype) / jnp.sqrt(kin)
+        )
+
     blocks = []
     for i in range(cfg.num_hidden_layers):
-        ks = jax.random.split(keys[i], 8)
-        attn = AttentionParams(
-            qkv_proj=qlin(ks[0], D, (hq + 2 * hkv) * hd),
-            o_proj=qlin(ks[1], hq * hd, D),
-            q_norm=(
-                jnp.ones(hq * hd if cfg.qk_norm_full else hd, dtype)
-                if cfg.use_qk_norm else None
-            ),
-            k_norm=(
-                jnp.ones(hkv * hd if cfg.qk_norm_full else hd, dtype)
-                if cfg.use_qk_norm else None
-            ),
-        )
-        if cfg.is_moe:
+        ks = jax.random.split(keys[i], 10)
+        if cfg.is_mla:
+            attn = _init_mla(cfg, ks, dtype, qlin, float_make=fdense)
+        else:
+            attn = AttentionParams(
+                qkv_proj=qlin(ks[0], D, (hq + 2 * hkv) * hd),
+                o_proj=qlin(ks[1], hq * hd, D),
+                q_norm=(
+                    jnp.ones(hq * hd if cfg.qk_norm_full else hd, dtype)
+                    if cfg.use_qk_norm else None
+                ),
+                k_norm=(
+                    jnp.ones(hkv * hd if cfg.qk_norm_full else hd, dtype)
+                    if cfg.use_qk_norm else None
+                ),
+            )
+        if cfg.layer_is_moe(i):
             E = cfg.num_local_experts
+            Fe = cfg.moe_intermediate_size or F
+            Fs = Fe * cfg.n_shared_experts
             mlp = MoEParams(
                 router=Linear(
                     jax.random.normal(ks[4], (D, E), dtype) / jnp.sqrt(D)
                 ),
-                gate_up_proj=qlin(ks[2], D, 2 * F, experts=E),
-                down_proj=qlin(ks[3], F, D, experts=E),
+                gate_up_proj=qlin(ks[2], D, 2 * Fe, experts=E),
+                down_proj=qlin(ks[3], Fe, D, experts=E),
+                shared_gate_up=qlin(ks[5], D, 2 * Fs) if Fs else None,
+                shared_down=qlin(ks[6], Fs, D) if Fs else None,
+                score_bias=(
+                    jnp.zeros(E, jnp.float32)
+                    if cfg.scoring_func == "sigmoid" else None
+                ),
             )
         else:
             width = 2 * F if cfg.gated_mlp else F
@@ -401,10 +461,28 @@ def quantize_params(
 
     new_blocks = []
     for blk in params.blocks:
-        attn = AttentionParams(
-            q(blk.attn.qkv_proj, "qkv"), q(blk.attn.o_proj, "o"),
-            q_norm=blk.attn.q_norm, k_norm=blk.attn.k_norm,
-        )
+        if isinstance(blk.attn, AttentionParams):
+            attn = AttentionParams(
+                q(blk.attn.qkv_proj, "qkv"), q(blk.attn.o_proj, "o"),
+                q_norm=blk.attn.q_norm, k_norm=blk.attn.k_norm,
+            )
+        else:
+            # deepseek MLA: q(_a/_b)/kv_a/o quantize; kv_b stays float —
+            # consumed as absorbed einsum operands (modules/mla.py)
+            from quick_tpu.modules.mla import MLAParams
+
+            attn = MLAParams(
+                q_proj=q(blk.attn.q_proj, "qkv"),
+                kv_a_proj=q(blk.attn.kv_a_proj, "qkv"),
+                kv_a_norm=blk.attn.kv_a_norm,
+                kv_b_proj=blk.attn.kv_b_proj,
+                o_proj=q(blk.attn.o_proj, "o"),
+                q_b_proj=(
+                    None if blk.attn.q_b_proj is None
+                    else q(blk.attn.q_b_proj, "qkv")
+                ),
+                q_a_norm=blk.attn.q_a_norm,
+            )
         if isinstance(blk.mlp, MoEParams):
             mlp = MoEParams(
                 router=blk.mlp.router,  # router stays float (mixtral.py:58)
@@ -416,6 +494,15 @@ def quantize_params(
                     blk.mlp.down_proj if "down" in skip
                     else q_stacked(blk.mlp.down_proj)
                 ),
+                shared_gate_up=(
+                    None if blk.mlp.shared_gate_up is None
+                    else q(blk.mlp.shared_gate_up, "gate_up")
+                ),
+                shared_down=(
+                    None if blk.mlp.shared_down is None
+                    else q(blk.mlp.shared_down, "down")
+                ),
+                score_bias=blk.mlp.score_bias,
             )
         else:
             mlp = MLPParams(

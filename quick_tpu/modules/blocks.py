@@ -59,11 +59,16 @@ class MLPParams:
 class MoEParams:
     """Mixtral-style sparse MoE: router + per-expert fused MLPs stacked on a
     leading expert axis (reference keeps HF's module and quantizes each
-    expert linear, quick/awq/models/mixtral.py:58-74)."""
+    expert linear, quick/awq/models/mixtral.py:58-74). The optional fields
+    extend it to DeepSeekMoE: always-on shared experts (one fused dense MLP)
+    and the v3 sigmoid-routing e_score_correction_bias."""
 
     router: Linear  # [D, E] — kept float like the reference's gate
     gate_up_proj: AnyLinear  # leading expert axis on each array
     down_proj: AnyLinear
+    shared_gate_up: Optional[AnyLinear] = None  # [D, 2*F_shared]
+    shared_down: Optional[AnyLinear] = None     # [F_shared, D]
+    score_bias: Optional[jax.Array] = None      # [E] — selection-only bias
 
 
 @jax.tree_util.register_dataclass
@@ -305,8 +310,40 @@ def moe_forward(
     B, S, D = x.shape
     E, topk = cfg.num_local_experts, cfg.num_experts_per_tok
     logits = p.router(x.astype(jnp.float32))  # [B,S,E]
-    weights, sel = jax.lax.top_k(logits, topk)  # [B,S,topk]
-    weights = jax.nn.softmax(weights, axis=-1)
+    if cfg.moe_router == "deepseek":
+        # DeepSeekMoE (modeling_deepseek_v2/v3 MoEGate): score ALL experts
+        # first (softmax v2 / sigmoid v3), optionally bias the SELECTION
+        # only (v3 e_score_correction_bias), group-limit to topk_group of
+        # n_group expert groups, then gather the ORIGINAL scores of the
+        # selected experts, renormalize, and apply routed_scaling_factor
+        scores = (
+            jax.nn.sigmoid(logits) if cfg.scoring_func == "sigmoid"
+            else jax.nn.softmax(logits, axis=-1)
+        )
+        choice = scores if p.score_bias is None else scores + p.score_bias
+        ng, tg = cfg.n_group, cfg.topk_group
+        if ng and tg and tg < ng:
+            gsc = choice.reshape(B, S, ng, E // ng)
+            # group score: v3 sums the top-2 per group, v2 takes the max
+            if p.score_bias is not None:
+                gscore = jax.lax.top_k(gsc, 2)[0].sum(-1)
+            else:
+                gscore = gsc.max(-1)
+            _, gsel = jax.lax.top_k(gscore, tg)  # [B,S,tg]
+            gmask = jnp.sum(
+                jax.nn.one_hot(gsel, ng, dtype=jnp.bool_), axis=2
+            )  # [B,S,ng]
+            choice = jnp.where(
+                gmask[..., None], gsc, -jnp.inf
+            ).reshape(B, S, E)
+        _, sel = jax.lax.top_k(choice, topk)
+        weights = jnp.take_along_axis(scores, sel, axis=-1)
+        if cfg.norm_topk_prob and topk > 1:
+            weights = weights / (weights.sum(-1, keepdims=True) + 1e-20)
+        weights = weights * cfg.routed_scaling_factor
+    else:
+        weights, sel = jax.lax.top_k(logits, topk)  # [B,S,topk]
+        weights = jax.nn.softmax(weights, axis=-1)
     # combine weights per expert: [B,S,E]
     comb = jnp.sum(
         jax.nn.one_hot(sel, E, dtype=jnp.float32) * weights[..., None], axis=2
@@ -352,7 +389,14 @@ def moe_forward(
         # one big einsum keeps the MXU busy
         outs = _map_experts(p, expert_fn)  # [E_local, B, S, D]
         y = jnp.einsum("ebsd,bse->bsd", outs.astype(jnp.float32), comb_local)
-    return ctx.psum_expert(y).astype(x.dtype)
+    y = ctx.psum_expert(y).astype(x.dtype)
+    if p.shared_gate_up is not None:
+        # deepseek shared experts: always-on dense branch, added AFTER the
+        # expert-axis psum (weights replicated across EP shards)
+        gu = p.shared_gate_up(x)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        y = y + p.shared_down(_act(gate, cfg) * up)
+    return y
 
 
 def _n_local_experts(p: MoEParams) -> int:
@@ -423,9 +467,18 @@ def block_forward(
     # olmo2 (pre_norms=False): sub-layers read the raw residual stream;
     # the post-norms are the only norms
     h = _norm(x, p.attn_norm, p.attn_norm_bias, cfg) if cfg.pre_norms else x
-    attn_out, cache = attention_forward(
-        p.attn, cfg, h, rope_cos, rope_sin, cache, layer_idx, positions, ctx
-    )
+    if cfg.is_mla:
+        from quick_tpu.modules.mla import mla_attention_forward
+
+        attn_out, cache = mla_attention_forward(
+            p.attn, cfg, h, rope_cos, rope_sin, cache, layer_idx,
+            positions, ctx,
+        )
+    else:
+        attn_out, cache = attention_forward(
+            p.attn, cfg, h, rope_cos, rope_sin, cache, layer_idx, positions,
+            ctx,
+        )
     if p.attn_post_norm is not None:
         attn_out = _norm(attn_out, p.attn_post_norm, None, cfg)
     if rmul is not None:

@@ -73,10 +73,22 @@ def rope_table(
         extrap_w = 1.0 - ramp  # 1 for high-freq dims: keep extrapolation
         inv_freq = (inv_freq / factor) * (1.0 - extrap_w) + inv_freq * extrap_w
         af = d.get("attention_factor")
-        attn_factor = (
-            float(af) if af is not None
-            else (0.1 * math.log(factor) + 1.0 if factor > 1.0 else 1.0)
-        )
+        ms, msad = d.get("mscale"), d.get("mscale_all_dim")
+        if af is not None:
+            attn_factor = float(af)
+        elif ms is not None and msad:
+            # deepseek-v2/v3 yarn: the table factor is the RATIO of the two
+            # mscales (modeling_deepseek DeepseekV2YarnRotaryEmbedding);
+            # the remaining mscale(factor, mscale_all_dim)^2 enters the MLA
+            # softmax scale (see modules/mla.py)
+            def _mscale(m):
+                return 0.1 * m * math.log(factor) + 1.0 if factor > 1 else 1.0
+
+            attn_factor = _mscale(float(ms)) / _mscale(float(msad))
+        else:
+            attn_factor = (
+                0.1 * math.log(factor) + 1.0 if factor > 1.0 else 1.0
+            )
     elif rtype in ("longrope", "su"):
         # phi3/phi3.5/phi4 LongRoPE (HF modeling_phi3 rotary): per-dim
         # frequency rescale factors — ``long_factor`` beyond the original

@@ -88,6 +88,23 @@ def param_specs(params: "ModelParams", cfg: ModelConfig) -> "ModelParams":
 
     rep1 = P(None)
 
+    def _replicated_spec(lin):
+        from quick_tpu.modules.linear import Linear as _L, QuantLinear as _QL2
+
+        if lin is None:
+            return None
+        if isinstance(lin, _QL2):
+            return _QL2(
+                qweight=P(None, None), scales=P(None, None),
+                zeros_x_scales=P(None, None),
+                bias=None if lin.bias is None else rep1,
+                group_size=lin.group_size,
+            )
+        return _L(
+            weight=P(None, None),
+            bias=None if lin.bias is None else rep1,
+        )
+
     def _qk_norm_spec(w):
         # [head_dim] shared across heads (qwen3/gemma3) -> replicated;
         # [heads, head_dim] (cohere r+) or full-width [heads*head_dim]
@@ -99,20 +116,48 @@ def param_specs(params: "ModelParams", cfg: ModelConfig) -> "ModelParams":
         return rep1 if w.shape[-1] == cfg.head_dim else P(MODEL_AXIS)
 
     def block_spec(blk: BlockParams) -> BlockParams:
-        attn = AttentionParams(
-            qkv_proj=_linear_spec(blk.attn.qkv_proj, col_parallel=True),
-            o_proj=_linear_spec(blk.attn.o_proj, col_parallel=False),
-            # per-head norm weights: qwen3/gemma3 [head_dim] shared across
-            # heads -> replicated; cohere r+ [heads, head_dim] -> heads
-            # follow the qkv column shards over the model axis
-            q_norm=_qk_norm_spec(blk.attn.q_norm),
-            k_norm=_qk_norm_spec(blk.attn.k_norm),
-        )
+        if isinstance(blk.attn, AttentionParams):
+            attn = AttentionParams(
+                qkv_proj=_linear_spec(blk.attn.qkv_proj, col_parallel=True),
+                o_proj=_linear_spec(blk.attn.o_proj, col_parallel=False),
+                # per-head norm weights: qwen3/gemma3 [head_dim] shared
+                # across heads -> replicated; cohere r+ [heads, head_dim] ->
+                # heads follow the qkv column shards over the model axis
+                q_norm=_qk_norm_spec(blk.attn.q_norm),
+                k_norm=_qk_norm_spec(blk.attn.k_norm),
+            )
+        else:
+            # deepseek MLA: q_b/kv_b head-sharded (columns), o row-sharded
+            # with psum; the shared-latent projections (q_a, kv_a) and the
+            # latent cache itself replicate across TP shards (MQA)
+            from quick_tpu.modules.mla import MLAParams
+
+            has_qb = blk.attn.q_b_proj is not None
+            attn = MLAParams(
+                q_proj=(
+                    _replicated_spec(blk.attn.q_proj) if has_qb
+                    else _linear_spec(blk.attn.q_proj, col_parallel=True)
+                ),
+                kv_a_proj=_replicated_spec(blk.attn.kv_a_proj),
+                kv_a_norm=rep1,
+                kv_b_proj=_linear_spec(blk.attn.kv_b_proj, col_parallel=True),
+                o_proj=_linear_spec(blk.attn.o_proj, col_parallel=False),
+                q_b_proj=(
+                    _linear_spec(blk.attn.q_b_proj, col_parallel=True)
+                    if has_qb else None
+                ),
+                q_a_norm=rep1 if blk.attn.q_a_norm is not None else None,
+            )
         if isinstance(blk.mlp, MoEParams):
             mlp = MoEParams(
                 router=_linear_spec(blk.mlp.router, col_parallel=True, moe=False),
                 gate_up_proj=_linear_spec(blk.mlp.gate_up_proj, True, moe=True),
                 down_proj=_linear_spec(blk.mlp.down_proj, False, moe=True),
+                # deepseek shared experts: replicated (added AFTER the
+                # expert-axis psum in moe_forward)
+                shared_gate_up=_replicated_spec(blk.mlp.shared_gate_up),
+                shared_down=_replicated_spec(blk.mlp.shared_down),
+                score_bias=None if blk.mlp.score_bias is None else rep1,
             )
             # router stays replicated (tiny)
             mlp = dataclasses.replace(
@@ -167,13 +212,16 @@ def param_specs(params: "ModelParams", cfg: ModelConfig) -> "ModelParams":
     )
 
 
-def cache_spec():
+def cache_spec(cfg: Optional[ModelConfig] = None):
     """KVCache spec: batch over data, kv heads over model.
 
-    Cache layout is head-major [L, B, H_kv, S_max, D] (modules/cache.py)."""
+    Cache layout is head-major [L, B, H_kv, S_max, D] (modules/cache.py).
+    The deepseek MLA latent cache (head axis of size 1) replicates over the
+    model axis instead — MQA, every TP shard reads the full latent."""
     from quick_tpu.modules.cache import KVCache
 
-    kv = P(None, DATA_AXIS, MODEL_AXIS, None, None)
+    head = None if (cfg is not None and cfg.is_mla) else MODEL_AXIS
+    kv = P(None, DATA_AXIS, head, None, None)
     return KVCache(k=kv, v=kv, length=P())
 
 
@@ -192,10 +240,18 @@ def prepare_params_for_tp(
     gu_sections = [cfg.intermediate_size, cfg.intermediate_size]
     new_blocks = []
     for blk in params.blocks:
-        attn = dataclasses.replace(
-            blk.attn,
-            qkv_proj=permute_fused_for_tp(blk.attn.qkv_proj, qkv_sections, tp),
-        )
+        if hasattr(blk.attn, "qkv_proj"):
+            attn = dataclasses.replace(
+                blk.attn,
+                qkv_proj=permute_fused_for_tp(
+                    blk.attn.qkv_proj, qkv_sections, tp
+                ),
+            )
+        else:
+            # deepseek MLA: q_b/kv_b columns are head-contiguous, so plain
+            # N-sharding already hands each shard whole heads — nothing to
+            # permute
+            attn = blk.attn
         mlp = blk.mlp
         if isinstance(mlp, MLPParams) and cfg.gated_mlp:
             mlp = dataclasses.replace(
@@ -362,7 +418,7 @@ def sharded_forward_fn(cfg: ModelConfig, mesh: Mesh):
 
     def make(params_template: ModelParams):
         specs = param_specs(params_template, cfg)
-        cspec = cache_spec()
+        cspec = cache_spec(cfg)
 
         def local_fn(params, tokens, cache):
             # inside shard_map: local shards, explicit collectives

@@ -295,6 +295,10 @@ def awq_quantize_block(
         attn_out = attn_out + blk.attn.o_proj.bias.astype(attn_out.dtype)
     if blk.attn_post_norm is not None:  # gemma2/olmo2 output norm
         attn_out = norm_fwd(attn_out, blk.attn_post_norm, None)
+    if cfg.residual_multiplier is not None:  # granite / minicpm
+        attn_out = attn_out * jnp.asarray(
+            cfg.residual_multiplier, attn_out.dtype
+        )
     x_mid = x + attn_out if not cfg.parallel_residual else x
 
     # ---------------- MLP ---------------------------------------------------
@@ -341,6 +345,10 @@ def awq_quantize_block(
 
     if blk.mlp_post_norm is not None:  # gemma2 sandwich norm
         mlp_out = norm_fwd(mlp_out, blk.mlp_post_norm, None)
+    if cfg.residual_multiplier is not None:
+        mlp_out = mlp_out * jnp.asarray(
+            cfg.residual_multiplier, mlp_out.dtype
+        )
     if cfg.parallel_residual:
         x_next = x + attn_out + mlp_out
     else:
@@ -476,23 +484,36 @@ def _awq_moe(moe: MoEParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
 
     G, zp = qcfg.q_group_size, qcfg.zero_point
     E = cfg.num_local_experts
-    F = cfg.intermediate_size
     flat = lambda a: a.reshape(-1, a.shape[-1])
     gu = moe.gate_up_proj.weight  # [E, D, 2F]
     dn = moe.down_proj.weight     # [E, F, D]
+    F = gu.shape[-1] // 2         # expert ffn width (deepseek:
+    # moe_intermediate_size != the dense layers' intermediate_size)
+    sgu = None if moe.shared_gate_up is None else moe.shared_gate_up.weight
+    sdn = None if moe.shared_down is None else moe.shared_down.weight
 
-    # joint gate_up scale over all experts (skipped when no preceding norm
-    # exists to fold the inverse into — olmo2 pre_norms=False)
+    def routed(gu_s, dn_s, h):
+        return moe_forward(
+            MoEParams(moe.router, Linear(gu_s), Linear(dn_s),
+                      score_bias=moe.score_bias),
+            cfg, h,
+        )
+
+    # joint gate_up scale over all experts — INCLUDING the deepseek shared
+    # experts, which read the same normed input (the reference scales all
+    # mixtral experts' w1/w3 jointly the same way, models/mixtral.py:58-66).
+    # Skipped when no preceding norm exists (olmo2 pre_norms=False)
     if mlp_norm is not None:
+        layers = [gu[e] for e in range(E)] + ([sgu] if sgu is not None else [])
         s_gu = search_scale(
-            flat(mlp_in), [gu[e] for e in range(E)],
-            loss_forward=lambda ws: moe_forward(
-                MoEParams(moe.router, Linear(jnp.stack(ws)), Linear(dn)), cfg, mlp_in
-            ),
+            flat(mlp_in), layers,
+            loss_forward=lambda ws: routed(jnp.stack(ws[:E]), dn, mlp_in),
             group_size=G, zero_point=zp,
         )
         mlp_norm = mlp_norm / s_gu
         gu = (gu.astype(jnp.float32) * s_gu[None, :, None]).astype(gu.dtype)
+        if sgu is not None:
+            sgu = (sgu.astype(jnp.float32) * s_gu[:, None]).astype(gu.dtype)
         mlp_in = mlp_in / s_gu.astype(mlp_in.dtype)
 
     # per-expert down scale + clips
@@ -518,7 +539,30 @@ def _awq_moe(moe: MoEParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
     gu = jnp.stack(new_gu)
     dn = jnp.stack(new_dn)
 
-    scaled = MoEParams(moe.router, Linear(gu), Linear(dn))
+    # shared-expert down scale (its own group: up half /= s, down rows *= s)
+    if sgu is not None:
+        Fs = sgu.shape[-1] // 2
+        z = mlp_in @ sgu.astype(mlp_in.dtype)
+        gate, up = jnp.split(z, 2, axis=-1)
+        sdn_in = jax.nn.silu(gate) * up
+        s_sdn = search_scale(
+            flat(sdn_in), [sdn],
+            loss_forward=lambda ws: sdn_in @ ws[0].astype(sdn_in.dtype),
+            group_size=G, zero_point=zp,
+        )
+        sgu = sgu.at[:, Fs:].divide(s_sdn[None, :].astype(sgu.dtype))
+        sdn = (sdn.astype(jnp.float32) * s_sdn[:, None]).astype(sdn.dtype)
+        sdn_in = sdn_in / s_sdn.astype(sdn_in.dtype)
+        if apply_clips:
+            sgu = apply_clip(sgu, search_clip(sgu, flat(mlp_in), G, zp), G)
+            sdn = apply_clip(sdn, search_clip(sdn, flat(sdn_in), G, zp), G)
+
+    scaled = MoEParams(
+        moe.router, Linear(gu), Linear(dn),
+        shared_gate_up=None if sgu is None else Linear(sgu),
+        shared_down=None if sdn is None else Linear(sdn),
+        score_bias=moe.score_bias,
+    )
     mlp_out = moe_forward(scaled, cfg, mlp_in)
 
     # quantize+pack stacked experts
@@ -536,8 +580,105 @@ def _awq_moe(moe: MoEParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
         router=moe.router,
         gate_up_proj=pack_stacked(gu),
         down_proj=pack_stacked(dn),
+        shared_gate_up=(
+            None if sgu is None else QuantLinear.from_float(sgu, None, G, zp)
+        ),
+        shared_down=(
+            None if sdn is None else QuantLinear.from_float(sdn, None, G, zp)
+        ),
+        score_bias=moe.score_bias,
     )
     return packed, mlp_out, mlp_norm
+
+
+def awq_quantize_mla_block(
+    blk: BlockParams,
+    cfg: ModelConfig,
+    x: jax.Array,
+    positions: jax.Array,
+    rope_cos: jax.Array,
+    rope_sin: jax.Array,
+    qcfg: QuantConfig,
+    apply_clips: bool = True,
+    skip: frozenset = frozenset(),
+) -> AwqBlockResult:
+    """AWQ for a deepseek MLA block. The attention projections quantize
+    RTN with clip search only: the absorbed einsum path (modules/mla.py)
+    gives q/kv_a no single downstream consumer to fold a per-channel scale
+    out of, and kv_b stays float by design. The MLP (dense or MoE) gets the
+    full AWQ scale+clip search, exactly like awq_quantize_block."""
+    from quick_tpu.modules.mla import MLAParams, mla_attention_forward
+
+    G, zp = qcfg.q_group_size, qcfg.zero_point
+    flat = lambda a: a.reshape(-1, a.shape[-1])
+
+    def norm_fwd(h, w, b):
+        if cfg.layernorm == "rmsnorm":
+            return rms_norm(h, w, cfg.rms_norm_eps)
+        return layer_norm(h, w, b, cfg.rms_norm_eps)
+
+    attn_in = norm_fwd(x, blk.attn_norm, blk.attn_norm_bias)
+    a = blk.attn
+
+    def rtn(lin, name, inp):
+        if lin is None or name in skip:
+            return lin
+        w = lin.weight
+        if apply_clips and inp is not None:
+            w = apply_clip(w, search_clip(w, flat(inp), G, zp), G)
+        return QuantLinear.from_float(w, lin.bias, G, zp)
+
+    q_in2 = None
+    if a.q_b_proj is not None:
+        q_in2 = rms_norm(a.q_proj(attn_in), a.q_a_norm, cfg.rms_norm_eps)
+    # attention output for the residual stream comes from the FLOAT weights
+    # (the packed weights' error is what PPL measures downstream)
+    attn_out, _ = mla_attention_forward(
+        a, cfg, attn_in, rope_cos, rope_sin, None, 0, positions
+    )
+    x_mid = x + attn_out
+
+    new_attn = MLAParams(
+        q_proj=rtn(a.q_proj, "qkv", attn_in),
+        kv_a_proj=rtn(a.kv_a_proj, "qkv", attn_in),
+        kv_a_norm=a.kv_a_norm,
+        kv_b_proj=a.kv_b_proj,  # float: absorbed einsum operand
+        o_proj=rtn(a.o_proj, "o", None),
+        q_b_proj=rtn(a.q_b_proj, "qkv", q_in2),
+        q_a_norm=a.q_a_norm,
+    )
+
+    mlp_norm = blk.mlp_norm.astype(jnp.float32)
+    mlp_in = norm_fwd(x_mid, blk.mlp_norm, blk.mlp_norm_bias)
+    if isinstance(blk.mlp, MoEParams):
+        new_mlp, mlp_out, mlp_norm = _awq_moe(
+            blk.mlp, cfg, mlp_in, mlp_norm, qcfg, apply_clips
+        )
+    else:
+        new_mlp, mlp_out, mlp_norm = _awq_mlp(
+            blk.mlp, cfg, mlp_in, mlp_norm, qcfg, apply_clips
+        )
+
+        def pack(name, lin):
+            if name in skip:
+                return lin
+            return QuantLinear.from_float(lin.weight, lin.bias, G, zp)
+
+        new_mlp = MLPParams(
+            gate_up_proj=pack("gate_up", new_mlp.gate_up_proj),
+            down_proj=pack("down", new_mlp.down_proj),
+            act_scale=new_mlp.act_scale,
+        )
+    x_next = x_mid + mlp_out
+    new_block = BlockParams(
+        attn_norm=blk.attn_norm,
+        attn=new_attn,
+        mlp_norm=mlp_norm.astype(blk.mlp_norm.dtype),
+        mlp=new_mlp,
+        attn_norm_bias=blk.attn_norm_bias,
+        mlp_norm_bias=blk.mlp_norm_bias,
+    )
+    return AwqBlockResult(block=new_block, x_next=x_next)
 
 
 # ---------------------------------------------------------------------------
@@ -564,8 +705,13 @@ def awq_quantize_model(
     B, S = calib_tokens.shape
     positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
     x = params.embed[calib_tokens].astype(jnp.bfloat16)
-    # mirror model_forward's embedding path (opt/bigcode positions,
-    # bloom embedding layernorm) so calibration activations are faithful
+    # mirror model_forward's embedding path (gemma sqrt(D) scale, granite/
+    # minicpm multiplier, opt/bigcode positions, bloom embedding layernorm)
+    # so calibration activations are faithful
+    if cfg.embed_scale:
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5).astype(x.dtype)
+    if cfg.embed_multiplier is not None:
+        x = x * jnp.asarray(cfg.embed_multiplier, x.dtype)
     if params.pos_embed is not None:
         x = x + params.pos_embed[positions].astype(x.dtype)
     if params.embed_norm is not None:
@@ -580,9 +726,11 @@ def awq_quantize_model(
     import functools
 
     @functools.lru_cache(maxsize=None)
-    def _jitted():
+    def _jitted(mla: bool):
+        fn = awq_quantize_mla_block if mla else awq_quantize_block
+
         def run(blk, x, positions, rc, rs):
-            res = awq_quantize_block(
+            res = fn(
                 blk, cfg, x, positions, rc, rs, qcfg, apply_clips, skip=skip
             )
             return res.block, res.x_next
@@ -591,7 +739,7 @@ def awq_quantize_model(
 
     new_blocks = []
     for i, blk in enumerate(params.blocks):
-        new_blk, x = _jitted()(
+        new_blk, x = _jitted(cfg.is_mla)(
             blk, x, positions, params.rope_cos, params.rope_sin
         )
         new_blocks.append(new_blk)

@@ -86,6 +86,11 @@ def sample_token_rows(
 
 
 def make_cache(cfg: ModelConfig, batch: int, max_seq: int, dtype=jnp.bfloat16) -> KVCache:
+    if cfg.is_mla:
+        # deepseek MLA: the cache holds only the compressed latent
+        from quick_tpu.modules.mla import make_mla_cache
+
+        return make_mla_cache(cfg, batch, max_seq, dtype)
     return KVCache.create(
         cfg.num_hidden_layers, batch, max_seq,
         cfg.num_key_value_heads, cfg.head_dim, dtype,

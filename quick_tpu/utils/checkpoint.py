@@ -69,9 +69,19 @@ def params_to_flat(params: ModelParams) -> Dict[str, np.ndarray]:
             out[f"{p}.mlp_norm"] = np.asarray(blk.mlp_norm)
         if blk.mlp_norm_bias is not None:
             out[f"{p}.mlp_norm_bias"] = np.asarray(blk.mlp_norm_bias)
-        _lin_to_flat(f"{p}.attn.qkv", blk.attn.qkv_proj, out)
-        _lin_to_flat(f"{p}.attn.o", blk.attn.o_proj, out)
-        if blk.attn.q_norm is not None:
+        if hasattr(blk.attn, "kv_a_proj"):  # deepseek MLA
+            _lin_to_flat(f"{p}.attn.q", blk.attn.q_proj, out)
+            _lin_to_flat(f"{p}.attn.kv_a", blk.attn.kv_a_proj, out)
+            _lin_to_flat(f"{p}.attn.kv_b", blk.attn.kv_b_proj, out)
+            _lin_to_flat(f"{p}.attn.o", blk.attn.o_proj, out)
+            out[f"{p}.attn.kv_a_norm"] = np.asarray(blk.attn.kv_a_norm)
+            if blk.attn.q_b_proj is not None:
+                _lin_to_flat(f"{p}.attn.q_b", blk.attn.q_b_proj, out)
+                out[f"{p}.attn.q_a_norm"] = np.asarray(blk.attn.q_a_norm)
+        else:
+            _lin_to_flat(f"{p}.attn.qkv", blk.attn.qkv_proj, out)
+            _lin_to_flat(f"{p}.attn.o", blk.attn.o_proj, out)
+        if getattr(blk.attn, "q_norm", None) is not None:
             out[f"{p}.attn.q_norm"] = np.asarray(blk.attn.q_norm)
             out[f"{p}.attn.k_norm"] = np.asarray(blk.attn.k_norm)
         if blk.attn_post_norm is not None:
@@ -82,6 +92,13 @@ def params_to_flat(params: ModelParams) -> Dict[str, np.ndarray]:
             _lin_to_flat(f"{p}.mlp.router", blk.mlp.router, out)
             _lin_to_flat(f"{p}.mlp.gate_up", blk.mlp.gate_up_proj, out)
             _lin_to_flat(f"{p}.mlp.down", blk.mlp.down_proj, out)
+            if blk.mlp.shared_gate_up is not None:
+                _lin_to_flat(
+                    f"{p}.mlp.shared_gate_up", blk.mlp.shared_gate_up, out
+                )
+                _lin_to_flat(f"{p}.mlp.shared_down", blk.mlp.shared_down, out)
+            if blk.mlp.score_bias is not None:
+                out[f"{p}.mlp.score_bias"] = np.asarray(blk.mlp.score_bias)
         else:
             _lin_to_flat(f"{p}.mlp.gate_up", blk.mlp.gate_up_proj, out)
             _lin_to_flat(f"{p}.mlp.down", blk.mlp.down_proj, out)
@@ -127,23 +144,57 @@ def flat_to_params(
     blocks = []
     for i in range(cfg.num_hidden_layers):
         p = f"blocks.{i}"
-        attn = AttentionParams(
-            qkv_proj=_flat_to_lin(f"{p}.attn.qkv", flat, group_size),
-            o_proj=_flat_to_lin(f"{p}.attn.o", flat, group_size),
-            q_norm=(
-                jnp.asarray(flat[f"{p}.attn.q_norm"])
-                if f"{p}.attn.q_norm" in flat else None
-            ),
-            k_norm=(
-                jnp.asarray(flat[f"{p}.attn.k_norm"])
-                if f"{p}.attn.k_norm" in flat else None
-            ),
-        )
+        if f"{p}.attn.kv_a_norm" in flat:  # deepseek MLA
+            from quick_tpu.modules.mla import MLAParams
+
+            attn = MLAParams(
+                q_proj=_flat_to_lin(f"{p}.attn.q", flat, group_size),
+                kv_a_proj=_flat_to_lin(f"{p}.attn.kv_a", flat, group_size),
+                kv_a_norm=jnp.asarray(flat[f"{p}.attn.kv_a_norm"]),
+                kv_b_proj=_flat_to_lin(f"{p}.attn.kv_b", flat, group_size),
+                o_proj=_flat_to_lin(f"{p}.attn.o", flat, group_size),
+                q_b_proj=(
+                    _flat_to_lin(f"{p}.attn.q_b", flat, group_size)
+                    if f"{p}.attn.q_b.weight" in flat
+                    or f"{p}.attn.q_b.qweight" in flat else None
+                ),
+                q_a_norm=(
+                    jnp.asarray(flat[f"{p}.attn.q_a_norm"])
+                    if f"{p}.attn.q_a_norm" in flat else None
+                ),
+            )
+        else:
+            attn = AttentionParams(
+                qkv_proj=_flat_to_lin(f"{p}.attn.qkv", flat, group_size),
+                o_proj=_flat_to_lin(f"{p}.attn.o", flat, group_size),
+                q_norm=(
+                    jnp.asarray(flat[f"{p}.attn.q_norm"])
+                    if f"{p}.attn.q_norm" in flat else None
+                ),
+                k_norm=(
+                    jnp.asarray(flat[f"{p}.attn.k_norm"])
+                    if f"{p}.attn.k_norm" in flat else None
+                ),
+            )
         if f"{p}.mlp.router.weight" in flat:
             mlp = MoEParams(
                 router=_flat_to_lin(f"{p}.mlp.router", flat, group_size),
                 gate_up_proj=_flat_to_lin(f"{p}.mlp.gate_up", flat, group_size),
                 down_proj=_flat_to_lin(f"{p}.mlp.down", flat, group_size),
+                shared_gate_up=(
+                    _flat_to_lin(f"{p}.mlp.shared_gate_up", flat, group_size)
+                    if f"{p}.mlp.shared_gate_up.weight" in flat
+                    or f"{p}.mlp.shared_gate_up.qweight" in flat else None
+                ),
+                shared_down=(
+                    _flat_to_lin(f"{p}.mlp.shared_down", flat, group_size)
+                    if f"{p}.mlp.shared_down.weight" in flat
+                    or f"{p}.mlp.shared_down.qweight" in flat else None
+                ),
+                score_bias=(
+                    jnp.asarray(flat[f"{p}.mlp.score_bias"])
+                    if f"{p}.mlp.score_bias" in flat else None
+                ),
             )
         else:
             mlp = MLPParams(
@@ -1415,6 +1466,109 @@ def _import_olmo2(raw, cfg: ModelConfig, dtype) -> ModelParams:
     )
 
 
+def _import_deepseek(raw, cfg: ModelConfig, dtype) -> ModelParams:
+    """DeepSeek-V2/V3 (HF modeling_deepseek_v2/v3): MLA attention
+    (q optionally LoRA-factored; kv compressed through kv_a_proj_with_mqa)
+    plus DeepSeekMoE (dense first_k layers, routed experts + shared
+    experts, v3 e_score_correction_bias). The rope (pe) channels are stored
+    in HF's interleaved convention and permuted here to rotate-half (the
+    same conversion gptj/cohere use). Post-reference family."""
+    from quick_tpu.modules.mla import MLAParams
+
+    W, V, B = _mk_wv(raw, dtype)
+    hq = cfg.num_attention_heads
+    dn, dr = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    R = cfg.kv_lora_rank
+    perm = np.concatenate([np.arange(0, dr, 2), np.arange(1, dr, 2)])
+
+    def permute_q(w):  # [Din, hq*(dn+dr)]: rotate-half-ify each head's pe
+        Din = w.shape[0]
+        wh = w.reshape(Din, hq, dn + dr)
+        pe = wh[:, :, dn:][:, :, perm]
+        return jnp.concatenate([wh[:, :, :dn], pe], axis=2).reshape(Din, -1)
+
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        if f"{p}.self_attn.q_a_proj.weight" in raw:
+            q = Linear(W(f"{p}.self_attn.q_a_proj.weight"))
+            q_b = Linear(permute_q(W(f"{p}.self_attn.q_b_proj.weight")))
+            q_a_norm = V(f"{p}.self_attn.q_a_layernorm.weight")
+        else:  # v2-lite: full q projection
+            q = Linear(permute_q(W(f"{p}.self_attn.q_proj.weight")))
+            q_b = q_a_norm = None
+        kva = W(f"{p}.self_attn.kv_a_proj_with_mqa.weight")  # [D, R+dr]
+        kva = jnp.concatenate([kva[:, :R], kva[:, R:][:, perm]], axis=1)
+        attn = MLAParams(
+            q_proj=q,
+            kv_a_proj=Linear(kva),
+            kv_a_norm=V(f"{p}.self_attn.kv_a_layernorm.weight"),
+            kv_b_proj=Linear(W(f"{p}.self_attn.kv_b_proj.weight")),
+            o_proj=Linear(W(f"{p}.self_attn.o_proj.weight")),
+            q_b_proj=q_b,
+            q_a_norm=q_a_norm,
+        )
+        if f"{p}.mlp.gate.weight" in raw:  # MoE layer
+            E = cfg.num_local_experts
+            gus, dns = [], []
+            for e in range(E):
+                g = W(f"{p}.mlp.experts.{e}.gate_proj.weight")
+                u = W(f"{p}.mlp.experts.{e}.up_proj.weight")
+                gus.append(jnp.concatenate([g, u], axis=1))
+                dns.append(W(f"{p}.mlp.experts.{e}.down_proj.weight"))
+            shared_gu = shared_dn = None
+            if f"{p}.mlp.shared_experts.gate_proj.weight" in raw:
+                sg = W(f"{p}.mlp.shared_experts.gate_proj.weight")
+                su = W(f"{p}.mlp.shared_experts.up_proj.weight")
+                shared_gu = Linear(jnp.concatenate([sg, su], axis=1))
+                shared_dn = Linear(
+                    W(f"{p}.mlp.shared_experts.down_proj.weight")
+                )
+            bias_key = f"{p}.mlp.gate.e_score_correction_bias"
+            mlp = MoEParams(
+                router=Linear(W(f"{p}.mlp.gate.weight")),
+                gate_up_proj=Linear(jnp.stack(gus)),
+                down_proj=Linear(jnp.stack(dns)),
+                shared_gate_up=shared_gu,
+                shared_down=shared_dn,
+                score_bias=(
+                    jnp.asarray(raw.pop(bias_key), jnp.float32)
+                    if bias_key in raw else None
+                ),
+            )
+        else:
+            gate = W(f"{p}.mlp.gate_proj.weight")
+            up = W(f"{p}.mlp.up_proj.weight")
+            mlp = MLPParams(
+                gate_up_proj=Linear(jnp.concatenate([gate, up], axis=1)),
+                down_proj=Linear(W(f"{p}.mlp.down_proj.weight")),
+            )
+        blocks.append(
+            BlockParams(
+                attn_norm=V(f"{p}.input_layernorm.weight"),
+                attn=attn,
+                mlp_norm=V(f"{p}.post_attention_layernorm.weight"),
+                mlp=mlp,
+            )
+        )
+    embed = V("model.embed_tokens.weight")
+    cos, sin = rope_table(
+        cfg.max_position_embeddings, dr, cfg.rope_theta, cfg.rope_scaling,
+    )
+    lm_head = (
+        Linear(W("lm_head.weight")) if "lm_head.weight" in raw
+        else Linear(embed.T)
+    )
+    return ModelParams(
+        embed=embed,
+        blocks=blocks,
+        final_norm=V("model.norm.weight"),
+        lm_head=lm_head,
+        rope_cos=cos,
+        rope_sin=sin,
+    )
+
+
 def _import_cohere(raw, cfg: ModelConfig, dtype) -> ModelParams:
     """Cohere command-r/r+ (HF modeling_cohere): llama tensor tree with ONE
     shared input_layernorm feeding parallel attn+mlp (duplicated into both
@@ -1493,6 +1647,8 @@ _HF_IMPORTERS = {
     "internlm2": _import_internlm2,
     "cohere": _import_cohere,
     "olmo2": _import_olmo2,
+    "deepseek_v2": _import_deepseek,
+    "deepseek_v3": _import_deepseek,
     # stablelm / granite / minicpm ride _import_llama_family (llama tensor
     # tree; stablelm's LayerNorm biases are picked up when present, granite/
     # minicpm multipliers are pure ModelConfig switches)
