@@ -110,10 +110,14 @@ def mla_attention_forward(
 
     if cache is not None:
         start = cache.length
-        # k-slot: rope'd shared k_pe [B,S,1,dr]; v-slot: normed latent
+        # k-slot: rope'd shared k_pe [B,S,1,dr]; v-slot: normed latent.
+        # cache.layer() is the duck-typed head-major read — dense KVCache
+        # slices, PagedKVCache gathers its block-table pages (and
+        # dequantizes INT8 pages)
         cache = cache.update(layer_idx, k_pe, c[:, :, None, :], start)
-        kpe_all = cache.k[layer_idx][:, 0]  # [B, T, dr]
-        c_all = cache.v[layer_idx][:, 0]    # [B, T, R]
+        k_l, v_l = cache.layer(layer_idx)  # [B, 1, T, dr] / [B, 1, T, R]
+        kpe_all = k_l[:, 0]
+        c_all = v_l[:, 0]
         kv_len = start + S
         q_offset = start
     else:

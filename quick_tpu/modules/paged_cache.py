@@ -68,13 +68,17 @@ class PagedKVCache:
         n_kv: int,
         head_dim: int,
         dtype=jnp.bfloat16,
+        v_head_dim: Optional[int] = None,  # deepseek MLA: k plane holds the
+        # rope'd k_pe (qk_rope_head_dim) and the v plane the compressed
+        # latent (kv_lora_rank) — asymmetric widths, n_kv=1 (MQA)
     ) -> "PagedKVCache":
         max_pages_per_seq = (max_seq + page_size - 1) // page_size
         shape = (n_layers, n_pages, n_kv, page_size, head_dim)
+        vshape = (n_layers, n_pages, n_kv, page_size, v_head_dim or head_dim)
         quant = dtype == jnp.int8
         return cls(
             k_pages=jnp.zeros(shape, dtype),
-            v_pages=jnp.zeros(shape, dtype),
+            v_pages=jnp.zeros(vshape, dtype),
             block_table=jnp.full(
                 (max_slots, max_pages_per_seq), TRASH_PAGE, jnp.int32
             ),
@@ -182,9 +186,9 @@ class PagedKVCache:
         B = self.max_slots
         k = self.k_pages[i][self.block_table]  # [B, P_seq, H, page, D]
         v = self.v_pages[i][self.block_table]
-        H, D = k.shape[-3], k.shape[-1]
-        k = jnp.moveaxis(k, 2, 1).reshape(B, H, -1, D)
-        v = jnp.moveaxis(v, 2, 1).reshape(B, H, -1, D)
+        H, Dk, Dv = k.shape[-3], k.shape[-1], v.shape[-1]
+        k = jnp.moveaxis(k, 2, 1).reshape(B, H, -1, Dk)
+        v = jnp.moveaxis(v, 2, 1).reshape(B, H, -1, Dv)
         if not self.quantized:
             return k, v
         n_pt = self.block_table.shape[1]

@@ -68,7 +68,8 @@ def paged_write_decode(
     Donation-friendly: the page arrays are aliased input->output, so under
     jit the write is in-place. ``page`` must be a multiple of 8 (it is — it
     must also be lane/sublane friendly for the attention kernel)."""
-    B, Hkv, D = k_new.shape
+    B, Hkv, Dk = k_new.shape
+    Dv = v_new.shape[-1]  # deepseek MLA pages: k_pe/latent widths differ
     group = _group_for(k_pages.dtype)
 
     def blk_index(b, pg, off):
@@ -78,15 +79,15 @@ def paged_write_decode(
         num_scalar_prefetch=2,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, Hkv, D), lambda b, pg, off: (b, 0, 0)),
-            pl.BlockSpec((1, Hkv, D), lambda b, pg, off: (b, 0, 0)),
+            pl.BlockSpec((1, Hkv, Dk), lambda b, pg, off: (b, 0, 0)),
+            pl.BlockSpec((1, Hkv, Dv), lambda b, pg, off: (b, 0, 0)),
             # aliased page buffers, also read as the RMW source
-            pl.BlockSpec((1, 1, Hkv, group, D), blk_index),
-            pl.BlockSpec((1, 1, Hkv, group, D), blk_index),
+            pl.BlockSpec((1, 1, Hkv, group, Dk), blk_index),
+            pl.BlockSpec((1, 1, Hkv, group, Dv), blk_index),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, Hkv, group, D), blk_index),
-            pl.BlockSpec((1, 1, Hkv, group, D), blk_index),
+            pl.BlockSpec((1, 1, Hkv, group, Dk), blk_index),
+            pl.BlockSpec((1, 1, Hkv, group, Dv), blk_index),
         ],
     )
     return pl.pallas_call(

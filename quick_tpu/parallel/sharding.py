@@ -296,19 +296,25 @@ def local_config(cfg: ModelConfig, tp: int) -> ModelConfig:
     return dataclasses.replace(cfg, **kw)
 
 
-def paged_cache_spec(quantized: bool = False):
+def paged_cache_spec(
+    quantized: bool = False, cfg: Optional[ModelConfig] = None
+):
     """PartitionSpec pytree for a PagedKVCache: KV heads shard over the
     model axis (each TP shard holds its own heads' pages); the block table
     and lengths are replicated control state. ``quantized=True`` adds the
-    INT8 per-token scale planes (same head sharding)."""
+    INT8 per-token scale planes (same head sharding). The deepseek MLA
+    latent cache (one MQA "head") replicates its pages over the model axis
+    instead — every TP shard reads the full latent."""
     from quick_tpu.modules.paged_cache import PagedKVCache
 
+    mla = cfg is not None and cfg.is_mla
+    head = None if mla else MODEL_AXIS
     # scales are [L, P, Hkv*page] with (head, token) flat in the minor dim:
     # sharding that dim over model splits it into contiguous head groups
-    sc = P(None, None, MODEL_AXIS) if quantized else None
+    sc = P(None, None, head) if quantized else None
     return PagedKVCache(
-        k_pages=P(None, None, MODEL_AXIS, None, None),
-        v_pages=P(None, None, MODEL_AXIS, None, None),
+        k_pages=P(None, None, head, None, None),
+        v_pages=P(None, None, head, None, None),
         block_table=P(None, None),
         length=P(None),
         k_scales=sc,
@@ -336,7 +342,7 @@ def sharded_engine_step_fn(
     lcfg = local_config(cfg, tp)
     ctx = ParallelContext(model_axis=MODEL_AXIS, expert_axis=MODEL_AXIS)
     specs = param_specs(params_template, cfg)
-    cspec = paged_cache_spec(quantized=kv_quantized)
+    cspec = paged_cache_spec(quantized=kv_quantized, cfg=cfg)
 
     def local_fn(params, cache, tokens, valid):
         logits, cache = model_forward(
@@ -373,7 +379,7 @@ def sharded_engine_window_fn(
     lcfg = local_config(cfg, tp)
     ctx = ParallelContext(model_axis=MODEL_AXIS, expert_axis=MODEL_AXIS)
     specs = param_specs(params_template, cfg)
-    cspec = paged_cache_spec(quantized=kv_quantized)
+    cspec = paged_cache_spec(quantized=kv_quantized, cfg=cfg)
 
     def local_fn(params, cache, tokens, valid):
         def body(i, carry):

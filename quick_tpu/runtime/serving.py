@@ -132,10 +132,21 @@ class Engine:
         pages_per_seq = (max_seq + page_size - 1) // page_size
         if n_pages is None:
             n_pages = max_slots * pages_per_seq + 1  # +1 trash page
-        self.cache = PagedKVCache.create(
-            cfg.num_hidden_layers, n_pages, page_size, max_slots, max_seq,
-            cfg.num_key_value_heads, cfg.head_dim, dtype,
-        )
+        if cfg.is_mla:
+            # deepseek MLA: paged LATENT cache — k plane is the shared
+            # rope'd k_pe, v plane the compressed latent; one "head" (MQA).
+            # kv_lora_rank + qk_rope_head_dim floats/token regardless of
+            # head count (~14x less page HBM than expanded MHA at v2/v3)
+            self.cache = PagedKVCache.create(
+                cfg.num_hidden_layers, n_pages, page_size, max_slots,
+                max_seq, 1, cfg.qk_rope_head_dim, dtype,
+                v_head_dim=cfg.kv_lora_rank,
+            )
+        else:
+            self.cache = PagedKVCache.create(
+                cfg.num_hidden_layers, n_pages, page_size, max_slots,
+                max_seq, cfg.num_key_value_heads, cfg.head_dim, dtype,
+            )
         self.alloc = PageAllocator(n_pages)
         if prefix_cache:
             from quick_tpu.runtime.prefix_cache import PrefixCache
@@ -188,7 +199,8 @@ class Engine:
 
             self.cache = jax.tree_util.tree_map(
                 lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-                self.cache, paged_cache_spec(quantized=self.cache.quantized),
+                self.cache,
+                paged_cache_spec(quantized=self.cache.quantized, cfg=cfg),
             )
             step_fn = sharded_engine_step_fn(
                 cfg, mesh, params, kv_quantized=self.cache.quantized

@@ -334,6 +334,78 @@ def test_deepseek_awq_pipeline():
     assert float(jnp.abs(lf - lq).mean()) < 0.5
 
 
+def test_deepseek_paged_engine_matches_generate():
+    """Continuous-batching engine over the paged LATENT cache: greedy
+    outputs match dense-cache generate; cache planes hold only
+    [k_pe | c_kv] per token (asymmetric k/v page widths)."""
+    from quick_tpu.runtime import SamplingParams, generate
+    from quick_tpu.runtime.serving import Engine
+
+    cfg = _cfg(
+        q_lora_rank=32, num_local_experts=4, num_experts_per_tok=2,
+        moe_router="deepseek", moe_intermediate_size=32,
+        n_shared_experts=1, first_k_dense_replace=1,
+    )
+    p = init_float_params(cfg, jax.random.PRNGKey(7), jnp.float32)
+    prompt = list(range(7, 17))
+    ref = generate(
+        p, cfg, jnp.asarray([prompt], jnp.int32), max_new_tokens=6,
+        sampling=SamplingParams(temperature=0.0),
+    )
+    ref = list(np.asarray(ref)[0, len(prompt):])
+    eng = Engine(p, cfg, max_slots=2, max_seq=64, page_size=8, chunk=8,
+                 dtype=jnp.float32)
+    assert eng.cache.k_pages.shape[-2:] == (8, DR)   # k_pe plane
+    assert eng.cache.v_pages.shape[-2:] == (8, R)    # latent plane
+    assert eng.cache.k_pages.shape[2] == 1           # MQA
+    uid = eng.submit(prompt, max_new_tokens=6)
+    outs = eng.run()
+    assert outs[uid] == ref
+
+
+def test_deepseek_paged_write_kernel_asymmetric(monkeypatch):
+    """The Pallas page-write kernel handles the MLA planes' asymmetric
+    widths (k_pe vs latent): kernel (interpret) == XLA scatter."""
+    import dataclasses
+
+    L, P, page = 2, 5, 32
+    bt = jnp.asarray([[1, 2], [3, 4]], jnp.int32)
+    rng2 = np.random.default_rng(3)
+    k = jnp.asarray(rng2.standard_normal((2, 1, 1, DR)), jnp.float32)
+    v = jnp.asarray(rng2.standard_normal((2, 1, 1, R)), jnp.float32)
+
+    def run(env):
+        monkeypatch.setenv("QUICK_TPU_PAGED_WRITE", env)
+        from quick_tpu.modules.paged_cache import PagedKVCache
+
+        cache = PagedKVCache.create(
+            L, P, page, max_slots=2, max_seq=64, n_kv=1, head_dim=DR,
+            dtype=jnp.float32, v_head_dim=R,
+        )
+        cache = dataclasses.replace(cache, block_table=bt)
+        cache = cache.update(1, k, v, jnp.asarray([3, 33]))
+        return cache
+
+    a, b = run("1"), run("0")
+    np.testing.assert_array_equal(np.asarray(a.k_pages), np.asarray(b.k_pages))
+    np.testing.assert_array_equal(np.asarray(a.v_pages), np.asarray(b.v_pages))
+
+
+def test_deepseek_engine_int8_kv():
+    """INT8-quantized latent pages keep the engine functional (capacity
+    feature; per-token scales over the asymmetric planes)."""
+    from quick_tpu.runtime.serving import Engine
+
+    cfg = _cfg(q_lora_rank=32, first_k_dense_replace=L)
+    p = init_float_params(cfg, jax.random.PRNGKey(8), jnp.float32)
+    eng = Engine(p, cfg, max_slots=2, max_seq=64, page_size=8, chunk=8,
+                 dtype=jnp.int8)
+    u1 = eng.submit(list(range(5, 15)), max_new_tokens=5)
+    outs = eng.run()
+    assert len(outs[u1]) == 5
+    assert all(0 <= t < V for t in outs[u1])
+
+
 def test_deepseek_tp_sharded_forward():
     """MLA + deepseek MoE under TP=2 on the CPU mesh: sharded forward
     matches single-device."""
