@@ -111,10 +111,41 @@ def mla_attention_forward(
     if cache is not None:
         start = cache.length
         # k-slot: rope'd shared k_pe [B,S,1,dr]; v-slot: normed latent.
+        cache = cache.update(layer_idx, k_pe, c[:, :, None, :], start)
+        from quick_tpu.modules.blocks import _use_paged_kernel
+
+        if S == 1 and _use_paged_kernel(cache):
+            # fused paged MLA decode: absorb W_UK into the queries, run
+            # the MQA kernel over the latent pages, re-project via W_UV
+            from quick_tpu.ops.mla_paged_attention import (
+                mla_paged_decode_attention,
+            )
+
+            wkv_b = p.kv_b_proj.weight.reshape(R, hq, dn + dv)
+            w_uk, w_uv = wkv_b[..., :dn], wkv_b[..., dn:]
+            q_c = jnp.einsum(
+                "bshd,rhd->bshr", q_nope, w_uk.astype(q_nope.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(q_nope.dtype)
+            quant = getattr(cache, "quantized", False)
+            ctx_c = mla_paged_decode_attention(
+                q_c[:, 0], q_pe[:, 0],
+                cache.k_pages, cache.v_pages,
+                cache.block_table, start + 1, layer=layer_idx,
+                scale=mla_softmax_scale(cfg),
+                kpe_scales=cache.k_scales if quant else None,
+                c_scales=cache.v_scales if quant else None,
+                interpret=jax.default_backend() == "cpu",
+            )[:, None]  # [B, 1, hq, R]
+            out = jnp.einsum(
+                "bshr,rhd->bshd", ctx_c.astype(jnp.float32),
+                w_uv.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype).reshape(B, S, hq * dv)
+            return ctx.psum_model(p.o_proj(out)), cache
         # cache.layer() is the duck-typed head-major read — dense KVCache
         # slices, PagedKVCache gathers its block-table pages (and
         # dequantizes INT8 pages)
-        cache = cache.update(layer_idx, k_pe, c[:, :, None, :], start)
         k_l, v_l = cache.layer(layer_idx)  # [B, 1, T, dr] / [B, 1, T, R]
         kpe_all = k_l[:, 0]
         c_all = v_l[:, 0]

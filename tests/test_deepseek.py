@@ -7,6 +7,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from safetensors.numpy import save_file
 
 from quick_tpu import ModelConfig, QuantConfig
@@ -389,6 +390,94 @@ def test_deepseek_paged_write_kernel_asymmetric(monkeypatch):
     a, b = run("1"), run("0")
     np.testing.assert_array_equal(np.asarray(a.k_pages), np.asarray(b.k_pages))
     np.testing.assert_array_equal(np.asarray(a.v_pages), np.asarray(b.v_pages))
+
+
+@pytest.mark.parametrize("dtype", ["float32", "int8"])
+def test_mla_paged_kernel_matches_gather(monkeypatch, dtype):
+    """The fused MLA paged-decode kernel (interpret mode) must match the
+    XLA gather baseline through a full prefill+decode, float and INT8."""
+    from quick_tpu.modules.paged_cache import PagedKVCache
+
+    cfg = _cfg(q_lora_rank=32)
+    p = init_float_params(cfg, jax.random.PRNGKey(9), jnp.float32)
+    toks = jnp.asarray(RNG.integers(0, V, (2, 9)), jnp.int32)
+    page = 8
+
+    def run(env):
+        monkeypatch.setenv("QUICK_TPU_PAGED", env)
+        import dataclasses
+
+        jdt = jnp.int8 if dtype == "int8" else jnp.float32
+        cache = PagedKVCache.create(
+            L, 9, page, max_slots=2, max_seq=32, n_kv=1, head_dim=DR,
+            dtype=jdt, v_head_dim=R,
+        )
+        bt = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 8]], jnp.int32)
+        cache = dataclasses.replace(cache, block_table=bt)
+        logits, cache = model_forward(p, cfg, toks[:, :6], cache)
+        outs = [logits[:, -1]]
+        for t in range(6, 9):
+            lg, cache = model_forward(p, cfg, toks[:, t : t + 1], cache)
+            outs.append(lg[:, 0])
+        return np.asarray(jnp.stack(outs, axis=1))
+
+    kern, gath = run("1"), run("0")
+    # hidden states ride in bf16 (models/model.py:86): the two paths
+    # reassociate bf16 products differently — strict kernel equivalence is
+    # test_mla_paged_kernel_direct below
+    np.testing.assert_allclose(kern, gath, rtol=0.05, atol=0.08)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_mla_paged_kernel_direct(quant):
+    """Strict f32 equivalence of the MLA paged kernel against a dense
+    softmax reference on random latent pages (incl. INT8 scale folding)."""
+    from quick_tpu.modules.paged_cache import PagedKVCache
+    from quick_tpu.ops.mla_paged_attention import mla_paged_decode_attention
+
+    import dataclasses
+
+    B, HQ2, R2, DR2, page, n_pt = 2, 4, 64, 16, 8, 4
+    rng2 = np.random.default_rng(11)
+    jdt = jnp.int8 if quant else jnp.float32
+    cache = PagedKVCache.create(
+        1, 9, page, max_slots=B, max_seq=page * n_pt, n_kv=1, head_dim=DR2,
+        dtype=jdt, v_head_dim=R2,
+    )
+    bt = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 8]], jnp.int32)
+    cache = dataclasses.replace(cache, block_table=bt)
+    lengths = jnp.asarray([13, 27], jnp.int32)
+    T = int(lengths.max())
+    kpe = jnp.asarray(rng2.standard_normal((B, T, 1, DR2)), jnp.float32)
+    c = jnp.asarray(rng2.standard_normal((B, T, 1, R2)), jnp.float32)
+    cache = cache.update(0, kpe, c, jnp.zeros((B,), jnp.int32))
+    q_c = jnp.asarray(rng2.standard_normal((B, HQ2, R2)), jnp.float32)
+    q_pe = jnp.asarray(rng2.standard_normal((B, HQ2, DR2)), jnp.float32)
+    scale = (R2 + DR2) ** -0.5
+    out = mla_paged_decode_attention(
+        q_c, q_pe, cache.k_pages, cache.v_pages, bt, lengths, layer=0,
+        scale=scale,
+        kpe_scales=cache.k_scales if quant else None,
+        c_scales=cache.v_scales if quant else None,
+        interpret=True,
+    )
+    # reference over the DEQUANTIZED cache contents (so INT8 rounding is
+    # shared) with per-slot length masking
+    k_all, v_all = cache.layer(0)  # [B, 1, Tmax, .]
+    kpe_d, c_d = k_all[:, 0], v_all[:, 0]
+    s = (
+        jnp.einsum("bhr,btr->bht", q_c, c_d.astype(jnp.float32))
+        + jnp.einsum("bhd,btd->bht", q_pe, kpe_d.astype(jnp.float32))
+    ) * scale
+    tpos = jnp.arange(c_d.shape[1])[None, None, :]
+    s = jnp.where(tpos < lengths[:, None, None], s, -jnp.inf)
+    ref = jnp.einsum(
+        "bht,btr->bhr", jax.nn.softmax(s, axis=-1), c_d.astype(jnp.float32)
+    )
+    # INT8 path multiplies bf16-rounded probabilities (by design, like the
+    # standard paged kernel); the float path is exact f32
+    tol = dict(rtol=2e-2, atol=2e-3) if quant else dict(rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **tol)
 
 
 def test_deepseek_engine_int8_kv():
