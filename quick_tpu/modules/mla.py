@@ -158,6 +158,44 @@ def mla_attention_forward(
         q_offset = jnp.zeros((), jnp.int32)
     T = c_all.shape[1]
 
+    if S >= 32:
+        # -- expanded prefill: k = [c@W_UK | k_pe], v = c@W_UV ------------------
+        # The absorbed form materializes [B, hq, S, T] f32 scores — 2GB+ at
+        # S=T=2048 with 128 heads. Long queries instead expand the latent to
+        # per-head K/V (FLOPs comparable to the attention itself, done once)
+        # and ride causal_attention, which dispatches to the flash kernel on
+        # TPU (O(S*D) memory). Decode and short serving chunks (S < 32) keep
+        # the absorbed form below — there the score block is tiny and the
+        # expansion would re-project the WHOLE past every chunk.
+        from quick_tpu.ops.attention import causal_attention
+
+        wkv_b = p.kv_b_proj.weight.reshape(R, hq, dn + dv)
+        w_uk, w_uv = wkv_b[..., :dn], wkv_b[..., dn:]
+        k_nope = jnp.einsum(
+            "btr,rhd->bthd", c_all, w_uk.astype(c_all.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(q_nope.dtype)
+        v_exp = jnp.einsum(
+            "btr,rhd->bthd", c_all, w_uv.astype(c_all.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(q_nope.dtype)
+        k_full = jnp.concatenate(
+            [
+                k_nope,
+                jnp.broadcast_to(
+                    kpe_all[:, :, None, :], (B, T, hq, dr)
+                ).astype(k_nope.dtype),
+            ],
+            axis=-1,
+        )
+        q_full = jnp.concatenate([q_nope, q_pe.astype(q_nope.dtype)], -1)
+        out = causal_attention(
+            q_full, k_full, v_exp, q_offset=q_offset, kv_len=kv_len,
+            scale=mla_softmax_scale(cfg),
+        )
+        out = out.reshape(B, S, hq * dv)
+        return ctx.psum_model(p.o_proj(out)), cache
+
     # -- absorbed MQA over the latent -------------------------------------------
     # kv_b is consumed as einsum operands (W_UK into q, W_UV out of the
     # context) — zero cache expansion, scores/context ride the MXU

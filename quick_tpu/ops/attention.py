@@ -113,7 +113,8 @@ def causal_attention(
         f"bKgst,{kv_sub}->bsKgd", probs, v.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
-    return out.reshape(B, S, Hq, D).astype(q.dtype)
+    # v's head dim can differ from q/k's (deepseek MLA expanded prefill)
+    return out.reshape(B, S, Hq, v.shape[-1]).astype(q.dtype)
 
 
 def _decode_heads_fused(

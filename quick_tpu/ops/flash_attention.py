@@ -135,6 +135,8 @@ def _flash_bhsd(
 ) -> jax.Array:
     B, Hq, Sp, D = q.shape
     Hkv, Tp = k.shape[1], k.shape[2]
+    Dv = v.shape[-1]  # deepseek MLA expanded prefill: v_head_dim (128)
+    # differs from the q/k width (qk_nope+qk_rope = 192)
     group = Hq // Hkv
     use_alibi = bool(slopes.shape[0] > 0)
     slopes_in = slopes if use_alibi else jnp.zeros((Hq,), jnp.float32)
@@ -162,21 +164,21 @@ def _flash_bhsd(
         in_specs=[
             pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j, *_: (b, h, i, 0)),
             pl.BlockSpec((1, 1, bk, D), kv_index),
-            pl.BlockSpec((1, 1, bk, D), kv_index),
+            pl.BlockSpec((1, 1, bk, Dv), kv_index),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, bq, D), lambda b, h, i, j, *_: (b, h, i, 0)
+            (1, 1, bq, Dv), lambda b, h, i, j, *_: (b, h, i, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, D), jnp.float32),
+            pltpu.VMEM((bq, Dv), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hq, Sp, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Sp, Dv), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
         ),

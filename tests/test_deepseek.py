@@ -480,6 +480,40 @@ def test_mla_paged_kernel_direct(quant):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **tol)
 
 
+def test_mla_expanded_prefill_matches_absorbed(monkeypatch):
+    """Long prefill (S>=32) expands the latent to per-head K/V and rides
+    causal_attention (flash when forced): must equal the absorbed-form
+    incremental decode through the latent cache, einsum AND flash."""
+    from quick_tpu.runtime import make_cache, prefill
+
+    cfg = _cfg(q_lora_rank=32, max_position_embeddings=128)
+    p = init_float_params(cfg, jax.random.PRNGKey(10), jnp.float32)
+    toks = jnp.asarray(RNG.integers(0, V, (2, 40)), jnp.int32)
+
+    def full(env):
+        monkeypatch.setenv("QUICK_TPU_FLASH", env)
+        out, _ = model_forward(p, cfg, toks)  # S=40 -> expanded branch
+        return np.asarray(out)
+
+    # absorbed reference: chunked S<32 prefill + per-token decode
+    cache = make_cache(cfg, 2, 48, dtype=jnp.float32)
+    _, cache = prefill(p, cfg, toks[:, :16], cache)
+    _, cache = prefill(p, cfg, toks[:, 16:32], cache)
+    outs = []
+    for t in range(32, 40):
+        lg, cache = model_forward(p, cfg, toks[:, t : t + 1], cache)
+        outs.append(lg[:, 0])
+    inc = np.asarray(jnp.stack(outs, axis=1))
+    einsum_out, flash_out = full("0"), full("1")
+    # absorbed and expanded are the same math but reassociate every bf16
+    # product differently (hidden states are bf16, models/model.py:86)
+    np.testing.assert_allclose(
+        einsum_out[:, 32:], inc, atol=0.1, rtol=0.05
+    )
+    # flash (Dv != Dq/k asymmetric tile) vs einsum on the same branch
+    np.testing.assert_allclose(flash_out, einsum_out, atol=0.05, rtol=0.05)
+
+
 def test_deepseek_engine_int8_kv():
     """INT8-quantized latent pages keep the engine functional (capacity
     feature; per-token scales over the asymmetric planes)."""
