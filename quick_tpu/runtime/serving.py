@@ -56,10 +56,34 @@ class Request:
     # request REUSES from the index (those are never re-registered)
     page_hashes: List[int] = dataclasses.field(default_factory=list)
     n_reused: int = 0
+    # preemption-by-recompute (reserve="optimistic"): how many FEED tokens
+    # (prompt + already-delivered output) prefill must cover. None means
+    # len(prompt) (fresh request). A preempted request requeues with
+    # resume_len = len(prompt) + len(output): its context is rebuilt by
+    # ordinary chunked prefill over prompt+output, and only NEW samples are
+    # emitted — delivered tokens are never re-emitted.
+    resume_len: Optional[int] = None
+    # output length at preemption time: after a resume the slot may only
+    # decode once output has grown PAST this (the prefill-completion sample
+    # landed) — its pre-preemption output[-1] was already fed before the
+    # preemption and feeding it again would shift the stream by one
+    resume_out: int = 0
+    admit_seq: int = 0  # admission order; preemption evicts the youngest
+
+    @property
+    def _resume(self) -> int:
+        return len(self.prompt) if self.resume_len is None else self.resume_len
+
+    def feed(self, lo: int, hi: int) -> List[int]:
+        """Tokens [lo:hi) of the prefill feed (prompt, then — after a
+        preemption — the already-generated output)."""
+        if hi <= len(self.prompt):
+            return self.prompt[lo:hi]
+        return (self.prompt + self.output)[lo:hi]
 
     @property
     def prefill_done(self) -> bool:
-        return self.prefill_cursor >= len(self.prompt)
+        return self.prefill_cursor >= self._resume
 
     @property
     def done(self) -> bool:
@@ -119,6 +143,19 @@ class Engine:
         # sharing a prompt prefix reuse its KV pages and skip recomputing
         # it (runtime/prefix_cache.py); retired prompts stay warm in an
         # LRU until allocation pressure evicts them
+        reserve: str = "full",  # page reservation policy:
+        # "full" — admission reserves pages for prompt + max_new_tokens
+        #   up-front; a slot can never run out mid-decode.
+        # "optimistic" — admission reserves only the prompt + a decode
+        #   window of headroom; slots GROW page-by-page as they decode, and
+        #   on pool exhaustion the youngest slot is PREEMPTED: its pages are
+        #   released and the request requeues, rebuilding prompt+output by
+        #   ordinary chunked prefill on re-admission (vLLM's
+        #   preemption-by-recompute; with prefix caching on, the preempted
+        #   prompt's pages usually survive warm in the LRU, so the rebuild
+        #   skips them). Raises occupancy when max_new_tokens is a
+        #   pessimistic bound — delivered tokens and greedy outputs are
+        #   identical to "full".
     ):
         from quick_tpu.runtime.generate import SamplingParams
 
@@ -147,7 +184,11 @@ class Engine:
                 cfg.num_hidden_layers, n_pages, page_size, max_slots,
                 max_seq, cfg.num_key_value_heads, cfg.head_dim, dtype,
             )
+        if reserve not in ("full", "optimistic"):
+            raise ValueError(f"reserve must be 'full'|'optimistic': {reserve}")
+        self.optimistic = reserve == "optimistic"
         self.alloc = PageAllocator(n_pages)
+        self._admit_seq = 0
         if prefix_cache:
             from quick_tpu.runtime.prefix_cache import PrefixCache
 
@@ -181,6 +222,7 @@ class Engine:
             "retired": 0,
             "decode_slot_steps": 0,  # sum over windows of ready-slots * W
             "prefix_hit_tokens": 0,  # prompt tokens served from the index
+            "preemptions": 0,        # slots evicted for pages (optimistic)
         }
 
         self._tp = mesh is not None
@@ -351,13 +393,24 @@ class Engine:
             if self.slots[slot] is not None or not self.queue:
                 continue
             req = self.queue[0]
-            need = -(-(len(req.prompt) + req.max_new_tokens) // self.page_size)
+            full_need = -(
+                -(len(req.prompt) + req.max_new_tokens) // self.page_size
+            )
             max_pages = self.cache.block_table.shape[1]
-            if need > max_pages:
+            if full_need > max_pages:
                 raise ValueError(
-                    f"request {req.uid} needs {need} pages > table width "
-                    f"{max_pages}; raise max_seq"
+                    f"request {req.uid} needs {full_need} pages > table "
+                    f"width {max_pages}; raise max_seq"
                 )
+            if self.optimistic:
+                # prompt (or resumed feed) + one pipelined decode window of
+                # headroom; the slot grows from there (_ensure_pages)
+                w2 = 2 * self.decode_window + 1
+                need = min(
+                    -(-(req._resume + w2) // self.page_size), full_need
+                )
+            else:
+                need = full_need
             covered = 0
             if self.prefix is not None:
                 from quick_tpu.runtime.prefix_cache import page_hashes
@@ -379,6 +432,8 @@ class Engine:
                     return  # no memory — retry after a retirement
             self.queue.popleft()
             self.stats["admitted"] += 1
+            req.admit_seq = self._admit_seq
+            self._admit_seq += 1
             self.slots[slot] = req
             self.slot_pages[slot] = pages
             row = np.full((max_pages,), 0, np.int32)
@@ -397,10 +452,7 @@ class Engine:
         req = self.slots[slot]
         self.stats["retired"] += 1
         self.finished[req.uid] = req.output
-        if self.prefix is not None:
-            self.prefix.release(self.slot_pages[slot])
-        else:
-            self.alloc.release(self.slot_pages[slot])
+        self._release_pages(self.slot_pages[slot])
         self.slot_pages[slot] = []
         self.slots[slot] = None
         # CRITICAL: reset the slot's table row and length. An idle slot still
@@ -415,6 +467,105 @@ class Engine:
             ),
             length=self.cache.length.at[slot].set(0),
         )
+
+    # -- optimistic reservation: growth + preemption ------------------------------
+    def _alloc_pages(self, n: int) -> Optional[List[int]]:
+        if self.prefix is not None:
+            return self.prefix.alloc(n)
+        return self.alloc.alloc(n)
+
+    def _release_pages(self, pages: List[int]) -> None:
+        if self.prefix is not None:
+            self.prefix.release(pages)
+        else:
+            self.alloc.release(pages)
+
+    def _preempt(self, slot: int) -> None:
+        """Evict a slot to free its pages: deliver everything already
+        computed for it (flush the in-flight window and pending prefill
+        samples — their device programs used the slot's pages while they
+        were still owned), then release the pages and requeue the request
+        at the queue front. Re-admission rebuilds prompt+output by chunked
+        prefill (resume_len) and generation continues; nothing already
+        delivered is re-emitted."""
+        self._flush_window()
+        self._drain_pending()
+        req = self.slots[slot]
+        if req is None or req.done:
+            return  # the flush drained it to completion/retirement
+        self.stats["preemptions"] += 1
+        self._release_pages(self.slot_pages[slot])
+        self.slot_pages[slot] = []
+        self.slots[slot] = None
+        max_pages = self.cache.block_table.shape[1]
+        self.cache = dataclasses.replace(
+            self.cache,
+            block_table=self.cache.block_table.at[slot].set(
+                jnp.zeros((max_pages,), jnp.int32)
+            ),
+            length=self.cache.length.at[slot].set(0),
+        )
+        req.resume_len = len(req.prompt) + len(req.output)
+        req.resume_out = len(req.output)
+        req.prefill_cursor = 0
+        req.n_reused = 0
+        self.queue.appendleft(req)
+
+    def _ensure_pages(self, slot: int) -> bool:
+        """Grow a decoding slot's page run to cover output + one pipelined
+        decode window of headroom (the same bound _cap_ok enforces on seq
+        width — every REAL token's write must land in an owned page; junk
+        overruns past max_new land on the trash row tail). On pool
+        exhaustion, preempts the youngest OTHER slot and retries; preempts
+        this slot itself as a last resort. Returns False if this slot was
+        retired or preempted along the way."""
+        req = self.slots[slot]
+        if req is None:
+            return False
+        want = min(
+            len(req.prompt) + len(req.output) + 2 * self.decode_window + 1,
+            len(req.prompt) + req.max_new_tokens,
+        )
+        need = -(-want // self.page_size) - len(self.slot_pages[slot])
+        if need <= 0:
+            return True
+        while True:
+            pages = self._alloc_pages(need)
+            if pages is not None:
+                break
+            # draining the pipeline may retire finished slots (free pages)
+            self._flush_window()
+            self._drain_pending()
+            if self.slots[slot] is not req:
+                return False
+            pages = self._alloc_pages(need)
+            if pages is not None:
+                break
+            others = [
+                s for s, r in enumerate(self.slots)
+                if r is not None and s != slot
+            ]
+            if not others:
+                # this slot owns every allocatable page and still can't
+                # cover its own next window: the pool is smaller than one
+                # request's worth — a config error, not a scheduling state
+                raise RuntimeError(
+                    f"page pool too small: request {req.uid} holds "
+                    f"{len(self.slot_pages[slot])} pages and needs {need} "
+                    f"more; raise n_pages"
+                )
+            self._preempt(max(others, key=lambda s: self.slots[s].admit_seq))
+            if self.slots[slot] is not req:
+                return False  # retired by the preemption's flush
+        self.slot_pages[slot].extend(pages)
+        max_pages = self.cache.block_table.shape[1]
+        row = np.zeros((max_pages,), np.int32)
+        row[: len(self.slot_pages[slot])] = self.slot_pages[slot]
+        self.cache = dataclasses.replace(
+            self.cache,
+            block_table=self.cache.block_table.at[slot].set(jnp.asarray(row)),
+        )
+        return True
 
     def _register_prompt_pages(self, slot: int, req, old_cursor: int) -> None:
         """Publish prompt pages this slot finished writing (their prefill
@@ -464,6 +615,17 @@ class Engine:
         decode_window=1."""
         self._admit()
         self.stats["steps"] += 1
+        if self.optimistic:
+            # top up every decoding slot BEFORE any dispatch this step: the
+            # programs dispatched below capture the block table as-is, and
+            # may write up to 2*W tokens past the confirmed output
+            for s in range(self.max_slots):
+                r = self.slots[s]
+                if (
+                    r is not None and r.prefill_done and r.output
+                    and not r.done
+                ):
+                    self._ensure_pages(s)
         B = self.max_slots
         W = self.decode_window
         prefilling = [
@@ -472,7 +634,8 @@ class Engine:
         ]
         ready = [
             s for s, r in enumerate(self.slots)
-            if r is not None and r.prefill_done and r.output and not r.done
+            if r is not None and r.prefill_done and not r.done
+            and len(r.output) > r.resume_out  # post-resume sample landed
         ]
         if W > 1 and not self._tp:
             # decoupled mode pays off when decode dominates (steady churn:
@@ -538,7 +701,10 @@ class Engine:
             if req is None:
                 continue
             if not req.prefill_done:
-                nxt = req.prompt[req.prefill_cursor : req.prefill_cursor + C]
+                nxt = req.feed(
+                    req.prefill_cursor,
+                    min(req.prefill_cursor + C, req._resume),
+                )
                 tokens[slot, : len(nxt)] = nxt
                 valid[slot] = len(nxt)
             else:
@@ -657,7 +823,9 @@ class Engine:
         fin = []
         for i, s in enumerate(rows):
             r = self.slots[s]
-            nxt = r.prompt[r.prefill_cursor : r.prefill_cursor + C]
+            nxt = r.feed(
+                r.prefill_cursor, min(r.prefill_cursor + C, r._resume)
+            )
             tokens[i, : len(nxt)] = nxt
             valid[i] = len(nxt)
             slot_ids[i] = s

@@ -470,6 +470,86 @@ def test_prefix_cache_off_matches_on(params):
     assert run(True) == run(False)
 
 
+def test_optimistic_preemption_equivalence(params):
+    """reserve='optimistic' on a pool too small for every request's full
+    reservation must preempt (recompute) and still deliver exactly the
+    full-reservation greedy outputs, with no duplicate streamed tokens."""
+    prompts = [list(range(10 * i + 3, 10 * i + 9)) for i in range(3)]
+    refs = [_greedy_reference(params, p, 16) for p in prompts]
+    streamed: dict = {}
+
+    # pool: 11 usable pages; full needs 6 pages/request (ceil(22/4)) so
+    # "full" serializes, while optimistic admits all three (3 pages each)
+    # and must preempt as slots grow toward 6 pages
+    eng = Engine(params, TINY, max_slots=3, max_seq=24, page_size=4,
+                 chunk=4, dtype=jnp.float32, decode_window=2,
+                 prefill_rows=2, n_pages=12, reserve="optimistic")
+    uids = [
+        eng.submit(
+            p, max_new_tokens=16,
+            on_token=lambda uid, t: streamed.setdefault(uid, []).append(t),
+        )
+        for p in prompts
+    ]
+    outs = eng.run()
+    for uid, ref in zip(uids, refs):
+        assert outs[uid] == ref, uid
+        assert streamed[uid] == ref, uid  # no duplicates across preemption
+    assert eng.stats["preemptions"] >= 1
+    assert eng.stats["retired"] == 3
+
+
+def test_optimistic_matches_full_reserve(params):
+    """Same submissions through reserve='full' and reserve='optimistic'
+    (ample pool: no preemption needed) must be token-identical."""
+    rng = np.random.default_rng(17)
+    reqs = [([int(t) for t in rng.integers(0, 256, int(rng.integers(3, 12)))],
+             int(rng.integers(2, 9))) for _ in range(6)]
+
+    def run(reserve, n_pages):
+        eng = Engine(params, TINY, max_slots=3, max_seq=32, page_size=4,
+                     chunk=4, dtype=jnp.float32, decode_window=3,
+                     n_pages=n_pages, reserve=reserve)
+        uids = [eng.submit(p, max_new_tokens=g) for p, g in reqs]
+        outs = eng.run()
+        return [outs[u] for u in uids]
+
+    assert run("full", None) == run("optimistic", 16)
+
+
+def test_optimistic_pool_too_small_raises(params):
+    """A single request that cannot fit the whole pool even alone must
+    raise (not silently corrupt KV past its pages or spin forever)."""
+    eng = Engine(params, TINY, max_slots=2, max_seq=32, page_size=4,
+                 chunk=4, dtype=jnp.float32, n_pages=4,
+                 reserve="optimistic", decode_window=2)
+    eng.submit(list(range(3, 9)), max_new_tokens=20)  # full need: 7 > 3
+    with pytest.raises(RuntimeError, match="page pool too small"):
+        eng.run()
+
+
+def test_optimistic_preemption_fuzz(params):
+    """Churn fuzz on a tight pool: random prompts/lengths with staggered
+    submission; every output must match the dense greedy reference."""
+    rng = np.random.default_rng(23)
+    reqs = [([int(t) for t in rng.integers(0, 256, int(rng.integers(4, 12)))],
+             int(rng.integers(4, 14))) for _ in range(10)]
+    refs = [_greedy_reference(params, p, g) for p, g in reqs]
+    eng = Engine(params, TINY, max_slots=4, max_seq=28, page_size=4,
+                 chunk=4, dtype=jnp.float32, decode_window=2,
+                 prefill_rows=2, n_pages=14, reserve="optimistic")
+    uids = []
+    for prompt, glen in reqs:
+        uids.append(eng.submit(prompt, max_new_tokens=glen))
+        for _ in range(int(rng.integers(0, 3))):
+            if eng.has_work:
+                eng.step()
+    outs = eng.run()
+    for uid, ref in zip(uids, refs):
+        assert outs[uid] == ref, uid
+    assert eng.stats["preemptions"] >= 1  # the tight pool was actually hit
+
+
 def test_engine_fuzz_shared_prefixes(params):
     """Fuzz with prompts drawn from a few shared prefix families: prefix
     reuse under slot churn and pipelined windows must not perturb any
