@@ -550,6 +550,31 @@ def test_optimistic_preemption_fuzz(params):
     assert eng.stats["preemptions"] >= 1  # the tight pool was actually hit
 
 
+def test_abort_from_on_token_callback(params):
+    """Aborting from inside the streaming callback (the EOS-at-N pattern
+    tools/serve_bench.py --declared_pad uses) must stop each request at
+    exactly N tokens, under pipelined windows and optimistic reservation."""
+    want = [3, 7, 5, 9]
+    prompts = [list(range(4 * i + 3, 4 * i + 9)) for i in range(4)]
+    refs = [_greedy_reference(params, p, n) for p, n in zip(prompts, want)]
+    eng = Engine(params, TINY, max_slots=2, max_seq=32, page_size=4,
+                 chunk=4, dtype=jnp.float32, decode_window=3,
+                 n_pages=12, reserve="optimistic")
+    uids = []
+    for p, n in zip(prompts, want):
+        seen = {"n": 0}
+
+        def cb(uid, tok, _seen=seen, _n=n):
+            _seen["n"] += 1
+            if _seen["n"] >= _n:
+                eng.abort(uid)
+
+        uids.append(eng.submit(p, max_new_tokens=20, on_token=cb))
+    outs = eng.run()
+    for uid, ref, n in zip(uids, refs, want):
+        assert outs[uid] == ref[:n], uid
+
+
 def test_engine_fuzz_shared_prefixes(params):
     """Fuzz with prompts drawn from a few shared prefix families: prefix
     reuse under slot churn and pipelined windows must not perturb any

@@ -43,6 +43,18 @@ def main():
     ap.add_argument("--shared_prefix", type=int, default=0, help="prepend a "
                     "common system-prompt of this many tokens to every "
                     "request (exercises the prefix cache)")
+    ap.add_argument("--reserve", choices=["full", "optimistic"],
+                    default="full", help="page reservation policy "
+                    "(runtime/serving.py Engine(reserve=...))")
+    ap.add_argument("--pages", type=int, default=0, help="page pool size "
+                    "override (0 = engine default of slots*pages_per_seq); "
+                    "constrain it to see optimistic admission win")
+    ap.add_argument("--declared_pad", type=float, default=1.0, help="submit "
+                    "with max_new_tokens = pad * actual output length and "
+                    "stop at the actual length via abort — models clients "
+                    "that over-declare max_tokens and stop at EOS; full "
+                    "reservation must hold pages for the declared bound, "
+                    "optimistic only for what is generated")
     args = ap.parse_args()
 
     cfg = ModelConfig(
@@ -59,8 +71,28 @@ def main():
         page_size=args.page, chunk=args.chunk,
         dtype=jnp.int8 if args.kv == "int8" else jnp.bfloat16,
         decode_window=args.window,
+        n_pages=args.pages or None,
+        reserve=args.reserve,
     )
     print(f"init: {time.time()-t0:.1f}s", flush=True)
+
+    def submit(prompt, o):
+        """Submit with the (possibly over-declared) token budget; stop at
+        the ACTUAL length via abort — the EOS-at-o analog for random
+        weights."""
+        declared = max(int(o), int(round(o * args.declared_pad)))
+        declared = min(declared, args.max_seq - len(prompt))  # table capacity
+        if declared == o:
+            eng.submit(prompt, int(o))
+            return
+        seen = {"n": 0}
+
+        def cb(uid, tok, _seen=seen, _o=int(o)):
+            _seen["n"] += 1
+            if _seen["n"] >= _o:
+                eng.abort(uid)
+
+        eng.submit(prompt, declared, on_token=cb)
 
     rng = np.random.default_rng(args.seed)
     plens, olens = sharegpt_like_lengths(
@@ -70,7 +102,7 @@ def main():
     plens = plens + args.shared_prefix
     for p, o in zip(plens, olens):
         body = [int(t) for t in rng.integers(0, 32000, p - args.shared_prefix)]
-        eng.submit(sys_prompt + body, int(o))
+        submit(sys_prompt + body, int(o))
     n_prompt, n_out = int(plens.sum()), int(olens.sum())
     print(f"{args.requests} requests: {n_prompt} prompt tok "
           f"(median {int(np.median(plens))}), {n_out} output tok "
@@ -88,7 +120,7 @@ def main():
 
     for p, o in zip(plens, olens):
         body = [int(t) for t in rng.integers(0, 32000, p - args.shared_prefix)]
-        eng.submit(sys_prompt + body, int(o))
+        submit(sys_prompt + body, int(o))
     t0 = time.time()
     outs2 = eng.run()
     wall = time.time() - t0
