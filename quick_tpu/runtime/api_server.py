@@ -242,6 +242,10 @@ class APIServer:
             temperature=temperature,
             top_k=int(body.get("top_k", 0)),
             top_p=float(body.get("top_p", 1.0)),
+            min_p=float(body.get("min_p", 0.0)),
+            repetition_penalty=float(body.get("repetition_penalty", 1.0)),
+            frequency_penalty=float(body.get("frequency_penalty", 0.0)),
+            presence_penalty=float(body.get("presence_penalty", 0.0)),
         )
         stop_ids = body.get("stop_token_ids")
         comp = self._submit(prompt_ids, max_tokens, sampling, stop_ids)

@@ -9,6 +9,7 @@ per call).
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -23,6 +24,43 @@ class SamplingParams(NamedTuple):
     temperature: float = 0.0  # 0 => greedy
     top_k: int = 0            # 0 => disabled
     top_p: float = 1.0
+    min_p: float = 0.0        # keep tokens with prob >= min_p * max_prob
+    # history-dependent penalties (vLLM/OpenAI semantics): repetition
+    # multiplies seen-token logits (HF repetition_penalty — counts prompt
+    # AND output), frequency subtracts count * penalty, presence subtracts
+    # penalty once per distinct generated token (both over OUTPUT only)
+    repetition_penalty: float = 1.0
+    frequency_penalty: float = 0.0
+    presence_penalty: float = 0.0
+
+    @property
+    def has_penalties(self) -> bool:
+        return (
+            self.repetition_penalty != 1.0
+            or self.frequency_penalty != 0.0
+            or self.presence_penalty != 0.0
+        )
+
+
+def apply_penalties(
+    logits: jax.Array,       # [B, V] raw logits
+    out_counts: jax.Array,   # [B, V] i32 generated-token counts
+    prompt_seen: jax.Array,  # [B, V] bool-ish, token appeared in the prompt
+    rep: jax.Array,          # [B] or scalar, 1.0 => off
+    freq: jax.Array,         # [B] or scalar, 0.0 => off
+    pres: jax.Array,         # [B] or scalar, 0.0 => off
+) -> jax.Array:
+    """vLLM-semantics penalty application (all shapes broadcast on B)."""
+    rep = jnp.asarray(rep, jnp.float32).reshape(-1, 1)
+    freq = jnp.asarray(freq, jnp.float32).reshape(-1, 1)
+    pres = jnp.asarray(pres, jnp.float32).reshape(-1, 1)
+    logits = logits.astype(jnp.float32)
+    seen = (out_counts > 0) | (prompt_seen > 0)
+    scaled = jnp.where(logits > 0, logits / rep, logits * rep)
+    logits = jnp.where(seen, scaled, logits)
+    logits = logits - out_counts.astype(jnp.float32) * freq
+    logits = logits - (out_counts > 0).astype(jnp.float32) * pres
+    return logits
 
 
 def sample_token(
@@ -30,7 +68,8 @@ def sample_token(
     params: SamplingParams,
     key: jax.Array,
 ) -> jax.Array:
-    """Greedy / temperature / top-k / top-p sampling. Returns [B] int32."""
+    """Greedy / temperature / top-k / top-p / min-p sampling. Returns [B]
+    int32. (History penalties need token counts — see decode_loop.)"""
     if params.temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / params.temperature
@@ -45,6 +84,12 @@ def sample_token(
         cutoff_idx = jnp.sum(cum < params.top_p, axis=-1, keepdims=True)
         cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
         logits = jnp.where(logits < cutoff, -1e9, logits)
+    if params.min_p > 0.0:
+        # prob >= min_p * max_prob  <=>  logit >= max_logit + log(min_p)
+        thresh = jnp.max(logits, axis=-1, keepdims=True) + math.log(
+            params.min_p
+        )
+        logits = jnp.where(logits < thresh, -1e9, logits)
     return jax.random.categorical(key, logits).astype(jnp.int32)
 
 
@@ -54,6 +99,7 @@ def sample_token_rows(
     top_ks: jax.Array,   # [B] i32; 0 => disabled
     top_ps: jax.Array,   # [B] f32; 1.0 => disabled
     key: jax.Array,
+    min_ps: Optional[jax.Array] = None,  # [B] f32; 0 => disabled
 ) -> jax.Array:
     """Per-ROW sampling for continuous batching: every slot carries its own
     (temperature, top_k, top_p) — vLLM-style heterogeneous sampling, which
@@ -78,7 +124,15 @@ def sample_token_rows(
         # smallest prefix whose mass reaches top_p (top-1 always kept)
         cut = jnp.sum(cum < top_ps[:, None], axis=-1, keepdims=True)
         pth = jnp.take_along_axis(sl, jnp.minimum(cut, V - 1), axis=-1)
-        masked = jnp.where(scaled < jnp.maximum(kth, pth), -1e9, scaled)
+        thresh = jnp.maximum(kth, pth)
+        if min_ps is not None:
+            # prob >= min_p * max_prob on the temperature-scaled dist
+            mth = sl[:, :1] + jnp.log(
+                jnp.where(min_ps > 0, min_ps, 1.0)[:, None]
+            )
+            mth = jnp.where((min_ps > 0)[:, None], mth, -jnp.inf)
+            thresh = jnp.maximum(thresh, mth)
+        masked = jnp.where(scaled < thresh, -1e9, scaled)
         drawn = jax.random.categorical(key, masked).astype(jnp.int32)
         return jnp.where(temps == 0, greedy, drawn)
 
@@ -126,22 +180,48 @@ def decode_loop(
     n_tokens: int,
     sampling: SamplingParams = SamplingParams(),
     key: Optional[jax.Array] = None,
+    prompt_seen: Optional[jax.Array] = None,  # [B, V] repetition-penalty mask
 ) -> Tuple[jax.Array, KVCache]:
     """Generate n_tokens autoregressively inside one XLA program.
+
+    With history penalties active (sampling.has_penalties), a [B, V]
+    generated-token count is carried through the scan (``first_token``
+    counts as generated) and ``prompt_seen`` [B, V] marks prompt tokens
+    for the repetition penalty.
 
     Returns (tokens [B, n_tokens], cache)."""
     if key is None:
         key = jax.random.PRNGKey(0)
+    pen = sampling.has_penalties
+    B = first_token.shape[0]
+    if pen:
+        counts0 = jnp.zeros((B, cfg.vocab_size), jnp.int32).at[
+            jnp.arange(B), first_token
+        ].add(1)
+        if prompt_seen is None:
+            prompt_seen = jnp.zeros((B, cfg.vocab_size), jnp.bool_)
+    else:
+        counts0 = jnp.zeros((B, 1), jnp.int32)  # untouched placeholder
 
     def step(carry, _):
-        token, cache, key = carry
+        token, cache, key, counts = carry
         key, sub = jax.random.split(key)
         logits, cache = model_forward(params, cfg, token[:, None], cache)
-        nxt = sample_token(logits[:, -1], sampling, sub)
-        return (nxt, cache, key), nxt
+        row = logits[:, -1]
+        if pen:
+            row = apply_penalties(
+                row, counts, prompt_seen,
+                sampling.repetition_penalty,
+                sampling.frequency_penalty,
+                sampling.presence_penalty,
+            )
+        nxt = sample_token(row, sampling, sub)
+        if pen:
+            counts = counts.at[jnp.arange(B), nxt].add(1)
+        return (nxt, cache, key, counts), nxt
 
-    (last, cache, _), toks = jax.lax.scan(
-        step, (first_token, cache, key), length=n_tokens
+    (last, cache, _, _), toks = jax.lax.scan(
+        step, (first_token, cache, key, counts0), length=n_tokens
     )
     return toks.T, cache  # [B, n_tokens]
 
@@ -169,9 +249,20 @@ def generate(
         key = jax.random.PRNGKey(0)
     logits, cache = prefill(params, cfg, prompt_tokens, cache)
     key, sub = jax.random.split(key)
+    prompt_seen = None
+    if sampling.has_penalties:
+        prompt_seen = jnp.zeros(
+            (B, cfg.vocab_size), jnp.bool_
+        ).at[jnp.arange(B)[:, None], prompt_tokens].set(True)
+        logits = apply_penalties(
+            logits, jnp.zeros_like(prompt_seen, jnp.int32), prompt_seen,
+            sampling.repetition_penalty, sampling.frequency_penalty,
+            sampling.presence_penalty,
+        )
     first = sample_token(logits, sampling, sub)
     rest, cache = decode_loop(
-        params, cfg, first, cache, max_new_tokens - 1, sampling, key
+        params, cfg, first, cache, max_new_tokens - 1, sampling, key,
+        prompt_seen=prompt_seen,
     )
     out = jnp.concatenate([prompt_tokens, first[:, None], rest], axis=1)
     if eos_token_id is not None:

@@ -143,6 +143,11 @@ class Engine:
         # sharing a prompt prefix reuse its KV pages and skip recomputing
         # it (runtime/prefix_cache.py); retired prompts stay warm in an
         # LRU until allocation pressure evicts them
+        enable_penalties: bool = False,  # per-request history penalties
+        # (repetition/frequency/presence) + min_p: maintains a [B, V]
+        # generated-token count and a prompt-token mask ON DEVICE (vLLM's
+        # penalty state). Opt-in because the buffers cost B*V*5 bytes and
+        # add a scatter per program — the default hot path is untouched.
         reserve: str = "full",  # page reservation policy:
         # "full" — admission reserves pages for prompt + max_new_tokens
         #   up-front; a slot can never run out mid-decode.
@@ -187,6 +192,18 @@ class Engine:
         if reserve not in ("full", "optimistic"):
             raise ValueError(f"reserve must be 'full'|'optimistic': {reserve}")
         self.optimistic = reserve == "optimistic"
+        self.penalties = enable_penalties
+        if getattr(self.sampling, "has_penalties", False) and not enable_penalties:
+            raise ValueError(
+                "history penalties need Engine(enable_penalties=True)"
+            )
+        if enable_penalties:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "TP serving currently samples greedily (no penalties)"
+                )
+            self.counts = jnp.zeros((max_slots, cfg.vocab_size), jnp.int32)
+            self.pseen = jnp.zeros((max_slots, cfg.vocab_size), jnp.int8)
         self.alloc = PageAllocator(n_pages)
         self._admit_seq = 0
         if prefix_cache:
@@ -256,69 +273,176 @@ class Engine:
                     donate_argnums=(1,),
                 )
         else:
-            from quick_tpu.runtime.generate import sample_token_rows
+            from quick_tpu.runtime.generate import (
+                apply_penalties,
+                sample_token_rows,
+            )
 
-            def step_fn(params, cache, tokens, valid, key, temps, tks, tps):
-                logits, cache = model_forward(
-                    params, cfg, tokens, cache, advance=valid
-                )
-                last = jnp.maximum(valid - 1, 0)
-                row = jnp.take_along_axis(
-                    logits, last[:, None, None], axis=1
-                )[:, 0]  # [B, V] logits at each slot's last valid token
-                return sample_token_rows(row, temps, tks, tps, key), cache
+            if self.penalties:
 
-        # donate the cache so XLA aliases k_pages/v_pages in place instead of
-        # copying GBs of cache every step
-        self._step_fn = jax.jit(step_fn, donate_argnums=(1,))
-
-        if not self._tp:
-            from quick_tpu.runtime.generate import sample_token_rows
-
-            def window_fn(params, cache, tokens, valid, key,
-                          temps, tks, tps, d):
-                # d decode steps fused into one program: the sampled token
-                # feeds the next step ON DEVICE, so the host syncs once per
-                # window instead of once per token
-                def body(i, carry):
-                    tokens, cache, out, key = carry
-                    key, sub = jax.random.split(key)
+                def step_fn(params, cache, tokens, valid, key, temps, tks,
+                            tps, minps, reps, freqs, press, emit, counts,
+                            pseen):
                     logits, cache = model_forward(
                         params, cfg, tokens, cache, advance=valid
                     )
-                    nxt = sample_token_rows(logits[:, 0], temps, tks, tps, sub)
-                    out = jax.lax.dynamic_update_slice(
-                        out, nxt[:, None].astype(jnp.int32), (0, i)
+                    last = jnp.maximum(valid - 1, 0)
+                    row = jnp.take_along_axis(
+                        logits, last[:, None, None], axis=1
+                    )[:, 0]
+                    row = apply_penalties(row, counts, pseen, reps, freqs,
+                                          press)
+                    s = sample_token_rows(row, temps, tks, tps, key, minps)
+                    # count only samples the host will DELIVER (decode rows
+                    # and prefill completions — junk/padding rows add 0)
+                    counts = counts.at[
+                        jnp.arange(s.shape[0]), s
+                    ].add(emit)
+                    return s, cache, counts
+            else:
+
+                def step_fn(params, cache, tokens, valid, key, temps, tks,
+                            tps, minps):
+                    logits, cache = model_forward(
+                        params, cfg, tokens, cache, advance=valid
                     )
-                    return nxt[:, None].astype(jnp.int32), cache, out, key
+                    last = jnp.maximum(valid - 1, 0)
+                    row = jnp.take_along_axis(
+                        logits, last[:, None, None], axis=1
+                    )[:, 0]  # [B, V] logits at each slot's last valid token
+                    return sample_token_rows(
+                        row, temps, tks, tps, key, minps
+                    ), cache
 
-                out0 = jnp.zeros((tokens.shape[0], d), jnp.int32)
-                _, cache, out, _ = jax.lax.fori_loop(
-                    0, d, body, (tokens, cache, out0, key)
-                )
-                return out, cache
+        # donate the cache so XLA aliases k_pages/v_pages in place instead of
+        # copying GBs of cache every step (and the counts plane likewise)
+        self._step_fn = jax.jit(
+            step_fn,
+            donate_argnums=(1, 13) if (self.penalties and not self._tp)
+            else (1,),
+        )
 
-            self._window_fn = jax.jit(
-                window_fn, static_argnums=(8,), donate_argnums=(1,)
+        if not self._tp:
+            from quick_tpu.runtime.generate import (
+                apply_penalties,
+                sample_token_rows,
             )
 
-            def prefill_fn(params, cache, tokens, slot_ids, valid, key,
-                           temps, tks, tps):
-                # decoupled prefill: [P, C] chunk over a gathered sub-batch
-                # view of the shared page pool (paged_cache.select/merge)
-                row_valid = valid > 0
-                sub = cache.select(slot_ids, row_valid)
-                logits, sub = model_forward(
-                    params, cfg, tokens, sub, advance=valid
-                )
-                last = jnp.maximum(valid - 1, 0)
-                row = jnp.take_along_axis(
-                    logits, last[:, None, None], axis=1
-                )[:, 0]
-                sampled = sample_token_rows(row, temps, tks, tps, key)
-                return sampled, cache.merge(sub, slot_ids, row_valid)
+            if self.penalties:
 
-            self._prefill_fn = jax.jit(prefill_fn, donate_argnums=(1,))
+                def window_fn(params, cache, tokens, valid, key,
+                              temps, tks, tps, d, minps, reps, freqs,
+                              press, counts, pseen):
+                    def body(i, carry):
+                        tokens, cache, out, key, counts = carry
+                        key, sub = jax.random.split(key)
+                        logits, cache = model_forward(
+                            params, cfg, tokens, cache, advance=valid
+                        )
+                        row = apply_penalties(
+                            logits[:, 0], counts, pseen, reps, freqs, press
+                        )
+                        nxt = sample_token_rows(
+                            row, temps, tks, tps, sub, minps
+                        )
+                        # every valid row's sample is deliverable (junk
+                        # past done is cleaned up at the next admission)
+                        counts = counts.at[
+                            jnp.arange(nxt.shape[0]), nxt
+                        ].add(valid)
+                        out = jax.lax.dynamic_update_slice(
+                            out, nxt[:, None].astype(jnp.int32), (0, i)
+                        )
+                        return (nxt[:, None].astype(jnp.int32), cache, out,
+                                key, counts)
+
+                    out0 = jnp.zeros((tokens.shape[0], d), jnp.int32)
+                    _, cache, out, _, counts = jax.lax.fori_loop(
+                        0, d, body, (tokens, cache, out0, key, counts)
+                    )
+                    return out, cache, counts
+
+                self._window_fn = jax.jit(
+                    window_fn, static_argnums=(8,), donate_argnums=(1, 13)
+                )
+
+                def prefill_fn(params, cache, tokens, slot_ids, valid, key,
+                               temps, tks, tps, minps, reps, freqs, press,
+                               emit, counts, pseen):
+                    row_valid = valid > 0
+                    sub = cache.select(slot_ids, row_valid)
+                    logits, sub = model_forward(
+                        params, cfg, tokens, sub, advance=valid
+                    )
+                    last = jnp.maximum(valid - 1, 0)
+                    row = jnp.take_along_axis(
+                        logits, last[:, None, None], axis=1
+                    )[:, 0]
+                    row = apply_penalties(
+                        row, counts[slot_ids], pseen[slot_ids], reps,
+                        freqs, press,
+                    )
+                    sampled = sample_token_rows(
+                        row, temps, tks, tps, key, minps
+                    )
+                    counts = counts.at[slot_ids, sampled].add(emit)
+                    return (sampled, cache.merge(sub, slot_ids, row_valid),
+                            counts)
+
+                self._prefill_fn = jax.jit(
+                    prefill_fn, donate_argnums=(1, 14)
+                )
+            else:
+
+                def window_fn(params, cache, tokens, valid, key,
+                              temps, tks, tps, d, minps):
+                    # d decode steps fused into one program: the sampled
+                    # token feeds the next step ON DEVICE, so the host syncs
+                    # once per window instead of once per token
+                    def body(i, carry):
+                        tokens, cache, out, key = carry
+                        key, sub = jax.random.split(key)
+                        logits, cache = model_forward(
+                            params, cfg, tokens, cache, advance=valid
+                        )
+                        nxt = sample_token_rows(
+                            logits[:, 0], temps, tks, tps, sub, minps
+                        )
+                        out = jax.lax.dynamic_update_slice(
+                            out, nxt[:, None].astype(jnp.int32), (0, i)
+                        )
+                        return nxt[:, None].astype(jnp.int32), cache, out, key
+
+                    out0 = jnp.zeros((tokens.shape[0], d), jnp.int32)
+                    _, cache, out, _ = jax.lax.fori_loop(
+                        0, d, body, (tokens, cache, out0, key)
+                    )
+                    return out, cache
+
+                self._window_fn = jax.jit(
+                    window_fn, static_argnums=(8,), donate_argnums=(1,)
+                )
+
+                def prefill_fn(params, cache, tokens, slot_ids, valid, key,
+                               temps, tks, tps, minps):
+                    # decoupled prefill: [P, C] chunk over a gathered
+                    # sub-batch view of the shared page pool
+                    # (paged_cache.select/merge)
+                    row_valid = valid > 0
+                    sub = cache.select(slot_ids, row_valid)
+                    logits, sub = model_forward(
+                        params, cfg, tokens, sub, advance=valid
+                    )
+                    last = jnp.maximum(valid - 1, 0)
+                    row = jnp.take_along_axis(
+                        logits, last[:, None, None], axis=1
+                    )[:, 0]
+                    sampled = sample_token_rows(
+                        row, temps, tks, tps, key, minps
+                    )
+                    return sampled, cache.merge(sub, slot_ids, row_valid)
+
+                self._prefill_fn = jax.jit(prefill_fn, donate_argnums=(1,))
 
     # -- submission -------------------------------------------------------------
     def submit(
@@ -334,6 +458,14 @@ class Engine:
             raise NotImplementedError(
                 "TP serving currently samples greedily"
             )
+        if (
+            sampling is not None
+            and getattr(sampling, "has_penalties", False)
+            and not self.penalties
+        ):
+            raise ValueError(
+                "history penalties need Engine(enable_penalties=True)"
+            )
         uid = self._uid
         self._uid += 1
         self.queue.append(
@@ -346,19 +478,33 @@ class Engine:
         return uid
 
     def _samp_rows(self, reqs):
-        """Per-row sampling arrays for a dispatch; None rows (idle or
-        padding) are greedy so an all-greedy batch keeps the argmax-only
-        fast path inside sample_token_rows."""
+        """Per-row sampling arrays for a dispatch — (temps, top_ks, top_ps,
+        min_ps) plus, under enable_penalties, (rep, freq, pres). None rows
+        (idle or padding) are greedy/neutral so an all-greedy batch keeps
+        the argmax-only fast path inside sample_token_rows."""
         n = len(reqs)
         temps = np.zeros((n,), np.float32)
         tks = np.zeros((n,), np.int32)
         tps = np.ones((n,), np.float32)
+        mps = np.zeros((n,), np.float32)
+        reps = np.ones((n,), np.float32)
+        freqs = np.zeros((n,), np.float32)
+        press = np.zeros((n,), np.float32)
         for i, r in enumerate(reqs):
             if r is None:
                 continue
             sp = r.sampling or self.sampling
             temps[i], tks[i], tps[i] = sp.temperature, sp.top_k, sp.top_p
-        return jnp.asarray(temps), jnp.asarray(tks), jnp.asarray(tps)
+            mps[i] = getattr(sp, "min_p", 0.0)
+            reps[i] = getattr(sp, "repetition_penalty", 1.0)
+            freqs[i] = getattr(sp, "frequency_penalty", 0.0)
+            press[i] = getattr(sp, "presence_penalty", 0.0)
+        base = (jnp.asarray(temps), jnp.asarray(tks), jnp.asarray(tps),
+                jnp.asarray(mps))
+        if not self.penalties:
+            return base
+        return base + (jnp.asarray(reps), jnp.asarray(freqs),
+                       jnp.asarray(press))
 
     def abort(self, uid: int) -> bool:
         """Cancel a request. Queued requests are dropped; active requests
@@ -435,6 +581,21 @@ class Engine:
             req.admit_seq = self._admit_seq
             self._admit_seq += 1
             self.slots[slot] = req
+            if self.penalties:
+                # penalty state is rebuilt host-side per admission: prompt
+                # tokens -> seen mask (repetition), already-delivered output
+                # (preemption resume) -> generated counts (freq/presence)
+                V = self.cfg.vocab_size
+                seen = np.zeros((V,), np.int8)
+                seen[np.asarray(req.prompt, np.int64)] = 1
+                self.pseen = self.pseen.at[slot].set(jnp.asarray(seen))
+                if req.output:
+                    cnt = np.bincount(
+                        np.asarray(req.output, np.int64), minlength=V
+                    ).astype(np.int32)
+                else:
+                    cnt = np.zeros((V,), np.int32)
+                self.counts = self.counts.at[slot].set(jnp.asarray(cnt))
             self.slot_pages[slot] = pages
             row = np.full((max_pages,), 0, np.int32)
             row[: len(pages)] = pages
@@ -717,12 +878,28 @@ class Engine:
                 self.params, self.cache, jnp.asarray(tokens),
                 jnp.asarray(valid),
             )
+        elif self.penalties:
+            self._key, sub = jax.random.split(self._key)
+            samp = self._samp_rows(self.slots)
+            emit = np.zeros((B,), np.int32)
+            for s2, r2 in enumerate(self.slots):
+                if r2 is None:
+                    continue
+                if r2.prefill_done or (
+                    r2.prefill_cursor + int(valid[s2]) >= r2._resume
+                ):
+                    emit[s2] = 1  # this row's sample will be delivered
+            sampled, self.cache, self.counts = self._step_fn(
+                self.params, self.cache, jnp.asarray(tokens),
+                jnp.asarray(valid), sub, *samp,
+                jnp.asarray(emit), self.counts, self.pseen,
+            )
         else:
             self._key, sub = jax.random.split(self._key)
-            temps, tks, tps = self._samp_rows(self.slots)
+            samp = self._samp_rows(self.slots)
             sampled, self.cache = self._step_fn(
                 self.params, self.cache, jnp.asarray(tokens),
-                jnp.asarray(valid), sub, temps, tks, tps,
+                jnp.asarray(valid), sub, *samp,
             )
         sampled = np.asarray(sampled)
         self.stats["mixed_steps"] += 1
@@ -778,13 +955,20 @@ class Engine:
             )
         else:
             self._key, sub = jax.random.split(self._key)
-            temps, tks, tps = self._samp_rows(
+            samp = self._samp_rows(
                 [r if valid[s] else None for s, r in enumerate(self.slots)]
             )
-            toks, self.cache = self._window_fn(
-                self.params, self.cache, tok_in, jnp.asarray(valid), sub,
-                temps, tks, tps, W,
-            )
+            if self.penalties:
+                toks, self.cache, self.counts = self._window_fn(
+                    self.params, self.cache, tok_in, jnp.asarray(valid),
+                    sub, samp[0], samp[1], samp[2], W, samp[3], samp[4],
+                    samp[5], samp[6], self.counts, self.pseen,
+                )
+            else:
+                toks, self.cache = self._window_fn(
+                    self.params, self.cache, tok_in, jnp.asarray(valid),
+                    sub, samp[0], samp[1], samp[2], W, samp[3],
+                )
         self._inflight = (toks, list(self.slots), valid)
         self.stats["window_steps"] += 1
         self.stats["decode_slot_steps"] += int(valid.sum()) * W
@@ -843,13 +1027,23 @@ class Engine:
         self.stats["prefill_substeps"] += 1
         self.stats["prompt_tokens"] += int(valid.sum())
         self._key, sub = jax.random.split(self._key)
-        temps, tks, tps = self._samp_rows(
+        samp = self._samp_rows(
             [self.slots[s] for s in rows] + [None] * (P - len(rows))
         )
-        sampled, self.cache = self._prefill_fn(
-            self.params, self.cache, jnp.asarray(tokens),
-            jnp.asarray(slot_ids), jnp.asarray(valid), sub, temps, tks, tps,
-        )
+        if self.penalties:
+            emit = np.zeros((P,), np.int32)
+            for i, _s, _r in fin:
+                emit[i] = 1  # completion sample, delivered via pending
+            sampled, self.cache, self.counts = self._prefill_fn(
+                self.params, self.cache, jnp.asarray(tokens),
+                jnp.asarray(slot_ids), jnp.asarray(valid), sub, *samp,
+                jnp.asarray(emit), self.counts, self.pseen,
+            )
+        else:
+            sampled, self.cache = self._prefill_fn(
+                self.params, self.cache, jnp.asarray(tokens),
+                jnp.asarray(slot_ids), jnp.asarray(valid), sub, *samp,
+            )
         if fin:
             self._pending.append((sampled, fin))
 

@@ -685,6 +685,94 @@ def test_per_request_sampling(params):
     assert all(0 <= t < TINY.vocab_size for t in outs[u_free])
 
 
+def test_engine_penalties_match_generate(params):
+    """Engine(enable_penalties=True) must reproduce generate()'s penalized
+    (deterministic, temperature=0) output exactly — the on-device count
+    state threaded through prefill/window/mixed programs equals the scan
+    carry — while an unpenalized greedy request in the same batch stays on
+    the plain reference."""
+    sp = SamplingParams(temperature=0.0, repetition_penalty=30.0,
+                        frequency_penalty=0.3, presence_penalty=0.2)
+    prompt = list(range(3, 15))
+    other = list(range(40, 50))
+    ref_pen = list(np.asarray(generate(
+        params, TINY, jnp.asarray([prompt], jnp.int32), max_new_tokens=24,
+        sampling=sp,
+    ))[0, len(prompt):])
+    ref_plain = _greedy_reference(params, other, 24)
+
+    eng = Engine(params, TINY, max_slots=2, max_seq=64, page_size=4,
+                 chunk=4, dtype=jnp.float32, decode_window=3,
+                 enable_penalties=True)
+    u1 = eng.submit(prompt, max_new_tokens=24, sampling=sp)
+    u2 = eng.submit(other, max_new_tokens=24)
+    outs = eng.run()
+    assert outs[u1] == ref_pen
+    assert outs[u2] == ref_plain
+
+
+def test_engine_penalties_mixed_path(params):
+    """decode_window=1 forces the padded mixed path — the emit-flag
+    counting there must agree with generate() too."""
+    sp = SamplingParams(temperature=0.0, frequency_penalty=1e4)
+    prompt = list(range(5, 14))
+    ref = list(np.asarray(generate(
+        params, TINY, jnp.asarray([prompt], jnp.int32), max_new_tokens=16,
+        sampling=sp,
+    ))[0, len(prompt):])
+    eng = Engine(params, TINY, max_slots=2, max_seq=48, page_size=4,
+                 chunk=4, dtype=jnp.float32, decode_window=1,
+                 enable_penalties=True)
+    uid = eng.submit(prompt, max_new_tokens=16, sampling=sp)
+    assert eng.run()[uid] == ref
+    assert len(set(ref)) == len(ref)  # the huge penalty forbids repeats
+
+
+def test_engine_penalties_survive_preemption(params):
+    """Preemption rebuilds the count state from the delivered output at
+    re-admission: a penalized request preempted mid-generation must still
+    match the uninterrupted generate() reference."""
+    sp = SamplingParams(temperature=0.0, repetition_penalty=25.0,
+                        presence_penalty=0.4)
+    prompts = [list(range(10 * i + 3, 10 * i + 9)) for i in range(3)]
+    refs = [
+        list(np.asarray(generate(
+            params, TINY, jnp.asarray([p], jnp.int32), max_new_tokens=16,
+            sampling=sp,
+        ))[0, len(p):])
+        for p in prompts
+    ]
+    eng = Engine(params, TINY, max_slots=3, max_seq=24, page_size=4,
+                 chunk=4, dtype=jnp.float32, decode_window=2,
+                 prefill_rows=2, n_pages=12, reserve="optimistic",
+                 enable_penalties=True)
+    uids = [eng.submit(p, max_new_tokens=16, sampling=sp) for p in prompts]
+    outs = eng.run()
+    assert eng.stats["preemptions"] >= 1
+    for uid, ref in zip(uids, refs):
+        assert outs[uid] == ref, uid
+
+
+def test_engine_penalties_require_flag(params):
+    eng = Engine(params, TINY, max_slots=2, max_seq=32, page_size=4,
+                 chunk=4, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="enable_penalties"):
+        eng.submit([1, 2, 3], 4,
+                   sampling=SamplingParams(repetition_penalty=2.0))
+
+
+def test_engine_min_p_row(params):
+    """Per-request min_p works without the penalties flag: min_p ~ 1 at
+    high temperature pins the row to greedy."""
+    prompt = list(range(3, 15))
+    ref = _greedy_reference(params, prompt, 8)
+    eng = Engine(params, TINY, max_slots=2, max_seq=48, page_size=4,
+                 chunk=4, dtype=jnp.float32, decode_window=2, seed=5)
+    uid = eng.submit(prompt, max_new_tokens=8,
+                     sampling=SamplingParams(temperature=4.0, min_p=0.999))
+    assert eng.run()[uid] == ref
+
+
 def test_per_request_sampling_deterministic(params):
     """Same seed => identical sampled outputs across engine instances."""
     prompt = list(range(3, 15))
