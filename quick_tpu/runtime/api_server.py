@@ -295,6 +295,40 @@ class APIServer:
             {"index": 0, "text": text,
              "finish_reason": comp.finish_reason(out)}
         )
+        want_lp = body.get("logprobs")
+        if want_lp:
+            req = self.engine.requests.get(comp.uid)
+            lp = list(req.logprobs) if req is not None else []
+            tops = list(req.top_logprobs) if req is not None else []
+            n_top = int(want_lp) if not isinstance(want_lp, bool) else int(
+                body.get("top_logprobs", 0)
+            )
+            tok_strs = [self.tokenizer.decode([t]) for t in out]
+            if chat:
+                content = []
+                for i, t in enumerate(out):
+                    entry = {
+                        "token": tok_strs[i],
+                        "logprob": lp[i] if i < len(lp) else None,
+                    }
+                    if n_top and i < len(tops):
+                        entry["top_logprobs"] = [
+                            {"token": self.tokenizer.decode([tid]),
+                             "logprob": v}
+                            for tid, v in tops[i][:n_top]
+                        ]
+                    content.append(entry)
+                choice["logprobs"] = {"content": content}
+            else:
+                obj = {"tokens": tok_strs,
+                       "token_logprobs": lp[: len(out)]}
+                if n_top:
+                    obj["top_logprobs"] = [
+                        {self.tokenizer.decode([tid]): v
+                         for tid, v in top[:n_top]}
+                        for top in tops[: len(out)]
+                    ]
+                choice["logprobs"] = obj
         self._json(h, 200, {
             "id": rid, "object": kind, "model": self.model_name,
             "choices": [choice],
@@ -330,6 +364,13 @@ def main(argv=None):
     ap.add_argument("--page_size", type=int, default=64)
     ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--kv", choices=["bf16", "int8"], default="bf16")
+    ap.add_argument("--logprobs_topk", type=int, default=0, help="serve "
+                    "top-K alternative logprobs (OpenAI logprobs/"
+                    "top_logprobs fields); sampled-token logprobs are "
+                    "always available")
+    ap.add_argument("--penalties", action="store_true", help="enable "
+                    "repetition/frequency/presence penalty support "
+                    "(allocates the [slots, vocab] count state)")
     args = ap.parse_args(argv)
 
     model = AutoQuickModel.from_quantized(args.quant_path)
@@ -337,6 +378,8 @@ def main(argv=None):
         model.params, model.cfg, max_slots=args.max_slots,
         max_seq=args.max_seq, page_size=args.page_size, chunk=args.chunk,
         dtype=jnp.int8 if args.kv == "int8" else jnp.bfloat16,
+        logprobs_topk=args.logprobs_topk,
+        enable_penalties=args.penalties,
     )
     srv = APIServer(eng, model.tokenizer, model_name=args.quant_path)
     port = srv.start(args.host, args.port)

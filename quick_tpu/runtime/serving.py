@@ -49,6 +49,11 @@ class Request:
     sampling: Optional[tuple] = None
     # runtime state
     output: List[int] = dataclasses.field(default_factory=list)
+    # per delivered token: logprob under the (post-penalty) model
+    # distribution, and — when Engine(logprobs_topk=K) — the top-K
+    # [(token_id, logprob), ...] alternatives at that step
+    logprobs: List[float] = dataclasses.field(default_factory=list)
+    top_logprobs: List[list] = dataclasses.field(default_factory=list)
     prefill_cursor: int = 0
     aborted: bool = False
     # prefix caching (runtime/prefix_cache.py): chain hashes of the
@@ -143,6 +148,12 @@ class Engine:
         # sharing a prompt prefix reuse its KV pages and skip recomputing
         # it (runtime/prefix_cache.py); retired prompts stay warm in an
         # LRU until allocation pressure evicts them
+        logprobs_topk: int = 0,  # also return the top-K (token, logprob)
+        # alternatives per delivered token (OpenAI `logprobs`/
+        # `top_logprobs`). The sampled token's own logprob is ALWAYS
+        # recorded (Request.logprobs) — it rides the token fetch as a
+        # bitcast lane, zero extra host syncs; top-K adds one [B, W, K, 2]
+        # fetch per window, so it is opt-in.
         enable_penalties: bool = False,  # per-request history penalties
         # (repetition/frequency/presence) + min_p: maintains a [B, V]
         # generated-token count and a prompt-token mask ON DEVICE (vLLM's
@@ -192,6 +203,9 @@ class Engine:
         if reserve not in ("full", "optimistic"):
             raise ValueError(f"reserve must be 'full'|'optimistic': {reserve}")
         self.optimistic = reserve == "optimistic"
+        self.topk = int(logprobs_topk)
+        if self.topk and mesh is not None:
+            raise NotImplementedError("TP serving has no logprobs yet")
         self.penalties = enable_penalties
         if getattr(self.sampling, "has_penalties", False) and not enable_penalties:
             raise ValueError(
@@ -216,6 +230,7 @@ class Engine:
         self.slots: List[Optional[Request]] = [None] * max_slots
         self.slot_pages: List[List[int]] = [[] for _ in range(max_slots)]
         self.finished: Dict[int, List[int]] = {}
+        self.requests: Dict[int, Request] = {}
         self._uid = 0
         self.decode_window = max(1, decode_window)
         self.prefill_rows = max(1, min(prefill_rows, max_slots))
@@ -277,8 +292,35 @@ class Engine:
                 apply_penalties,
                 sample_token_rows,
             )
+            PEN, K = self.penalties, self.topk
+            bits = jax.lax.bitcast_convert_type
 
-            if self.penalties:
+            def _draw(row, temps, tks, tps, key, minps):
+                """Sample one token per row and account its logprob under
+                the (post-penalty) distribution. Returns {"tl": [B, 2] i32
+                (token, bitcast-f32 logprob)} plus, when K > 0,
+                {"tk": [B, K, 2] i32 (id, bitcast-f32 logprob)} — packed
+                int32 planes so the host fetches ONE array per result
+                (every fetch is a full tunnel round-trip)."""
+                s = sample_token_rows(row, temps, tks, tps, key, minps)
+                rf = row.astype(jnp.float32)
+                lse = jax.nn.logsumexp(rf, axis=-1)
+                lp = jnp.take_along_axis(rf, s[:, None], axis=-1)[:, 0] - lse
+                out = {"tl": jnp.stack([s, bits(lp, jnp.int32)], axis=-1)}
+                if K:
+                    tv, ti = jax.lax.top_k(rf, K)
+                    out["tk"] = jnp.stack(
+                        [ti, bits(tv - lse[:, None], jnp.int32)], axis=-1
+                    )
+                return out
+
+            def _last_row(logits, valid):
+                last = jnp.maximum(valid - 1, 0)
+                return jnp.take_along_axis(
+                    logits, last[:, None, None], axis=1
+                )[:, 0]  # [B, V] logits at each row's last valid token
+
+            if PEN:
 
                 def step_fn(params, cache, tokens, valid, key, temps, tks,
                             tps, minps, reps, freqs, press, emit, counts,
@@ -286,19 +328,17 @@ class Engine:
                     logits, cache = model_forward(
                         params, cfg, tokens, cache, advance=valid
                     )
-                    last = jnp.maximum(valid - 1, 0)
-                    row = jnp.take_along_axis(
-                        logits, last[:, None, None], axis=1
-                    )[:, 0]
-                    row = apply_penalties(row, counts, pseen, reps, freqs,
-                                          press)
-                    s = sample_token_rows(row, temps, tks, tps, key, minps)
+                    row = apply_penalties(
+                        _last_row(logits, valid), counts, pseen, reps,
+                        freqs, press,
+                    )
+                    d = _draw(row, temps, tks, tps, key, minps)
                     # count only samples the host will DELIVER (decode rows
                     # and prefill completions — junk/padding rows add 0)
                     counts = counts.at[
-                        jnp.arange(s.shape[0]), s
+                        jnp.arange(valid.shape[0]), d["tl"][:, 0]
                     ].add(emit)
-                    return s, cache, counts
+                    return d, cache, counts
             else:
 
                 def step_fn(params, cache, tokens, valid, key, temps, tks,
@@ -306,13 +346,10 @@ class Engine:
                     logits, cache = model_forward(
                         params, cfg, tokens, cache, advance=valid
                     )
-                    last = jnp.maximum(valid - 1, 0)
-                    row = jnp.take_along_axis(
-                        logits, last[:, None, None], axis=1
-                    )[:, 0]  # [B, V] logits at each slot's last valid token
-                    return sample_token_rows(
-                        row, temps, tks, tps, key, minps
-                    ), cache
+                    d = _draw(
+                        _last_row(logits, valid), temps, tks, tps, key, minps
+                    )
+                    return d, cache
 
         # donate the cache so XLA aliases k_pages/v_pages in place instead of
         # copying GBs of cache every step (and the counts plane likewise)
@@ -323,18 +360,16 @@ class Engine:
         )
 
         if not self._tp:
-            from quick_tpu.runtime.generate import (
-                apply_penalties,
-                sample_token_rows,
-            )
 
-            if self.penalties:
+            if PEN:
 
                 def window_fn(params, cache, tokens, valid, key,
                               temps, tks, tps, d, minps, reps, freqs,
                               press, counts, pseen):
+                    B = tokens.shape[0]
+
                     def body(i, carry):
-                        tokens, cache, out, key, counts = carry
+                        tokens, cache, tl, tk, key, counts = carry
                         key, sub = jax.random.split(key)
                         logits, cache = model_forward(
                             params, cfg, tokens, cache, advance=valid
@@ -342,24 +377,30 @@ class Engine:
                         row = apply_penalties(
                             logits[:, 0], counts, pseen, reps, freqs, press
                         )
-                        nxt = sample_token_rows(
-                            row, temps, tks, tps, sub, minps
-                        )
+                        dr = _draw(row, temps, tks, tps, sub, minps)
+                        nxt = dr["tl"][:, 0]
                         # every valid row's sample is deliverable (junk
                         # past done is cleaned up at the next admission)
-                        counts = counts.at[
-                            jnp.arange(nxt.shape[0]), nxt
-                        ].add(valid)
-                        out = jax.lax.dynamic_update_slice(
-                            out, nxt[:, None].astype(jnp.int32), (0, i)
+                        counts = counts.at[jnp.arange(B), nxt].add(valid)
+                        tl = jax.lax.dynamic_update_slice(
+                            tl, dr["tl"][:, None, :], (0, i, 0)
                         )
-                        return (nxt[:, None].astype(jnp.int32), cache, out,
-                                key, counts)
+                        if K:
+                            tk = jax.lax.dynamic_update_slice(
+                                tk, dr["tk"][:, None], (0, i, 0, 0)
+                            )
+                        return (nxt[:, None].astype(jnp.int32), cache, tl,
+                                tk, key, counts)
 
-                    out0 = jnp.zeros((tokens.shape[0], d), jnp.int32)
-                    _, cache, out, _, counts = jax.lax.fori_loop(
-                        0, d, body, (tokens, cache, out0, key, counts)
+                    tl0 = jnp.zeros((B, d, 2), jnp.int32)
+                    tk0 = (jnp.zeros((B, d, K, 2), jnp.int32) if K
+                           else jnp.zeros((0,), jnp.int32))
+                    _, cache, tl, tk, _, counts = jax.lax.fori_loop(
+                        0, d, body, (tokens, cache, tl0, tk0, key, counts)
                     )
+                    out = {"tl": tl}
+                    if K:
+                        out["tk"] = tk
                     return out, cache, counts
 
                 self._window_fn = jax.jit(
@@ -374,20 +415,13 @@ class Engine:
                     logits, sub = model_forward(
                         params, cfg, tokens, sub, advance=valid
                     )
-                    last = jnp.maximum(valid - 1, 0)
-                    row = jnp.take_along_axis(
-                        logits, last[:, None, None], axis=1
-                    )[:, 0]
                     row = apply_penalties(
-                        row, counts[slot_ids], pseen[slot_ids], reps,
-                        freqs, press,
+                        _last_row(logits, valid), counts[slot_ids],
+                        pseen[slot_ids], reps, freqs, press,
                     )
-                    sampled = sample_token_rows(
-                        row, temps, tks, tps, key, minps
-                    )
-                    counts = counts.at[slot_ids, sampled].add(emit)
-                    return (sampled, cache.merge(sub, slot_ids, row_valid),
-                            counts)
+                    d = _draw(row, temps, tks, tps, key, minps)
+                    counts = counts.at[slot_ids, d["tl"][:, 0]].add(emit)
+                    return d, cache.merge(sub, slot_ids, row_valid), counts
 
                 self._prefill_fn = jax.jit(
                     prefill_fn, donate_argnums=(1, 14)
@@ -399,24 +433,35 @@ class Engine:
                     # d decode steps fused into one program: the sampled
                     # token feeds the next step ON DEVICE, so the host syncs
                     # once per window instead of once per token
+                    B = tokens.shape[0]
+
                     def body(i, carry):
-                        tokens, cache, out, key = carry
+                        tokens, cache, tl, tk, key = carry
                         key, sub = jax.random.split(key)
                         logits, cache = model_forward(
                             params, cfg, tokens, cache, advance=valid
                         )
-                        nxt = sample_token_rows(
-                            logits[:, 0], temps, tks, tps, sub, minps
+                        dr = _draw(logits[:, 0], temps, tks, tps, sub, minps)
+                        nxt = dr["tl"][:, 0]
+                        tl = jax.lax.dynamic_update_slice(
+                            tl, dr["tl"][:, None, :], (0, i, 0)
                         )
-                        out = jax.lax.dynamic_update_slice(
-                            out, nxt[:, None].astype(jnp.int32), (0, i)
-                        )
-                        return nxt[:, None].astype(jnp.int32), cache, out, key
+                        if K:
+                            tk = jax.lax.dynamic_update_slice(
+                                tk, dr["tk"][:, None], (0, i, 0, 0)
+                            )
+                        return (nxt[:, None].astype(jnp.int32), cache, tl,
+                                tk, key)
 
-                    out0 = jnp.zeros((tokens.shape[0], d), jnp.int32)
-                    _, cache, out, _ = jax.lax.fori_loop(
-                        0, d, body, (tokens, cache, out0, key)
+                    tl0 = jnp.zeros((B, d, 2), jnp.int32)
+                    tk0 = (jnp.zeros((B, d, K, 2), jnp.int32) if K
+                           else jnp.zeros((0,), jnp.int32))
+                    _, cache, tl, tk, _ = jax.lax.fori_loop(
+                        0, d, body, (tokens, cache, tl0, tk0, key)
                     )
+                    out = {"tl": tl}
+                    if K:
+                        out["tk"] = tk
                     return out, cache
 
                 self._window_fn = jax.jit(
@@ -433,14 +478,10 @@ class Engine:
                     logits, sub = model_forward(
                         params, cfg, tokens, sub, advance=valid
                     )
-                    last = jnp.maximum(valid - 1, 0)
-                    row = jnp.take_along_axis(
-                        logits, last[:, None, None], axis=1
-                    )[:, 0]
-                    sampled = sample_token_rows(
-                        row, temps, tks, tps, key, minps
+                    d = _draw(
+                        _last_row(logits, valid), temps, tks, tps, key, minps
                     )
-                    return sampled, cache.merge(sub, slot_ids, row_valid)
+                    return d, cache.merge(sub, slot_ids, row_valid)
 
                 self._prefill_fn = jax.jit(prefill_fn, donate_argnums=(1,))
 
@@ -468,13 +509,15 @@ class Engine:
             )
         uid = self._uid
         self._uid += 1
-        self.queue.append(
-            Request(
-                uid, list(prompt), max_new_tokens, eos_token_id,
-                frozenset(stop_token_ids) if stop_token_ids else None,
-                on_token, sampling,
-            )
+        req = Request(
+            uid, list(prompt), max_new_tokens, eos_token_id,
+            frozenset(stop_token_ids) if stop_token_ids else None,
+            on_token, sampling,
         )
+        self.queue.append(req)
+        # uid -> Request registry (logprobs/top_logprobs live here);
+        # same lifetime policy as ``finished`` — callers pop what they own
+        self.requests[uid] = req
         return uid
 
     def _samp_rows(self, reqs):
@@ -527,11 +570,31 @@ class Engine:
                 return True
         return False
 
-    def _emit(self, req: Request, token: int) -> None:
+    def _emit(self, req: Request, token: int, lp: Optional[float] = None,
+              top: Optional[list] = None) -> None:
         req.output.append(token)
+        if lp is not None:
+            req.logprobs.append(lp)
+        if top is not None:
+            req.top_logprobs.append(top)
         self.stats["tokens_out"] += 1
         if req.on_token is not None:
             req.on_token(req.uid, token)
+
+    @staticmethod
+    def _unpack_tl(arr: np.ndarray):
+        """Split a packed [..., 2] int32 (token, bitcast-f32 logprob)
+        plane fetched from a program result."""
+        toks = arr[..., 0]
+        lps = np.ascontiguousarray(arr[..., 1]).view(np.float32)
+        return toks, lps
+
+    @staticmethod
+    def _top_list(tk_row: np.ndarray) -> list:
+        """[K, 2] int32 (id, bitcast-f32 logprob) -> [(id, lp), ...]."""
+        ids = tk_row[:, 0]
+        vals = np.ascontiguousarray(tk_row[:, 1]).view(np.float32)
+        return list(zip(ids.tolist(), vals.tolist()))
 
     # -- scheduling -------------------------------------------------------------
     def _admit(self) -> None:
@@ -873,11 +936,13 @@ class Engine:
                     req.output[-1] if req.output else req.prompt[-1]
                 )
                 valid[slot] = 1
+        lps = tk = None
         if self._tp:
             sampled, self.cache = self._step_fn(
                 self.params, self.cache, jnp.asarray(tokens),
                 jnp.asarray(valid),
             )
+            sampled = np.asarray(sampled)
         elif self.penalties:
             self._key, sub = jax.random.split(self._key)
             samp = self._samp_rows(self.slots)
@@ -889,19 +954,22 @@ class Engine:
                     r2.prefill_cursor + int(valid[s2]) >= r2._resume
                 ):
                     emit[s2] = 1  # this row's sample will be delivered
-            sampled, self.cache, self.counts = self._step_fn(
+            d, self.cache, self.counts = self._step_fn(
                 self.params, self.cache, jnp.asarray(tokens),
                 jnp.asarray(valid), sub, *samp,
                 jnp.asarray(emit), self.counts, self.pseen,
             )
+            sampled, lps = self._unpack_tl(np.asarray(d["tl"]))
+            tk = np.asarray(d["tk"]) if "tk" in d else None
         else:
             self._key, sub = jax.random.split(self._key)
             samp = self._samp_rows(self.slots)
-            sampled, self.cache = self._step_fn(
+            d, self.cache = self._step_fn(
                 self.params, self.cache, jnp.asarray(tokens),
                 jnp.asarray(valid), sub, *samp,
             )
-        sampled = np.asarray(sampled)
+            sampled, lps = self._unpack_tl(np.asarray(d["tl"]))
+            tk = np.asarray(d["tk"]) if "tk" in d else None
         self.stats["mixed_steps"] += 1
         self.stats["prompt_tokens"] += int(
             sum(v for s2, v in enumerate(valid) if self.slots[s2] is not None
@@ -910,14 +978,16 @@ class Engine:
         for slot, req in enumerate(self.slots):
             if req is None:
                 continue
+            lp = None if lps is None else float(lps[slot])
+            top = None if tk is None else self._top_list(tk[slot])
             if not req.prefill_done:
                 old_cursor = req.prefill_cursor
                 req.prefill_cursor += int(valid[slot])
                 self._register_prompt_pages(slot, req, old_cursor)
                 if req.prefill_done:
-                    self._emit(req, int(sampled[slot]))
+                    self._emit(req, int(sampled[slot]), lp, top)
             else:
-                self._emit(req, int(sampled[slot]))
+                self._emit(req, int(sampled[slot]), lp, top)
             if req.done and self.slots[slot] is req:
                 self._retire(slot)
 
@@ -942,10 +1012,13 @@ class Engine:
             # rows decoding in BOTH windows chain on device; rows newly
             # joining (first window after prefill) start from their host
             # token (fetched by _drain_pending)
-            cont = (prev[2] > 0) & (valid > 0)
+            cont = (prev["valid"] > 0) & (valid > 0)
+            last_tok = (
+                prev["out"][:, -1:] if self._tp
+                else prev["out"][:, -1, 0][:, None]
+            )
             tok_in = jnp.where(
-                jnp.asarray(cont)[:, None], prev[0][:, -1:],
-                jnp.asarray(host_tok),
+                jnp.asarray(cont)[:, None], last_tok, jnp.asarray(host_tok)
             )
         else:
             tok_in = jnp.asarray(host_tok)
@@ -953,23 +1026,27 @@ class Engine:
             toks, self.cache = self._tp_window_fn(
                 self.params, self.cache, tok_in, jnp.asarray(valid)
             )
+            out = {"out": toks}
         else:
             self._key, sub = jax.random.split(self._key)
             samp = self._samp_rows(
                 [r if valid[s] else None for s, r in enumerate(self.slots)]
             )
             if self.penalties:
-                toks, self.cache, self.counts = self._window_fn(
+                d, self.cache, self.counts = self._window_fn(
                     self.params, self.cache, tok_in, jnp.asarray(valid),
                     sub, samp[0], samp[1], samp[2], W, samp[3], samp[4],
                     samp[5], samp[6], self.counts, self.pseen,
                 )
             else:
-                toks, self.cache = self._window_fn(
+                d, self.cache = self._window_fn(
                     self.params, self.cache, tok_in, jnp.asarray(valid),
                     sub, samp[0], samp[1], samp[2], W, samp[3],
                 )
-        self._inflight = (toks, list(self.slots), valid)
+            out = {"out": d["tl"], "tk": d.get("tk")}
+        out["slots"] = list(self.slots)
+        out["valid"] = valid
+        self._inflight = out
         self.stats["window_steps"] += 1
         self.stats["decode_slot_steps"] += int(valid.sum()) * W
         return prev
@@ -980,13 +1057,23 @@ class Engine:
             self._drain_window(prev)
 
     def _drain_window(self, inflight) -> None:
-        toks, snapshot, valid = inflight
-        toks = np.asarray(toks)  # ONE host sync for W tokens
+        snapshot, valid = inflight["slots"], inflight["valid"]
+        arr = np.asarray(inflight["out"])  # ONE host sync for W tokens
+        if self._tp:
+            toks, lps = arr, None
+        else:
+            toks, lps = self._unpack_tl(arr)  # [B, W] each
+        tk = inflight.get("tk")
+        tk = np.asarray(tk) if tk is not None else None  # [B, W, K, 2]
         for slot, req in enumerate(snapshot):
             if req is None or not valid[slot] or req.done:
                 continue  # idle/prefilling row, or retired in flight
             for j in range(toks.shape[1]):
-                self._emit(req, int(toks[slot, j]))
+                self._emit(
+                    req, int(toks[slot, j]),
+                    None if lps is None else float(lps[slot, j]),
+                    None if tk is None else self._top_list(tk[slot, j]),
+                )
                 if req.done:
                     break  # the window's remaining tokens are junk
             if req.done and self.slots[slot] is req:
@@ -1034,28 +1121,33 @@ class Engine:
             emit = np.zeros((P,), np.int32)
             for i, _s, _r in fin:
                 emit[i] = 1  # completion sample, delivered via pending
-            sampled, self.cache, self.counts = self._prefill_fn(
+            d, self.cache, self.counts = self._prefill_fn(
                 self.params, self.cache, jnp.asarray(tokens),
                 jnp.asarray(slot_ids), jnp.asarray(valid), sub, *samp,
                 jnp.asarray(emit), self.counts, self.pseen,
             )
         else:
-            sampled, self.cache = self._prefill_fn(
+            d, self.cache = self._prefill_fn(
                 self.params, self.cache, jnp.asarray(tokens),
                 jnp.asarray(slot_ids), jnp.asarray(valid), sub, *samp,
             )
         if fin:
-            self._pending.append((sampled, fin))
+            self._pending.append((d, fin))
 
     def _drain_pending(self, pending=None) -> None:
         if pending is None:
             pending, self._pending = self._pending, []
-        for sampled, fin in pending:
-            vals = np.asarray(sampled)  # tiny [P]; overlaps in-flight work
+        for d, fin in pending:
+            # tiny [P, 2]; the fetch overlaps in-flight device work
+            toks, lps = self._unpack_tl(np.asarray(d["tl"]))
+            tk = np.asarray(d["tk"]) if "tk" in d else None
             for i, slot, req in fin:
                 if req.done:
                     continue  # aborted while its first token was pending
-                self._emit(req, int(vals[i]))
+                self._emit(
+                    req, int(toks[i]), float(lps[i]),
+                    None if tk is None else self._top_list(tk[i]),
+                )
                 if req.done and self.slots[slot] is req:
                     self._retire(slot)
 

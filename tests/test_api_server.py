@@ -123,6 +123,37 @@ def test_streaming_matches_non_streaming(server):
     assert finish in ("stop", "length")
 
 
+def test_completion_logprobs():
+    """logprobs=N on /v1/completions returns token_logprobs + top_logprobs
+    dicts (engine built with logprobs_topk)."""
+    params = init_float_params(TINY, jax.random.PRNGKey(0))
+    eng = Engine(params, TINY, max_slots=2, max_seq=64, page_size=4,
+                 chunk=4, dtype=jnp.float32, decode_window=2,
+                 logprobs_topk=3)
+    srv = APIServer(eng, StubTokenizer(), model_name="tiny-test")
+    port = srv.start(port=0)
+    try:
+        status, data = _post(port, "/v1/completions",
+                             {"prompt": "hello", "max_tokens": 5,
+                              "logprobs": 2})
+        assert status == 200
+        out = json.loads(data)
+        lp = out["choices"][0]["logprobs"]
+        assert len(lp["tokens"]) == 5
+        assert len(lp["token_logprobs"]) == 5
+        assert all(v <= 0.0 for v in lp["token_logprobs"])
+        assert len(lp["top_logprobs"]) == 5
+        for step in lp["top_logprobs"]:
+            assert len(step) == 2
+            assert all(v <= 0.0 for v in step.values())
+        # sampled token's logprob equals its entry in top_logprobs (greedy)
+        for t, l, top in zip(lp["tokens"], lp["token_logprobs"],
+                             lp["top_logprobs"]):
+            assert abs(top[t] - l) < 1e-6
+    finally:
+        srv.stop()
+
+
 def test_chat_completion(server):
     _, port, _ = server
     st, body = _post(port, "/v1/chat/completions", {

@@ -773,6 +773,71 @@ def test_engine_min_p_row(params):
     assert eng.run()[uid] == ref
 
 
+def test_engine_logprobs(params):
+    """Sampled-token logprobs must equal the dense path's log-softmax at
+    each greedy step (exact f32 path), including the prefill-completion
+    sample; top-K alternatives are sorted desc and lead with the greedy
+    token."""
+    from quick_tpu.models import model_forward
+
+    prompt = list(range(3, 15))
+    n = 6
+    cache = make_cache(TINY, 1, 64, dtype=jnp.float32)
+    lg, cache = model_forward(
+        params, TINY, jnp.asarray([prompt], jnp.int32), cache
+    )
+    ref = []
+    row = lg[0, -1]
+    for _ in range(n):
+        t = int(jnp.argmax(row))
+        lsm = jax.nn.log_softmax(row.astype(jnp.float32))
+        ref.append((t, float(lsm[t])))
+        lg, cache = model_forward(
+            params, TINY, jnp.asarray([[t]], jnp.int32), cache
+        )
+        row = lg[0, -1]
+
+    eng = Engine(params, TINY, max_slots=2, max_seq=48, page_size=4,
+                 chunk=4, dtype=jnp.float32, decode_window=2,
+                 logprobs_topk=3)
+    uid = eng.submit(prompt, max_new_tokens=n)
+    outs = eng.run()
+    req = eng.requests[uid]
+    assert outs[uid] == [t for t, _ in ref]
+    # chunked paged prefill vs one-shot dense prefill reassociate the
+    # bf16 hidden-state math differently: logits (and so logprobs) wobble
+    # ~1e-2 while argmax agrees; a position/indexing bug would be off by
+    # whole units
+    np.testing.assert_allclose(
+        req.logprobs, [l for _, l in ref], rtol=0.01, atol=0.03
+    )
+    assert len(req.top_logprobs) == n
+    for (t, l), top in zip(ref, req.top_logprobs):
+        assert top[0][0] == t  # greedy sample == top-1 alternative
+        np.testing.assert_allclose(top[0][1], l, rtol=0.01, atol=0.03)
+        vals = [v for _, v in top]
+        assert vals == sorted(vals, reverse=True)
+        assert all(v <= 0.0 for v in vals)
+
+
+def test_engine_logprobs_with_penalties(params):
+    """Penalized sampling reports logprobs under the POST-penalty
+    distribution (the one actually sampled from)."""
+    sp = SamplingParams(temperature=0.0, frequency_penalty=1e4)
+    eng = Engine(params, TINY, max_slots=1, max_seq=48, page_size=4,
+                 chunk=4, dtype=jnp.float32, decode_window=2,
+                 enable_penalties=True, logprobs_topk=2)
+    uid = eng.submit(list(range(5, 12)), max_new_tokens=8, sampling=sp)
+    eng.run()
+    req = eng.requests[uid]
+    assert len(req.logprobs) == 8
+    assert all(np.isfinite(v) and v <= 0.0 for v in req.logprobs)
+    # under the huge penalty every earlier token is at -inf-ish, so the
+    # top-2 alternatives can never repeat the previous sample
+    for i in range(1, 8):
+        assert req.output[i - 1] not in [t for t, _ in req.top_logprobs[i]]
+
+
 def test_per_request_sampling_deterministic(params):
     """Same seed => identical sampled outputs across engine instances."""
     prompt = list(range(3, 15))
