@@ -105,7 +105,8 @@ class APIServer:
             self._completions[uid].tokens.put(None)
 
     # -- submission (handler threads) ------------------------------------------
-    def _submit(self, prompt_ids, max_tokens, sampling, stop_ids) -> _Completion:
+    def _submit(self, prompt_ids, max_tokens, sampling, stop_ids,
+                logit_bias=None) -> _Completion:
         with self._lock:
             comp_holder = {}
 
@@ -118,12 +119,43 @@ class APIServer:
                 stop_token_ids=stop_ids or None,
                 on_token=on_token,
                 sampling=sampling,
+                logit_bias=logit_bias,
             )
             comp = _Completion(uid, len(prompt_ids), max_tokens,
                                self.eos_token_id, frozenset(stop_ids or ()))
             comp_holder["c"] = comp
             self._completions[uid] = comp
         return comp
+
+    @staticmethod
+    def _find_stop(text: str, stops) -> int:
+        """Earliest index where any stop string begins, or -1."""
+        best = -1
+        for s in stops:
+            i = text.find(s)
+            if i >= 0 and (best < 0 or i < best):
+                best = i
+        return best
+
+    def _collect(self, comp: _Completion, stops):
+        """Consume a completion's token stream; with stop STRINGS, abort
+        the engine request as soon as any appears in the decoded text
+        (OpenAI `stop`). Returns (token_ids, text, stopped_by_string)."""
+        if not stops:
+            out = self._wait(comp)
+            return out, self.tokenizer.decode(out), False
+        out, text = [], ""
+        for tok in self._iter_stream(comp):
+            piece = self.tokenizer.decode([tok])
+            cut = self._find_stop(text + piece, stops)
+            if cut >= 0:
+                with self._lock:
+                    self.engine.abort(comp.uid)
+                    self._completions.pop(comp.uid, None)
+                return out, (text + piece)[:cut], True
+            out.append(tok)
+            text += piece
+        return out, text, False
 
     def _wait(self, comp: _Completion, timeout: float = 600.0):
         deadline = time.time() + timeout
@@ -248,7 +280,26 @@ class APIServer:
             presence_penalty=float(body.get("presence_penalty", 0.0)),
         )
         stop_ids = body.get("stop_token_ids")
-        comp = self._submit(prompt_ids, max_tokens, sampling, stop_ids)
+        stops = body.get("stop")
+        if isinstance(stops, str):
+            stops = [stops]
+        stops = [s for s in (stops or []) if s]
+        n_choices = max(1, int(body.get("n", 1)))
+        if n_choices > 1 and body.get("stream"):
+            raise ValueError("n > 1 with stream is not supported")
+        lb = body.get("logit_bias") or None
+        if lb:
+            if not getattr(self.engine, "penalties", False):
+                raise ValueError(
+                    "logit_bias needs the engine started with penalty "
+                    "support (Engine(enable_penalties=True) / --penalties)"
+                )
+            lb = {int(k): float(v) for k, v in lb.items()}
+        comps = [
+            self._submit(prompt_ids, max_tokens, sampling, stop_ids, lb)
+            for _ in range(n_choices)
+        ]
+        comp = comps[0]
         rid = f"cmpl-{uuid.uuid4().hex[:24]}"
         kind = "chat.completion" if chat else "text_completion"
         if body.get("stream"):
@@ -257,20 +308,43 @@ class APIServer:
             h.send_header("Cache-Control", "no-cache")
             h.end_headers()
             out = []
+            text_so_far = ""
+            stopped = False
+
+            def send(piece):
+                delta = (
+                    {"delta": {"content": piece}} if chat
+                    else {"text": piece}
+                )
+                chunk = {"id": rid, "object": kind + ".chunk",
+                         "model": self.model_name,
+                         "choices": [{"index": 0, **delta,
+                                      "finish_reason": None}]}
+                h.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
+                h.wfile.flush()
+
             try:
                 for tok in self._iter_stream(comp):
-                    out.append(tok)
                     piece = self.tokenizer.decode([tok])
-                    delta = (
-                        {"delta": {"content": piece}} if chat
-                        else {"text": piece}
-                    )
-                    chunk = {"id": rid, "object": kind + ".chunk",
-                             "model": self.model_name,
-                             "choices": [{"index": 0, **delta,
-                                          "finish_reason": None}]}
-                    h.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
-                    h.wfile.flush()
+                    if stops:
+                        # stop strings end the stream at the match start;
+                        # a stop spanning already-flushed chunks cannot be
+                        # retracted — only the unsent remainder is held
+                        cut = self._find_stop(text_so_far + piece, stops)
+                        if cut >= 0:
+                            tail = (text_so_far + piece)[
+                                len(text_so_far):cut
+                            ] if cut > len(text_so_far) else ""
+                            if tail:
+                                send(tail)
+                            with self._lock:
+                                self.engine.abort(comp.uid)
+                                self._completions.pop(comp.uid, None)
+                            stopped = True
+                            break
+                    out.append(tok)
+                    text_so_far += piece
+                    send(piece)
             except (BrokenPipeError, ConnectionResetError):
                 # client went away: stop paying for its tokens
                 with self._lock:
@@ -281,61 +355,70 @@ class APIServer:
                    "model": self.model_name,
                    "choices": [{"index": 0,
                                 **({"delta": {}} if chat else {"text": ""}),
-                                "finish_reason": comp.finish_reason(out)}]}
+                                "finish_reason": (
+                                    "stop" if stopped
+                                    else comp.finish_reason(out)
+                                )}]}
             h.wfile.write(f"data: {json.dumps(fin)}\n\n".encode())
             h.wfile.write(b"data: [DONE]\n\n")
             h.wfile.flush()
             return
-        out = self._wait(comp)
-        text = self.tokenizer.decode(out)
-        choice = (
-            {"index": 0, "message": {"role": "assistant", "content": text},
-             "finish_reason": comp.finish_reason(out)}
-            if chat else
-            {"index": 0, "text": text,
-             "finish_reason": comp.finish_reason(out)}
-        )
         want_lp = body.get("logprobs")
-        if want_lp:
-            req = self.engine.requests.get(comp.uid)
-            lp = list(req.logprobs) if req is not None else []
-            tops = list(req.top_logprobs) if req is not None else []
-            n_top = int(want_lp) if not isinstance(want_lp, bool) else int(
-                body.get("top_logprobs", 0)
+        choices, total_out = [], 0
+        for idx, c in enumerate(comps):
+            out, text, stopped = self._collect(c, stops)
+            total_out += len(out)
+            fr = "stop" if stopped else c.finish_reason(out)
+            choice = (
+                {"index": idx,
+                 "message": {"role": "assistant", "content": text},
+                 "finish_reason": fr}
+                if chat else
+                {"index": idx, "text": text, "finish_reason": fr}
             )
-            tok_strs = [self.tokenizer.decode([t]) for t in out]
-            if chat:
-                content = []
-                for i, t in enumerate(out):
-                    entry = {
-                        "token": tok_strs[i],
-                        "logprob": lp[i] if i < len(lp) else None,
-                    }
-                    if n_top and i < len(tops):
-                        entry["top_logprobs"] = [
-                            {"token": self.tokenizer.decode([tid]),
-                             "logprob": v}
-                            for tid, v in tops[i][:n_top]
-                        ]
-                    content.append(entry)
-                choice["logprobs"] = {"content": content}
-            else:
-                obj = {"tokens": tok_strs,
-                       "token_logprobs": lp[: len(out)]}
-                if n_top:
-                    obj["top_logprobs"] = [
-                        {self.tokenizer.decode([tid]): v
-                         for tid, v in top[:n_top]}
-                        for top in tops[: len(out)]
-                    ]
-                choice["logprobs"] = obj
+            if want_lp:
+                choice["logprobs"] = self._logprobs_obj(
+                    c.uid, out, want_lp, body, chat
+                )
+            choices.append(choice)
         self._json(h, 200, {
             "id": rid, "object": kind, "model": self.model_name,
-            "choices": [choice],
+            "choices": choices,
             "usage": {"prompt_tokens": comp.n_prompt,
-                      "completion_tokens": len(out),
-                      "total_tokens": comp.n_prompt + len(out)},
+                      "completion_tokens": total_out,
+                      "total_tokens": comp.n_prompt + total_out},
         })
+
+    def _logprobs_obj(self, uid, out, want_lp, body, chat: bool):
+        req = self.engine.requests.get(uid)
+        lp = list(req.logprobs) if req is not None else []
+        tops = list(req.top_logprobs) if req is not None else []
+        n_top = int(want_lp) if not isinstance(want_lp, bool) else int(
+            body.get("top_logprobs", 0)
+        )
+        tok_strs = [self.tokenizer.decode([t]) for t in out]
+        if chat:
+            content = []
+            for i, t in enumerate(out):
+                entry = {
+                    "token": tok_strs[i],
+                    "logprob": lp[i] if i < len(lp) else None,
+                }
+                if n_top and i < len(tops):
+                    entry["top_logprobs"] = [
+                        {"token": self.tokenizer.decode([tid]),
+                         "logprob": v}
+                        for tid, v in tops[i][:n_top]
+                    ]
+                content.append(entry)
+            return {"content": content}
+        obj = {"tokens": tok_strs, "token_logprobs": lp[: len(out)]}
+        if n_top:
+            obj["top_logprobs"] = [
+                {self.tokenizer.decode([tid]): v for tid, v in top[:n_top]}
+                for top in tops[: len(out)]
+            ]
+        return obj
 
     @staticmethod
     def _json(h: BaseHTTPRequestHandler, code: int, obj):

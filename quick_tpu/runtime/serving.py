@@ -49,6 +49,10 @@ class Request:
     sampling: Optional[tuple] = None
     # runtime state
     output: List[int] = dataclasses.field(default_factory=list)
+    # OpenAI logit_bias: {token_id: additive bias} applied to every
+    # sampling distribution of this request (needs enable_penalties —
+    # it rides the same per-slot device state)
+    logit_bias: Optional[dict] = None
     # per delivered token: logprob under the (post-penalty) model
     # distribution, and — when Engine(logprobs_topk=K) — the top-K
     # [(token_id, logprob), ...] alternatives at that step
@@ -218,6 +222,8 @@ class Engine:
                 )
             self.counts = jnp.zeros((max_slots, cfg.vocab_size), jnp.int32)
             self.pseen = jnp.zeros((max_slots, cfg.vocab_size), jnp.int8)
+            # per-slot additive logit bias (OpenAI logit_bias; zero = off)
+            self.lbias = jnp.zeros((max_slots, cfg.vocab_size), jnp.float32)
         self.alloc = PageAllocator(n_pages)
         self._admit_seq = 0
         if prefix_cache:
@@ -324,14 +330,14 @@ class Engine:
 
                 def step_fn(params, cache, tokens, valid, key, temps, tks,
                             tps, minps, reps, freqs, press, emit, counts,
-                            pseen):
+                            pseen, lbias):
                     logits, cache = model_forward(
                         params, cfg, tokens, cache, advance=valid
                     )
                     row = apply_penalties(
                         _last_row(logits, valid), counts, pseen, reps,
                         freqs, press,
-                    )
+                    ) + lbias
                     d = _draw(row, temps, tks, tps, key, minps)
                     # count only samples the host will DELIVER (decode rows
                     # and prefill completions — junk/padding rows add 0)
@@ -365,7 +371,7 @@ class Engine:
 
                 def window_fn(params, cache, tokens, valid, key,
                               temps, tks, tps, d, minps, reps, freqs,
-                              press, counts, pseen):
+                              press, counts, pseen, lbias):
                     B = tokens.shape[0]
 
                     def body(i, carry):
@@ -376,7 +382,7 @@ class Engine:
                         )
                         row = apply_penalties(
                             logits[:, 0], counts, pseen, reps, freqs, press
-                        )
+                        ) + lbias
                         dr = _draw(row, temps, tks, tps, sub, minps)
                         nxt = dr["tl"][:, 0]
                         # every valid row's sample is deliverable (junk
@@ -409,7 +415,7 @@ class Engine:
 
                 def prefill_fn(params, cache, tokens, slot_ids, valid, key,
                                temps, tks, tps, minps, reps, freqs, press,
-                               emit, counts, pseen):
+                               emit, counts, pseen, lbias):
                     row_valid = valid > 0
                     sub = cache.select(slot_ids, row_valid)
                     logits, sub = model_forward(
@@ -418,7 +424,7 @@ class Engine:
                     row = apply_penalties(
                         _last_row(logits, valid), counts[slot_ids],
                         pseen[slot_ids], reps, freqs, press,
-                    )
+                    ) + lbias[slot_ids]
                     d = _draw(row, temps, tks, tps, key, minps)
                     counts = counts.at[slot_ids, d["tl"][:, 0]].add(emit)
                     return d, cache.merge(sub, slot_ids, row_valid), counts
@@ -494,6 +500,7 @@ class Engine:
         stop_token_ids=None,
         on_token: Optional[Callable[[int, int], None]] = None,
         sampling=None,
+        logit_bias: Optional[dict] = None,  # {token_id: additive bias}
     ) -> int:
         if sampling is not None and self._tp and sampling.temperature != 0.0:
             raise NotImplementedError(
@@ -509,10 +516,14 @@ class Engine:
             )
         uid = self._uid
         self._uid += 1
+        if logit_bias and not self.penalties:
+            raise ValueError(
+                "logit_bias needs Engine(enable_penalties=True)"
+            )
         req = Request(
             uid, list(prompt), max_new_tokens, eos_token_id,
             frozenset(stop_token_ids) if stop_token_ids else None,
-            on_token, sampling,
+            on_token, sampling, logit_bias=dict(logit_bias or {}) or None,
         )
         self.queue.append(req)
         # uid -> Request registry (logprobs/top_logprobs live here);
@@ -659,6 +670,12 @@ class Engine:
                 else:
                     cnt = np.zeros((V,), np.int32)
                 self.counts = self.counts.at[slot].set(jnp.asarray(cnt))
+                lb = np.zeros((V,), np.float32)
+                if req.logit_bias:
+                    for tid, b in req.logit_bias.items():
+                        if 0 <= int(tid) < V:
+                            lb[int(tid)] = float(b)
+                self.lbias = self.lbias.at[slot].set(jnp.asarray(lb))
             self.slot_pages[slot] = pages
             row = np.full((max_pages,), 0, np.int32)
             row[: len(pages)] = pages
@@ -957,7 +974,7 @@ class Engine:
             d, self.cache, self.counts = self._step_fn(
                 self.params, self.cache, jnp.asarray(tokens),
                 jnp.asarray(valid), sub, *samp,
-                jnp.asarray(emit), self.counts, self.pseen,
+                jnp.asarray(emit), self.counts, self.pseen, self.lbias,
             )
             sampled, lps = self._unpack_tl(np.asarray(d["tl"]))
             tk = np.asarray(d["tk"]) if "tk" in d else None
@@ -1036,7 +1053,7 @@ class Engine:
                 d, self.cache, self.counts = self._window_fn(
                     self.params, self.cache, tok_in, jnp.asarray(valid),
                     sub, samp[0], samp[1], samp[2], W, samp[3], samp[4],
-                    samp[5], samp[6], self.counts, self.pseen,
+                    samp[5], samp[6], self.counts, self.pseen, self.lbias,
                 )
             else:
                 d, self.cache = self._window_fn(
@@ -1124,7 +1141,7 @@ class Engine:
             d, self.cache, self.counts = self._prefill_fn(
                 self.params, self.cache, jnp.asarray(tokens),
                 jnp.asarray(slot_ids), jnp.asarray(valid), sub, *samp,
-                jnp.asarray(emit), self.counts, self.pseen,
+                jnp.asarray(emit), self.counts, self.pseen, self.lbias,
             )
         else:
             d, self.cache = self._prefill_fn(

@@ -154,6 +154,88 @@ def test_completion_logprobs():
         srv.stop()
 
 
+def test_stop_strings_and_n(server):
+    """OpenAI `stop` (string) truncates at the match and aborts the
+    request; `n` returns that many choices (greedy => identical)."""
+    srv, port, params = server
+    status, data = _post(port, "/v1/completions",
+                         {"prompt": "halt here", "max_tokens": 8})
+    assert status == 200
+    full = json.loads(data)["choices"][0]["text"]
+    assert len(full) == 8
+    stop = full[3]  # 4th generated char
+    status, data = _post(port, "/v1/completions",
+                         {"prompt": "halt here", "max_tokens": 8,
+                          "stop": stop})
+    assert status == 200
+    ch = json.loads(data)["choices"][0]
+    assert ch["text"] == full[: full.index(stop)]
+    assert ch["finish_reason"] == "stop"
+
+    status, data = _post(port, "/v1/completions",
+                         {"prompt": "halt here", "max_tokens": 5, "n": 2})
+    assert status == 200
+    out = json.loads(data)
+    assert [c["index"] for c in out["choices"]] == [0, 1]
+    assert out["choices"][0]["text"] == out["choices"][1]["text"]
+    assert out["usage"]["completion_tokens"] == 10
+
+
+def test_stop_string_streaming(server):
+    srv, port, params = server
+    status, data = _post(port, "/v1/completions",
+                         {"prompt": "halt here", "max_tokens": 8})
+    full = json.loads(data)["choices"][0]["text"]
+    stop = full[3]
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    conn.request("POST", "/v1/completions",
+                 json.dumps({"prompt": "halt here", "max_tokens": 8,
+                             "stop": stop, "stream": True}),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    body = resp.read().decode()
+    conn.close()
+    pieces, finish = [], None
+    for line in body.splitlines():
+        if not line.startswith("data: ") or line == "data: [DONE]":
+            continue
+        obj = json.loads(line[6:])
+        c = obj["choices"][0]
+        if c.get("text"):
+            pieces.append(c["text"])
+        if c.get("finish_reason"):
+            finish = c["finish_reason"]
+    assert "".join(pieces) == full[: full.index(stop)]
+    assert finish == "stop"
+
+
+def test_logit_bias_api():
+    params = init_float_params(TINY, jax.random.PRNGKey(0))
+    eng = Engine(params, TINY, max_slots=2, max_seq=64, page_size=4,
+                 chunk=4, dtype=jnp.float32, decode_window=2,
+                 enable_penalties=True)
+    srv = APIServer(eng, StubTokenizer(), model_name="tiny-test")
+    port = srv.start(port=0)
+    try:
+        # +100 on token 65 ("A" after the stub's offset math) pins output
+        status, data = _post(port, "/v1/completions",
+                             {"prompt": "bias me", "max_tokens": 4,
+                              "logit_bias": {"65": 100.0}})
+        assert status == 200
+        out = json.loads(data)["choices"][0]["text"]
+        assert out == chr(65) * 4
+    finally:
+        srv.stop()
+
+
+def test_logit_bias_requires_penalties(server):
+    srv, port, params = server
+    status, data = _post(port, "/v1/completions",
+                         {"prompt": "x", "max_tokens": 2,
+                          "logit_bias": {"5": 10.0}})
+    assert status == 400
+
+
 def test_chat_completion(server):
     _, port, _ = server
     st, body = _post(port, "/v1/chat/completions", {

@@ -753,6 +753,25 @@ def test_engine_penalties_survive_preemption(params):
         assert outs[uid] == ref, uid
 
 
+def test_engine_logit_bias(params):
+    """+100 bias pins every sample to that token; -100 bans a token even
+    when it is the greedy choice; an unbiased request in the same batch is
+    unaffected."""
+    prompt = list(range(3, 12))
+    ref = _greedy_reference(params, prompt, 8)
+    eng = Engine(params, TINY, max_slots=3, max_seq=48, page_size=4,
+                 chunk=4, dtype=jnp.float32, decode_window=2,
+                 enable_penalties=True)
+    u_pin = eng.submit(prompt, max_new_tokens=8, logit_bias={42: 100.0})
+    u_ban = eng.submit(prompt, max_new_tokens=8,
+                       logit_bias={int(ref[0]): -100.0})
+    u_plain = eng.submit(prompt, max_new_tokens=8)
+    outs = eng.run()
+    assert outs[u_pin] == [42] * 8
+    assert outs[u_ban][0] != ref[0]
+    assert outs[u_plain] == ref
+
+
 def test_engine_penalties_require_flag(params):
     eng = Engine(params, TINY, max_slots=2, max_seq=32, page_size=4,
                  chunk=4, dtype=jnp.float32)
