@@ -285,8 +285,10 @@ class APIServer:
             stops = [stops]
         stops = [s for s in (stops or []) if s]
         n_choices = max(1, int(body.get("n", 1)))
-        if n_choices > 1 and body.get("stream"):
-            raise ValueError("n > 1 with stream is not supported")
+        best_of = max(n_choices, int(body.get("best_of", n_choices)))
+        if (n_choices > 1 or best_of > 1) and body.get("stream"):
+            raise ValueError("n/best_of > 1 with stream is not supported")
+        echo = bool(body.get("echo")) and not chat
         lb = body.get("logit_bias") or None
         if lb:
             if not getattr(self.engine, "penalties", False):
@@ -297,7 +299,7 @@ class APIServer:
             lb = {int(k): float(v) for k, v in lb.items()}
         comps = [
             self._submit(prompt_ids, max_tokens, sampling, stop_ids, lb)
-            for _ in range(n_choices)
+            for _ in range(best_of)
         ]
         comp = comps[0]
         rid = f"cmpl-{uuid.uuid4().hex[:24]}"
@@ -364,11 +366,25 @@ class APIServer:
             h.wfile.flush()
             return
         want_lp = body.get("logprobs")
-        choices, total_out = [], 0
-        for idx, c in enumerate(comps):
+        results, total_out = [], 0
+        for c in comps:
             out, text, stopped = self._collect(c, stops)
             total_out += len(out)
+            results.append((c, out, text, stopped))
+        if best_of > n_choices:
+            # OpenAI best_of: generate best_of, return the n with the
+            # highest mean per-token logprob
+            def score(r):
+                req = self.engine.requests.get(r[0].uid)
+                lp = req.logprobs[: len(r[1])] if req else []
+                return sum(lp) / max(len(lp), 1)
+
+            results = sorted(results, key=score, reverse=True)[:n_choices]
+        choices = []
+        for idx, (c, out, text, stopped) in enumerate(results):
             fr = "stop" if stopped else c.finish_reason(out)
+            if echo:
+                text = self.tokenizer.decode(list(prompt_ids)) + text
             choice = (
                 {"index": idx,
                  "message": {"role": "assistant", "content": text},

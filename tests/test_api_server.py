@@ -209,6 +209,25 @@ def test_stop_string_streaming(server):
     assert finish == "stop"
 
 
+def test_echo_and_best_of(server):
+    srv, port, params = server
+    status, data = _post(port, "/v1/completions",
+                         {"prompt": "echo it", "max_tokens": 3,
+                          "echo": True})
+    assert status == 200
+    tok = StubTokenizer()
+    prompt_text = tok.decode(tok.encode("echo it"))
+    assert json.loads(data)["choices"][0]["text"].startswith(prompt_text)
+    # best_of > n: greedy duplicates, still exactly n choices back
+    status, data = _post(port, "/v1/completions",
+                         {"prompt": "echo it", "max_tokens": 3,
+                          "n": 1, "best_of": 3})
+    assert status == 200
+    out = json.loads(data)
+    assert len(out["choices"]) == 1
+    assert out["usage"]["completion_tokens"] == 9  # all best_of generated
+
+
 def test_logit_bias_api():
     params = init_float_params(TINY, jax.random.PRNGKey(0))
     eng = Engine(params, TINY, max_slots=2, max_seq=64, page_size=4,
