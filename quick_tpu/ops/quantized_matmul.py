@@ -157,6 +157,156 @@ def _make_kernel(gpb: int, slab: int, bn: int):
     return kernel
 
 
+def quantize_activations(x: jax.Array):
+    """Per-token (row) symmetric INT8 activation quantization:
+    x [M, K] -> (codes int8 [M, K], scales f32 [M, 1]). The W8 half of the
+    W4A8 path — one dynamic scale per token row, the standard serving
+    choice (per-row absmax)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax / 127.0, 1e-8)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def _quantized_matmul_a8_jnp(
+    x: jax.Array,
+    qweight: jax.Array,
+    scales: jax.Array,
+    zeros_x_scales: jax.Array,
+    group_size: int,
+    out_dtype,
+) -> jax.Array:
+    """XLA fallback with numerics identical to the A8 Pallas kernel:
+    int8 activation codes, int32 per-group integer dots, f32 output-side
+    scaling, per-row activation scale folded into the epilogue."""
+    K = x.shape[-1]
+    ng = K // group_size
+    nib = unpack_qtpu_jax(qweight, group_size).reshape(ng, group_size, -1)
+    xq, sx = quantize_activations(x)
+    xg = xq.reshape(-1, ng, group_size)
+    y = jnp.einsum(
+        "mgk,gkn->gmn", xg.astype(jnp.int8), nib.astype(jnp.int8),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    y = (y * scales[:, None, :]).sum(0)
+    xsum = xg.astype(jnp.int32).sum(-1).astype(jnp.float32)  # [M, ng]
+    y = y - jnp.dot(xsum, zeros_x_scales)
+    return (y * sx).astype(out_dtype)
+
+
+def _make_kernel_a8(gpb: int, slab: int, bn: int):
+    """W4A8 variant of _make_kernel: activations arrive as per-row INT8
+    codes, the per-group dot runs int8 x int8 -> int32 on the MXU (2x the
+    bf16 MXU rate on v5e: 394 vs 197 T*OPS — the prefill compute ceiling
+    doubles), and the row scale multiplies once in the epilogue:
+
+        out = sx * [ sum_g (xq_g @ q_g) * s_g - rowsum(xq_g) * (z_g*s_g) ]
+
+    The unpacked uint4 codes (0..15) are exact in int8 — the weight path
+    loses nothing vs W4A16; the only new error is the activations' per-row
+    int8 rounding."""
+    G = slab * PACK
+
+    def kernel(x_ref, sx_ref, qw_ref, s_ref, zs_ref, o_ref, acc):
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        part = jnp.zeros_like(acc)
+        for g in range(gpb):
+            qg = qw_ref[g * slab : (g + 1) * slab, :]  # [slab, bn] int32
+            nib = [(qg >> (4 * j)) & 0xF for j in range(PACK)]
+            wg = jnp.concatenate(nib, axis=0).astype(jnp.int8)  # [G, bn]
+            xg = x_ref[:, g * G : (g + 1) * G]  # [bm, G] int8
+            y = jnp.dot(xg, wg, preferred_element_type=jnp.int32)
+            xsum = jnp.sum(
+                xg.astype(jnp.int32), axis=1, keepdims=True
+            ).astype(jnp.float32)
+            part += y.astype(jnp.float32) * s_ref[g, :, :] - xsum * zs_ref[g, :, :]
+        acc[:] += part
+
+        @pl.when(k == pl.num_programs(2) - 1)
+        def _():
+            o_ref[:] = (acc[:] * sx_ref[:]).astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "out_dtype", "bm", "bn", "gpb")
+)
+def _quantized_matmul_2d_a8(
+    x: jax.Array,
+    qweight: jax.Array,
+    scales: jax.Array,
+    zeros_x_scales: jax.Array,
+    group_size: int = 128,
+    out_dtype=jnp.bfloat16,
+    bm: Optional[int] = None,
+    bn: Optional[int] = None,
+    gpb: Optional[int] = None,
+) -> jax.Array:
+    """W4A8 fused matmul: x [M, K] f32/bf16 is dynamically per-row INT8
+    quantized, weights stay INT4-packed. Prefill-shaped M only (int8
+    blocks need 32-row sublane tiles — decode stays on the W4A16 kernel,
+    which is HBM-bound there anyway)."""
+    M, K = x.shape
+    N = qweight.shape[1]
+    G = group_size
+    ng = K // G
+    slab = G // PACK
+
+    if _impl_mode() == "jnp":
+        return _quantized_matmul_a8_jnp(
+            x, qweight, scales, zeros_x_scales, G, out_dtype
+        )
+
+    # int8 operand blocks tile at (32, 128): round rows to 32
+    Mp = _round_up(M, 32)
+    if bm is None:
+        bm = Mp if Mp <= 128 else (128 if Mp % 128 == 0 else 32)
+    if bn is None:
+        bn = _pick_bn(N, Mp)
+    if gpb is None:
+        gpb = _pick_gpb(ng, G, bn, slab)
+
+    xq, sx = quantize_activations(x)
+    if Mp != M:
+        xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
+        sx = jnp.pad(sx, ((0, Mp - M), (0, 0)))
+
+    s3 = scales.reshape(ng, 1, N)
+    zs3 = zeros_x_scales.reshape(ng, 1, N)
+
+    out = pl.pallas_call(
+        _make_kernel_a8(gpb, slab, bn),
+        grid=(Mp // bm, N // bn, ng // gpb),
+        in_specs=[
+            pl.BlockSpec((bm, gpb * G), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb * slab, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, 1, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, 1, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=K * N // 2 + Mp * K + Mp * N * 2 + ng * N * 8,
+            transcendentals=0,
+        ),
+        interpret=_impl_mode() == "interpret",
+    )(xq, sx, qweight, s3, zs3)
+    return out[:M] if Mp != M else out
+
+
 def _pick_bn(N: int, Mp: int = 8) -> int:
     # 1024 measured best across M=1..128 at 7B/8192 shapes (tools/msweep.py,
     # tools/shape_sweep.py, tools/tile_sweep.py: bn=2048 helps some mid-M
@@ -299,8 +449,13 @@ def quantized_matmul(
     group_size: int = 128,
     bias: Optional[jax.Array] = None,
     out_dtype=None,
+    a8: bool = False,  # dynamic per-row INT8 activations: int8 x int8 MXU
+    # dots at 2x the bf16 rate (prefill compute ceiling doubles); adds
+    # per-row activation rounding error (~0.4%/value). Decode-shaped M
+    # still routes to the W4A16 kernel (bandwidth-bound there).
 ) -> jax.Array:
-    """Public fused W4A16 matmul over arbitrary leading dims.
+    """Public fused W4A16 (or W4A8 with ``a8=True``) matmul over arbitrary
+    leading dims.
 
     x: [..., K] activations; qweight: QTPU int32 [K//8, N];
     scales/zeros_x_scales: f32 [K//G, N]. Returns [..., N].
@@ -310,10 +465,16 @@ def quantized_matmul(
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    y = _quantized_matmul_2d(
-        x2, qweight, scales, zeros_x_scales,
-        group_size=group_size, out_dtype=out_dtype,
-    )
+    if a8 and x2.shape[0] > 8:
+        y = _quantized_matmul_2d_a8(
+            x2, qweight, scales, zeros_x_scales,
+            group_size=group_size, out_dtype=out_dtype,
+        )
+    else:
+        y = _quantized_matmul_2d(
+            x2, qweight, scales, zeros_x_scales,
+            group_size=group_size, out_dtype=out_dtype,
+        )
     y = y.reshape(*lead, y.shape[-1])
     if bias is not None:
         y = y + bias.astype(y.dtype)

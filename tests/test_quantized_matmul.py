@@ -88,3 +88,44 @@ def test_exactness_fp32_activations(rng):
                          jnp.asarray(s), jnp.asarray(z * s))
     ).astype(np.float32)
     np.testing.assert_allclose(out, ref, atol=1e-1, rtol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# W4A8 (dynamic per-row INT8 activations)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("M", [16, 33, 64, 128])
+def test_a8_matches_reference_over_M(rng, M):
+    """A8 kernel (interpret) vs golden dequant: the extra error budget is
+    the activations' per-row int8 rounding (~0.8% of row absmax)."""
+    x, qw, s, zs, ref = _make_case(rng, M, 512, 256)
+    out = np.asarray(
+        quantized_matmul(jnp.asarray(x, jnp.bfloat16), jnp.asarray(qw),
+                         jnp.asarray(s), jnp.asarray(zs), a8=True)
+    ).astype(np.float32)
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(out - ref).max() / scale < 3e-2
+
+
+def test_a8_jnp_matches_kernel(rng, monkeypatch):
+    """The jnp fallback and the interpret-mode A8 kernel share numerics
+    bit-for-bit up to f32 reassociation (same int codes, same factoring)."""
+    x, qw, s, zs, _ = _make_case(rng, 32, 512, 256)
+    args = (jnp.asarray(x, jnp.bfloat16), jnp.asarray(qw),
+            jnp.asarray(s), jnp.asarray(zs))
+    monkeypatch.setenv("QUICK_TPU_PALLAS_INTERPRET", "1")
+    k = np.asarray(quantized_matmul(*args, a8=True)).astype(np.float32)
+    monkeypatch.setenv("QUICK_TPU_PALLAS_INTERPRET", "0")
+    j = np.asarray(quantized_matmul(*args, a8=True)).astype(np.float32)
+    np.testing.assert_allclose(k, j, atol=2e-2, rtol=2e-2)
+
+
+def test_a8_decode_m_routes_to_a16(rng):
+    """Small M (decode) must keep the W4A16 path even with a8=True —
+    identical output to a8=False."""
+    x, qw, s, zs, _ = _make_case(rng, 4, 256, 128)
+    args = (jnp.asarray(x, jnp.bfloat16), jnp.asarray(qw),
+            jnp.asarray(s), jnp.asarray(zs))
+    a = np.asarray(quantized_matmul(*args, a8=True))
+    b = np.asarray(quantized_matmul(*args, a8=False))
+    np.testing.assert_array_equal(a, b)
