@@ -21,6 +21,16 @@ from quick_tpu.quantize.numerics import quantize_tensor
 from quick_tpu.quantize.packing import pack_qtpu
 
 
+def _a8_enabled() -> bool:
+    """QUICK_TPU_A8=1 routes every quantized linear with >8 flattened rows
+    through the W4A8 kernel (dynamic per-row INT8 activations, 2x MXU rate
+    — see ops/quantized_matmul.py). Read at trace time: set it before the
+    first forward. Decode at small batch keeps W4A16 via the M-gate."""
+    import os
+
+    return os.environ.get("QUICK_TPU_A8", "0") == "1"
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Linear:
@@ -61,7 +71,7 @@ class QuantLinear:
     def __call__(self, x: jax.Array) -> jax.Array:
         return quantized_matmul(
             x, self.qweight, self.scales, self.zeros_x_scales,
-            group_size=self.group_size, bias=self.bias,
+            group_size=self.group_size, bias=self.bias, a8=_a8_enabled(),
         )
 
     @property

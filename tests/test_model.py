@@ -41,6 +41,23 @@ def test_quant_forward_close_to_float(float_params, quant_params):
     assert np.isfinite(kl) and kl < 0.5  # random weights: loose bound
 
 
+def test_a8_forward_close_to_a16(quant_params, monkeypatch):
+    """QUICK_TPU_A8=1 (per-row int8 activations in every quantized linear)
+    must stay distribution-close to the W4A16 forward on a prefill-shaped
+    batch."""
+    toks = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, 256)
+    la, _ = model_forward(quant_params, TINY, toks)
+    monkeypatch.setenv("QUICK_TPU_A8", "1")
+    jax.clear_caches()  # the flag is read at trace time
+    l8, _ = model_forward(quant_params, TINY, toks)
+    monkeypatch.delenv("QUICK_TPU_A8")
+    jax.clear_caches()
+    pa = jax.nn.log_softmax(la[:, -1].astype(jnp.float32))
+    p8 = jax.nn.log_softmax(l8[:, -1].astype(jnp.float32))
+    kl = float(jnp.sum(jnp.exp(pa) * (pa - p8), axis=-1).mean())
+    assert np.isfinite(kl) and kl < 0.1
+
+
 def test_dense_decode_kernel_matches_einsum(float_params, monkeypatch):
     """Dense-cache decode through the paged Pallas kernel (identity block
     table over the head-major layer, interpret mode on CPU) must match the
