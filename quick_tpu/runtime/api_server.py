@@ -228,6 +228,30 @@ class APIServer:
                           "owned_by": "quick_tpu"}],
             })
         elif h.path == "/metrics":
+            # Prometheus text exposition (vLLM-style observability); the
+            # JSON form stays at /metrics.json
+            with self._lock:
+                stats = dict(self.engine.stats)
+                stats["queue_depth"] = len(self.engine.queue)
+                stats["active_slots"] = sum(
+                    r is not None for r in self.engine.slots
+                )
+                stats["free_pages"] = self.engine.alloc.n_free
+                if self.engine.prefix is not None:
+                    stats["prefix_index_pages"] = len(self.engine.prefix.index)
+                    stats["prefix_hits"] = self.engine.prefix.hits
+                    stats["prefix_misses"] = self.engine.prefix.misses
+            lines = []
+            for k, v in sorted(stats.items()):
+                lines.append(f"# TYPE quick_tpu_{k} gauge")
+                lines.append(f"quick_tpu_{k} {v}")
+            payload = ("\n".join(lines) + "\n").encode()
+            h.send_response(200)
+            h.send_header("Content-Type", "text/plain; version=0.0.4")
+            h.send_header("Content-Length", str(len(payload)))
+            h.end_headers()
+            h.wfile.write(payload)
+        elif h.path == "/metrics.json":
             with self._lock:
                 stats = dict(self.engine.stats)
             self._json(h, 200, stats)

@@ -67,7 +67,13 @@ def test_health_models_metrics(server):
     st, body = _get(port, "/v1/models")
     assert st == 200
     assert json.loads(body)["data"][0]["id"] == "tiny-test"
-    st, body = _get(port, "/metrics")
+    st, body = _get(port, "/metrics")  # Prometheus text exposition
+    assert st == 200
+    text = body.decode()
+    assert "# TYPE quick_tpu_steps gauge" in text
+    assert "quick_tpu_free_pages " in text
+    assert "quick_tpu_prefix_hits " in text
+    st, body = _get(port, "/metrics.json")
     assert st == 200 and "steps" in json.loads(body)
 
 
