@@ -16,6 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# persistent compile cache: identical XLA programs (re-created jit wrappers
+# across Engine instances / test runs) hit disk instead of recompiling —
+# big wall-clock win on this single-core box
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache_cpu_tests")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax  # noqa: E402
 
