@@ -155,6 +155,19 @@ class AutoQuickModel:
         return cls(params, cfg, qcfg, model_dir=model_dir)
 
     @classmethod
+    def from_gguf(cls, path: str) -> "AutoQuickModel":
+        """Load a llama.cpp GGUF file (no reference analog).
+
+        Q4_0/Q4_1/Q4_K tensors import BIT-EXACTLY onto the fused kernel's
+        (scales, zeros_x_scales) contract at group_size 32; other quant
+        types re-quantize to int4 g=32 — see utils/gguf.py."""
+        from quick_tpu.utils.gguf import load_gguf
+
+        params, cfg, qcfg = load_gguf(path)
+        check_and_get_model_type(cfg.model_type)
+        return cls(params, cfg, qcfg, model_dir=path)
+
+    @classmethod
     def from_random(
         cls, cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16
     ) -> "AutoQuickModel":
