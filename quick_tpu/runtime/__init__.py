@@ -1,5 +1,6 @@
 from quick_tpu.runtime.generate import (
     SamplingParams,
+    beam_generate,
     decode_loop,
     decode_step,
     generate,
@@ -10,6 +11,7 @@ from quick_tpu.runtime.serving import Engine, Request
 
 __all__ = [
     "SamplingParams",
+    "beam_generate",
     "prefill",
     "decode_step",
     "decode_loop",

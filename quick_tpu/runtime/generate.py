@@ -226,6 +226,108 @@ def decode_loop(
     return toks.T, cache  # [B, n_tokens]
 
 
+def beam_generate(
+    params: ModelParams,
+    cfg: ModelConfig,
+    prompt_tokens: jax.Array,  # [B, S]
+    max_new_tokens: int,
+    num_beams: int = 4,
+    length_penalty: float = 1.0,
+    eos_token_id: Optional[int] = None,
+    max_seq: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Beam search decode (the HF ``generate(num_beams=...)`` analog the
+    reference inherits via model.generate, quick/awq/models/base.py:87-89)
+    — TPU-shaped: the whole search runs inside one ``lax.scan`` over a
+    [B*num_beams]-row cache; beam reordering is a batch-axis gather of the
+    cache pytree each step (static shapes, no host control flow).
+
+    Returns (tokens [B, S + max_new_tokens], scores [B]) — the best beam
+    per batch row by summed logprob / length**length_penalty. A beam that
+    emits ``eos_token_id`` freezes: it keeps emitting EOS at zero cost and
+    competes with its frozen score."""
+    B, S = prompt_tokens.shape
+    nb = num_beams
+    V = cfg.vocab_size
+    if max_seq is None:
+        max_seq = S + max_new_tokens
+    NEG = jnp.float32(-1e9)
+
+    # tile prompts to [B*nb] rows; all beams share the prompt KV (recomputed
+    # per row — one extra prefill per beam, simple and fully static)
+    toks0 = jnp.repeat(prompt_tokens, nb, axis=0)
+    cache = make_cache(cfg, B * nb, max_seq)
+    logits, cache = prefill(params, cfg, toks0, cache)
+    logp0 = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    # only beam 0 is live initially, so the first top-k picks nb DISTINCT
+    # tokens from one distribution instead of nb copies of the argmax
+    init_bias = jnp.where(
+        jnp.arange(nb) == 0, 0.0, NEG
+    )[None, :].repeat(B, 0).reshape(B * nb)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def search(params, cache, logp, scores, n):
+        def step(carry, _):
+            cache, logp, scores, hist, lens, t = carry
+            # combine: [B, nb*V] cumulative candidate scores
+            cand = (scores[:, None] + logp.reshape(B * nb, V).astype(
+                jnp.float32
+            )).reshape(B, nb * V)
+            top, idx = jax.lax.top_k(cand, nb)          # [B, nb]
+            beam = idx // V                             # source beam
+            tok = (idx % V).astype(jnp.int32)
+            src = (jnp.arange(B)[:, None] * nb + beam).reshape(-1)
+            # reorder beam state: batch-axis gather over the cache pytree,
+            # history, and lengths
+            cache = jax.tree_util.tree_map(
+                lambda a: a.take(src, axis=1)
+                if a.ndim >= 2 and a.shape[1] == B * nb else a,
+                cache,
+            )
+            hist = hist[src]
+            lens = lens[src]
+            scores = top.reshape(-1)
+            tok = tok.reshape(-1)
+            hist = jax.lax.dynamic_update_slice(
+                hist, tok[:, None], (0, t)
+            )
+            logits, cache = model_forward(
+                params, cfg, tok[:, None], cache
+            )
+            lp = jax.nn.log_softmax(
+                logits[:, -1].astype(jnp.float32), axis=-1
+            )
+            if eos_token_id is not None:
+                # frozen beams (emitted EOS) only extend with EOS at cost 0
+                frozen = tok == eos_token_id
+                eos_row = jnp.full((V,), NEG).at[eos_token_id].set(0.0)
+                lp = jnp.where(frozen[:, None], eos_row[None, :], lp)
+                lens = lens + (~frozen).astype(jnp.int32)
+            else:
+                lens = lens + 1
+            return (cache, lp, scores, hist, lens, t + 1), None
+
+        hist0 = jnp.zeros((B * nb, n), jnp.int32)
+        lens0 = jnp.zeros((B * nb,), jnp.int32)
+        carry = (cache, logp, scores, hist0, lens0, jnp.int32(0))
+        (cache, logp, scores, hist, lens, _), _ = jax.lax.scan(
+            step, carry, length=n
+        )
+        return scores, hist, lens
+
+    scores, hist, lens = search(
+        params, cache, logp0, init_bias, n=max_new_tokens
+    )
+    # rank by length-normalized score (HF length_penalty semantics)
+    lens = jnp.maximum(lens, 1).astype(jnp.float32)
+    ranked = scores / (lens ** jnp.float32(length_penalty))
+    ranked = ranked.reshape(B, nb)
+    best = jnp.argmax(ranked, axis=1)                    # [B]
+    rows = jnp.arange(B) * nb + best
+    out = jnp.concatenate([prompt_tokens, hist[rows]], axis=1)
+    return out, scores.reshape(B, nb)[jnp.arange(B), best]
+
+
 def generate(
     params: ModelParams,
     cfg: ModelConfig,

@@ -144,3 +144,69 @@ def test_repetition_penalty_changes_greedy(float_params):
     assert pen[:i] == base[:i]
     assert pen[i] != base[i]
     assert len(set(pen)) > len(set(base))
+
+
+# ---------------------------------------------------------------------------
+# beam search
+# ---------------------------------------------------------------------------
+
+def test_beam1_equals_greedy(float_params):
+    from quick_tpu.runtime import beam_generate
+
+    prompt = jnp.asarray([[3, 4, 5, 6], [9, 8, 7, 6]], jnp.int32)
+    ref = generate(float_params, TINY, prompt, max_new_tokens=8)
+    out, _ = beam_generate(float_params, TINY, prompt, max_new_tokens=8,
+                           num_beams=1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_beam_score_consistency_and_improvement(float_params):
+    """The returned score must equal the teacher-forced logprob of the
+    returned continuation, and beam-4 must find a path at least as good
+    as greedy on this (deterministic) model."""
+    from quick_tpu.models.model import model_forward
+    from quick_tpu.runtime import beam_generate, make_cache
+
+    prompt = jnp.asarray([[7, 8, 9]], jnp.int32)
+    T = 6
+
+    def forced_score(seq):  # summed log-prob of seq continuation
+        cache = make_cache(TINY, 1, 32, dtype=jnp.float32)
+        logits, cache = model_forward(float_params, TINY, prompt, cache)
+        total, row = 0.0, logits[0, -1]
+        for t in seq:
+            lsm = jax.nn.log_softmax(row.astype(jnp.float32))
+            total += float(lsm[int(t)])
+            logits, cache = model_forward(
+                float_params, TINY, jnp.asarray([[int(t)]], jnp.int32), cache
+            )
+            row = logits[0, -1]
+        return total
+
+    out4, sc4 = beam_generate(float_params, TINY, prompt, max_new_tokens=T,
+                              num_beams=4)
+    seq4 = list(np.asarray(out4)[0, 3:])
+    assert abs(forced_score(seq4) - float(sc4[0])) < 5e-3
+    greedy = list(np.asarray(
+        generate(float_params, TINY, prompt, max_new_tokens=T)
+    )[0, 3:])
+    assert forced_score(seq4) >= forced_score(greedy) - 1e-4
+
+
+def test_beam_eos_freeze(float_params):
+    """A beam that emits EOS keeps emitting EOS at zero cost: force EOS
+    to be the unconditional argmax by... instead verify structurally —
+    wherever EOS appears in the winning beam, everything after is EOS."""
+    from quick_tpu.runtime import beam_generate
+
+    prompt = jnp.asarray([[5, 6, 7]], jnp.int32)
+    # greedy first token as the "eos": the top beam hits it immediately
+    first = int(np.asarray(
+        generate(float_params, TINY, prompt, max_new_tokens=1)
+    )[0, 3])
+    out, _ = beam_generate(float_params, TINY, prompt, max_new_tokens=6,
+                           num_beams=3, eos_token_id=first)
+    gen = list(np.asarray(out)[0, 3:])
+    if first in gen:
+        i = gen.index(first)
+        assert all(t == first for t in gen[i:])
