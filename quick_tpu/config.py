@@ -211,9 +211,23 @@ class ModelConfig:
     norm_topk_prob: bool = True
     scoring_func: str = "softmax"         # "softmax" (v2) | "sigmoid" (v3)
     #: router algorithm: "mixtral" = softmax over the top-k raw logits;
-    #: "deepseek" = score-all-first + group-limited selection (see
-    #: modules/blocks.py::moe_forward)
+    #: "deepseek" = score-all-first + group-limited selection;
+    #: "softmax_all" = softmax over ALL logits, then top-k of the scores
+    #: (qwen2/3-MoE — differs from "mixtral" when norm_topk_prob=False)
+    #: (see modules/blocks.py::moe_forward)
     moe_router: str = "mixtral"
+    #: qwen2_moe: layers listed here use the dense MLP even on MoE models
+    mlp_only_layers: tuple = ()
+    #: qwen2_moe counts sparse layers as (layer+1) % freq == 0 (deepseek
+    #: uses layer % freq == 0)
+    moe_freq_shifted: bool = False
+    #: width of the always-on shared expert (qwen2_moe
+    #: shared_expert_intermediate_size); None = n_shared_experts *
+    #: moe_intermediate_size (deepseek)
+    shared_intermediate_size: Optional[int] = None
+    #: qwen2_moe: the shared expert's output is gated by
+    #: sigmoid(shared_expert_gate(x)) (a [D, 1] linear)
+    shared_expert_gate: bool = False
     # norm epsilon name differences handled at import time
 
     @property
@@ -228,9 +242,20 @@ class ModelConfig:
             return False
         if layer_idx < self.first_k_dense_replace:
             return False
-        return layer_idx % max(self.moe_layer_freq, 1) == 0
+        if layer_idx in self.mlp_only_layers:
+            return False
+        freq = max(self.moe_layer_freq, 1)
+        if self.moe_freq_shifted:  # qwen2/3-MoE decoder_sparse_step
+            return (layer_idx + 1) % freq == 0
+        return layer_idx % freq == 0
 
     def __post_init__(self):
+        if not isinstance(self.mlp_only_layers, tuple):
+            # configs round-tripped through JSON deserialize lists; the
+            # config must stay hashable (it is a static jit argument)
+            object.__setattr__(
+                self, "mlp_only_layers", tuple(self.mlp_only_layers or ())
+            )
         if self.head_dim is None:
             object.__setattr__(
                 self, "head_dim", self.hidden_size // self.num_attention_heads
@@ -458,6 +483,32 @@ class ModelConfig:
             # llama-like + per-head q/k RMSNorm, explicit head_dim, no bias
             kw["use_qk_norm"] = True
             kw["attention_bias"] = hf.get("attention_bias", False)
+        elif mt in ("qwen2_moe", "qwen3_moe"):
+            # HF modeling_qwen2_moe / modeling_qwen3_moe: softmax-over-all
+            # routing, decoder_sparse_step placement counted from layer+1,
+            # optional dense-MLP exception layers; qwen2 adds an always-on
+            # shared expert gated by sigmoid(shared_expert_gate(x)) and
+            # qkv biases, qwen3 per-head q/k RMSNorm instead
+            kw["num_local_experts"] = hf.get("num_experts", 0)
+            kw["num_experts_per_tok"] = hf.get("num_experts_per_tok", 4)
+            kw["moe_router"] = "softmax_all"
+            kw["norm_topk_prob"] = hf.get(
+                "norm_topk_prob", mt == "qwen3_moe"
+            )
+            kw["moe_intermediate_size"] = hf.get("moe_intermediate_size")
+            kw["moe_layer_freq"] = hf.get("decoder_sparse_step", 1)
+            kw["moe_freq_shifted"] = True
+            kw["mlp_only_layers"] = tuple(hf.get("mlp_only_layers") or ())
+            if mt == "qwen2_moe":
+                kw["attention_bias"] = True
+                kw["shared_intermediate_size"] = hf.get(
+                    "shared_expert_intermediate_size"
+                )
+                kw["shared_expert_gate"] = True
+                kw["n_shared_experts"] = 1
+            else:
+                kw["use_qk_norm"] = True
+                kw["attention_bias"] = hf.get("attention_bias", False)
         elif mt == "phi3":
             # phi3/phi3.5/phi4 (HF modeling_phi3): llama numerics with
             # FUSED qkv_proj / gate_up_proj checkpoint tensors, longrope

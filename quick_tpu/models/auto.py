@@ -63,6 +63,15 @@ MODEL_TYPE_MAP: Dict[str, dict] = {
                "tie_word_embeddings": True, "use_post_norms": True,
                "use_qk_norm": True},
     "qwen3": {"use_qk_norm": True},
+    "qwen2_moe": {
+        "moe_router": "softmax_all", "moe_freq_shifted": True,
+        "attention_bias": True, "shared_expert_gate": True,
+        "n_shared_experts": 1, "norm_topk_prob": False,
+    },
+    "qwen3_moe": {
+        "use_qk_norm": True, "moe_router": "softmax_all",
+        "moe_freq_shifted": True, "norm_topk_prob": True,
+    },
     "phi3": {},
     "cohere": {"layernorm": "layernorm", "parallel_residual": True,
                "tie_word_embeddings": True, "logit_scale": 0.0625},

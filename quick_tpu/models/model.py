@@ -208,7 +208,7 @@ def init_float_params(
             dn = Linear(
                 jax.random.normal(ks[3], (E, Fe, D), dtype) / jnp.sqrt(Fe)
             )
-            Fs = Fe * cfg.n_shared_experts
+            Fs = cfg.shared_intermediate_size or Fe * cfg.n_shared_experts
             mlp = MoEParams(
                 router=dense(ks[4], D, E),
                 gate_up_proj=gu,
@@ -220,6 +220,10 @@ def init_float_params(
                 score_bias=(
                     jnp.zeros(E, jnp.float32)
                     if cfg.scoring_func == "sigmoid" else None
+                ),
+                shared_gate=(
+                    dense(ks[7], D, 1)
+                    if Fs and cfg.shared_expert_gate else None
                 ),
             )
         else:
@@ -331,7 +335,7 @@ def init_quant_params(
         if cfg.layer_is_moe(i):
             E = cfg.num_local_experts
             Fe = cfg.moe_intermediate_size or F
-            Fs = Fe * cfg.n_shared_experts
+            Fs = cfg.shared_intermediate_size or Fe * cfg.n_shared_experts
             mlp = MoEParams(
                 router=Linear(
                     jax.random.normal(ks[4], (D, E), dtype) / jnp.sqrt(D)
@@ -343,6 +347,13 @@ def init_quant_params(
                 score_bias=(
                     jnp.zeros(E, jnp.float32)
                     if cfg.scoring_func == "sigmoid" else None
+                ),
+                shared_gate=(
+                    Linear(
+                        jax.random.normal(ks[7], (D, 1), dtype)
+                        / jnp.sqrt(D)
+                    )
+                    if Fs and cfg.shared_expert_gate else None
                 ),
             )
         else:
@@ -503,6 +514,7 @@ def quantize_params(
                     else q(blk.mlp.shared_down, "down")
                 ),
                 score_bias=blk.mlp.score_bias,
+                shared_gate=blk.mlp.shared_gate,  # [D, 1] — stays float
             )
         else:
             mlp = MLPParams(

@@ -69,6 +69,8 @@ class MoEParams:
     shared_gate_up: Optional[AnyLinear] = None  # [D, 2*F_shared]
     shared_down: Optional[AnyLinear] = None     # [F_shared, D]
     score_bias: Optional[jax.Array] = None      # [E] — selection-only bias
+    #: qwen2_moe: [D, 1] linear whose sigmoid gates the shared expert
+    shared_gate: Optional[AnyLinear] = None
 
 
 @jax.tree_util.register_dataclass
@@ -341,6 +343,14 @@ def moe_forward(
         if cfg.norm_topk_prob and topk > 1:
             weights = weights / (weights.sum(-1, keepdims=True) + 1e-20)
         weights = weights * cfg.routed_scaling_factor
+    elif cfg.moe_router == "softmax_all":
+        # qwen2/3-MoE: softmax over ALL experts first, then top-k of the
+        # scores; renormalize only under norm_topk_prob (qwen3 yes, qwen2
+        # no — without it the weights keep their full-distribution mass)
+        scores = jax.nn.softmax(logits, axis=-1)
+        weights, sel = jax.lax.top_k(scores, topk)
+        if cfg.norm_topk_prob and topk > 1:
+            weights = weights / (weights.sum(-1, keepdims=True) + 1e-20)
     else:
         weights, sel = jax.lax.top_k(logits, topk)  # [B,S,topk]
         weights = jax.nn.softmax(weights, axis=-1)
@@ -391,11 +401,16 @@ def moe_forward(
         y = jnp.einsum("ebsd,bse->bsd", outs.astype(jnp.float32), comb_local)
     y = ctx.psum_expert(y).astype(x.dtype)
     if p.shared_gate_up is not None:
-        # deepseek shared experts: always-on dense branch, added AFTER the
-        # expert-axis psum (weights replicated across EP shards)
+        # deepseek/qwen2 shared expert: always-on dense branch, added AFTER
+        # the expert-axis psum (weights replicated across EP shards)
         gu = p.shared_gate_up(x)
         gate, up = jnp.split(gu, 2, axis=-1)
-        y = y + p.shared_down(_act(gate, cfg) * up)
+        sh = p.shared_down(_act(gate, cfg) * up)
+        if p.shared_gate is not None:
+            # qwen2_moe: per-token sigmoid gate on the shared branch
+            g = jax.nn.sigmoid(p.shared_gate(x).astype(jnp.float32))
+            sh = (sh.astype(jnp.float32) * g).astype(sh.dtype)
+        y = y + sh
     return y
 
 

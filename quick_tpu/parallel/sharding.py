@@ -158,6 +158,7 @@ def param_specs(params: "ModelParams", cfg: ModelConfig) -> "ModelParams":
                 shared_gate_up=_replicated_spec(blk.mlp.shared_gate_up),
                 shared_down=_replicated_spec(blk.mlp.shared_down),
                 score_bias=None if blk.mlp.score_bias is None else rep1,
+                shared_gate=_replicated_spec(blk.mlp.shared_gate),
             )
             # router stays replicated (tiny)
             mlp = dataclasses.replace(

@@ -562,6 +562,7 @@ def _awq_moe(moe: MoEParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
         shared_gate_up=None if sgu is None else Linear(sgu),
         shared_down=None if sdn is None else Linear(sdn),
         score_bias=moe.score_bias,
+        shared_gate=moe.shared_gate,  # [D, 1] sigmoid gate — stays float
     )
     mlp_out = moe_forward(scaled, cfg, mlp_in)
 
@@ -587,6 +588,7 @@ def _awq_moe(moe: MoEParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
             None if sdn is None else QuantLinear.from_float(sdn, None, G, zp)
         ),
         score_bias=moe.score_bias,
+        shared_gate=moe.shared_gate,
     )
     return packed, mlp_out, mlp_norm
 

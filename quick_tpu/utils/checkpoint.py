@@ -97,6 +97,8 @@ def params_to_flat(params: ModelParams) -> Dict[str, np.ndarray]:
                     f"{p}.mlp.shared_gate_up", blk.mlp.shared_gate_up, out
                 )
                 _lin_to_flat(f"{p}.mlp.shared_down", blk.mlp.shared_down, out)
+            if blk.mlp.shared_gate is not None:
+                _lin_to_flat(f"{p}.mlp.shared_gate", blk.mlp.shared_gate, out)
             if blk.mlp.score_bias is not None:
                 out[f"{p}.mlp.score_bias"] = np.asarray(blk.mlp.score_bias)
         else:
@@ -194,6 +196,10 @@ def flat_to_params(
                 score_bias=(
                     jnp.asarray(flat[f"{p}.mlp.score_bias"])
                     if f"{p}.mlp.score_bias" in flat else None
+                ),
+                shared_gate=(
+                    _flat_to_lin(f"{p}.mlp.shared_gate", flat, group_size)
+                    if f"{p}.mlp.shared_gate.weight" in flat else None
                 ),
             )
         else:
@@ -532,7 +538,7 @@ def _import_llama_family(
             V(f"{p}.self_attn.k_norm.weight")
             if f"{p}.self_attn.k_norm.weight" in raw else None
         )
-        if cfg.is_moe:
+        if cfg.is_moe and f"{p}.block_sparse_moe.gate.weight" in raw:
             E = cfg.num_local_experts
             gus, dns = [], []
             for e in range(E):
@@ -544,6 +550,36 @@ def _import_llama_family(
                 router=Linear(W(f"{p}.block_sparse_moe.gate.weight")),
                 gate_up_proj=Linear(jnp.stack(gus)),
                 down_proj=Linear(jnp.stack(dns)),
+            )
+        elif cfg.is_moe and f"{p}.mlp.gate.weight" in raw:
+            # qwen2_moe / qwen3_moe (HF modeling_qwen*_moe): experts under
+            # mlp.experts.N.{gate,up,down}_proj; qwen2 adds a shared expert
+            # plus the [1, D] shared_expert_gate whose sigmoid scales it
+            E = cfg.num_local_experts
+            gus, dns = [], []
+            for e in range(E):
+                g = W(f"{p}.mlp.experts.{e}.gate_proj.weight")
+                u = W(f"{p}.mlp.experts.{e}.up_proj.weight")
+                gus.append(jnp.concatenate([g, u], axis=1))
+                dns.append(W(f"{p}.mlp.experts.{e}.down_proj.weight"))
+            shared_gu = shared_dn = shared_gate = None
+            if f"{p}.mlp.shared_expert.gate_proj.weight" in raw:
+                sg = W(f"{p}.mlp.shared_expert.gate_proj.weight")
+                su = W(f"{p}.mlp.shared_expert.up_proj.weight")
+                shared_gu = Linear(jnp.concatenate([sg, su], axis=1))
+                shared_dn = Linear(
+                    W(f"{p}.mlp.shared_expert.down_proj.weight")
+                )
+                shared_gate = Linear(
+                    W(f"{p}.mlp.shared_expert_gate.weight")  # [D, 1]
+                )
+            mlp = MoEParams(
+                router=Linear(W(f"{p}.mlp.gate.weight")),
+                gate_up_proj=Linear(jnp.stack(gus)),
+                down_proj=Linear(jnp.stack(dns)),
+                shared_gate_up=shared_gu,
+                shared_down=shared_dn,
+                shared_gate=shared_gate,
             )
         else:
             gate = W(f"{p}.mlp.gate_proj.weight")

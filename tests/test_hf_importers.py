@@ -1005,3 +1005,150 @@ def test_olmo2_save_quantize_roundtrip(tmp_path):
     a, _ = model_forward(qp, cfg, toks)
     b, _ = model_forward(p2, cfg2, toks)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_import_qwen2_moe(tmp_path):
+    """qwen2_moe: softmax-all routing, per-layer sparse/dense mix
+    (mlp_only_layers), shared expert with sigmoid gate, qkv biases."""
+    E, Fe, Fs = 4, 32, 48
+    cfg = {
+        "model_type": "qwen2_moe", "hidden_size": D,
+        "num_attention_heads": H, "num_key_value_heads": 2,
+        "num_hidden_layers": L, "intermediate_size": F,
+        "moe_intermediate_size": Fe,
+        "shared_expert_intermediate_size": Fs,
+        "num_experts": E, "num_experts_per_tok": 2,
+        "norm_topk_prob": False, "decoder_sparse_step": 1,
+        "mlp_only_layers": [0], "vocab_size": V,
+        "max_position_embeddings": 64, "rms_norm_eps": 1e-6,
+    }
+    t = {"model.embed_tokens.weight": _w(V, D),
+         "model.norm.weight": np.ones(D, np.float32),
+         "lm_head.weight": _w(V, D)}
+    for i in range(L):
+        p = f"model.layers.{i}"
+        t[f"{p}.input_layernorm.weight"] = np.ones(D, np.float32)
+        t[f"{p}.post_attention_layernorm.weight"] = np.ones(D, np.float32)
+        for n, o in (("q_proj", D), ("k_proj", 2 * HD), ("v_proj", 2 * HD)):
+            t[f"{p}.self_attn.{n}.weight"] = _w(o, D)
+            t[f"{p}.self_attn.{n}.bias"] = _w(o)
+        t[f"{p}.self_attn.o_proj.weight"] = _w(D, D)
+        if i == 0:  # mlp_only layer: dense MLP
+            t[f"{p}.mlp.gate_proj.weight"] = _w(F, D)
+            t[f"{p}.mlp.up_proj.weight"] = _w(F, D)
+            t[f"{p}.mlp.down_proj.weight"] = _w(D, F)
+        else:
+            t[f"{p}.mlp.gate.weight"] = _w(E, D)
+            for e in range(E):
+                t[f"{p}.mlp.experts.{e}.gate_proj.weight"] = _w(Fe, D)
+                t[f"{p}.mlp.experts.{e}.up_proj.weight"] = _w(Fe, D)
+                t[f"{p}.mlp.experts.{e}.down_proj.weight"] = _w(D, Fe)
+            t[f"{p}.mlp.shared_expert.gate_proj.weight"] = _w(Fs, D)
+            t[f"{p}.mlp.shared_expert.up_proj.weight"] = _w(Fs, D)
+            t[f"{p}.mlp.shared_expert.down_proj.weight"] = _w(D, Fs)
+            t[f"{p}.mlp.shared_expert_gate.weight"] = _w(1, D)
+    m = AutoQuickModel.from_pretrained(_write(tmp_path, cfg, t), jnp.float32)
+    assert m.cfg.moe_router == "softmax_all" and not m.cfg.norm_topk_prob
+    assert not m.cfg.layer_is_moe(0) and m.cfg.layer_is_moe(1)
+    from quick_tpu.modules.blocks import MLPParams, MoEParams
+
+    assert isinstance(m.params.blocks[0].mlp, MLPParams)
+    moe = m.params.blocks[1].mlp
+    assert isinstance(moe, MoEParams)
+    assert moe.shared_gate is not None
+    assert moe.shared_gate.weight.shape == (D, 1)
+    assert moe.shared_gate_up.weight.shape == (D, 2 * Fs)
+    assert m.params.blocks[1].attn.qkv_proj.bias is not None
+    _forward_ok(m)
+
+
+def test_import_qwen3_moe(tmp_path):
+    """qwen3_moe: per-head q/k RMSNorm + softmax-all routing with
+    norm_topk_prob, no shared expert."""
+    E, Fe = 4, 32
+    cfg = {
+        "model_type": "qwen3_moe", "hidden_size": D,
+        "num_attention_heads": H, "num_key_value_heads": 2,
+        "num_hidden_layers": L, "intermediate_size": F,
+        "moe_intermediate_size": Fe, "num_experts": E,
+        "num_experts_per_tok": 2, "norm_topk_prob": True,
+        "decoder_sparse_step": 1, "head_dim": HD, "vocab_size": V,
+        "max_position_embeddings": 64, "rms_norm_eps": 1e-6,
+    }
+    t = {"model.embed_tokens.weight": _w(V, D),
+         "model.norm.weight": np.ones(D, np.float32),
+         "lm_head.weight": _w(V, D)}
+    for i in range(L):
+        p = f"model.layers.{i}"
+        t[f"{p}.input_layernorm.weight"] = np.ones(D, np.float32)
+        t[f"{p}.post_attention_layernorm.weight"] = np.ones(D, np.float32)
+        for n, o in (("q_proj", D), ("k_proj", 2 * HD), ("v_proj", 2 * HD)):
+            t[f"{p}.self_attn.{n}.weight"] = _w(o, D)
+        t[f"{p}.self_attn.o_proj.weight"] = _w(D, D)
+        t[f"{p}.self_attn.q_norm.weight"] = np.ones(HD, np.float32)
+        t[f"{p}.self_attn.k_norm.weight"] = np.ones(HD, np.float32)
+        t[f"{p}.mlp.gate.weight"] = _w(E, D)
+        for e in range(E):
+            t[f"{p}.mlp.experts.{e}.gate_proj.weight"] = _w(Fe, D)
+            t[f"{p}.mlp.experts.{e}.up_proj.weight"] = _w(Fe, D)
+            t[f"{p}.mlp.experts.{e}.down_proj.weight"] = _w(D, Fe)
+    m = AutoQuickModel.from_pretrained(_write(tmp_path, cfg, t), jnp.float32)
+    assert m.cfg.use_qk_norm and m.cfg.norm_topk_prob
+    moe = m.params.blocks[0].mlp
+    assert moe.shared_gate is None and moe.shared_gate_up is None
+    _forward_ok(m)
+
+
+def test_qwen2_moe_routing_reference():
+    """moe_forward with softmax_all routing + sigmoid-gated shared expert
+    vs a straight-line numpy port of HF modeling_qwen2_moe's sparse MLP."""
+    from quick_tpu import ModelConfig
+    from quick_tpu.modules.blocks import MoEParams, moe_forward
+    from quick_tpu.modules.linear import Linear
+
+    rng = np.random.default_rng(5)
+    Dm, E, Fe, Fs, topk = 16, 4, 8, 12, 2
+    cfg = ModelConfig(
+        vocab_size=32, hidden_size=Dm, intermediate_size=32,
+        num_hidden_layers=1, num_attention_heads=2,
+        max_position_embeddings=32, num_local_experts=E,
+        num_experts_per_tok=topk, moe_router="softmax_all",
+        norm_topk_prob=False, shared_expert_gate=True,
+    )
+    Wr = rng.standard_normal((Dm, E)).astype(np.float32)
+    Gu = rng.standard_normal((E, Dm, 2 * Fe)).astype(np.float32) * 0.2
+    Dn = rng.standard_normal((E, Fe, Dm)).astype(np.float32) * 0.2
+    Sgu = rng.standard_normal((Dm, 2 * Fs)).astype(np.float32) * 0.2
+    Sdn = rng.standard_normal((Fs, Dm)).astype(np.float32) * 0.2
+    Wg = rng.standard_normal((Dm, 1)).astype(np.float32)
+    x = rng.standard_normal((1, 3, Dm)).astype(np.float32) * 0.5
+    p = MoEParams(
+        router=Linear(jnp.asarray(Wr)),
+        gate_up_proj=Linear(jnp.asarray(Gu)),
+        down_proj=Linear(jnp.asarray(Dn)),
+        shared_gate_up=Linear(jnp.asarray(Sgu)),
+        shared_down=Linear(jnp.asarray(Sdn)),
+        shared_gate=Linear(jnp.asarray(Wg)),
+    )
+    got = np.asarray(moe_forward(p, cfg, jnp.asarray(x)))
+
+    def silu(a):
+        return a / (1.0 + np.exp(-a))
+
+    ref = np.zeros_like(x)
+    for b in range(1):
+        for s in range(3):
+            h = x[b, s]
+            logits = h @ Wr
+            sm = np.exp(logits - logits.max())
+            sm = sm / sm.sum()
+            sel = np.argsort(sm)[::-1][:topk]
+            acc = np.zeros(Dm, np.float32)
+            for e in sel:
+                z = h @ Gu[e]
+                acc += sm[e] * (silu(z[:Fe]) * z[Fe:]) @ Dn[e]
+            z = h @ Sgu
+            shared = (silu(z[:Fs]) * z[Fs:]) @ Sdn
+            g = 1.0 / (1.0 + np.exp(-(h @ Wg)[0]))
+            ref[b, s] = acc + g * shared
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
