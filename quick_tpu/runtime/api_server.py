@@ -86,11 +86,25 @@ class APIServer:
     # -- scheduler thread ------------------------------------------------------
     def _drive(self):
         while not self._shutdown.is_set():
-            with self._lock:
-                busy = self.engine.has_work
-                if busy:
-                    self.engine.step()
-                    self._signal_finished()
+            try:
+                with self._lock:
+                    busy = self.engine.has_work
+                    if busy:
+                        self.engine.step()
+                        self._signal_finished()
+            except Exception:  # noqa: BLE001 — the scheduler thread must
+                # survive anything: a dead _drive hangs every client while
+                # /health keeps answering ok. Fail the in-flight requests
+                # visibly instead and keep serving.
+                import traceback
+
+                traceback.print_exc()
+                with self._lock:
+                    for uid in list(self._completions):
+                        self.engine.abort(uid)
+                        self._completions[uid].tokens.put(None)
+                    self._completions.clear()
+                busy = False
             if not busy:
                 time.sleep(0.002)
 
@@ -143,9 +157,12 @@ class APIServer:
         (OpenAI `stop`). Returns (token_ids, text, stopped_by_string)."""
         if not stops:
             out = self._wait(comp)
-            return out, self.tokenizer.decode(out), False
+            return out, self.tokenizer.decode(self._strip_stop(comp, out)), False
         out, text = [], ""
         for tok in self._iter_stream(comp):
+            if tok == comp.eos_id or tok in comp.stop_ids:
+                out.append(tok)  # finish_reason sees it; text excludes it
+                break
             piece = self.tokenizer.decode([tok])
             cut = self._find_stop(text + piece, stops)
             if cut >= 0:
@@ -157,6 +174,15 @@ class APIServer:
             text += piece
         return out, text, False
 
+    @staticmethod
+    def _strip_stop(comp: _Completion, out):
+        """Drop the terminating EOS / stop token from the DECODED text
+        (OpenAI and vLLM both exclude it); token-id lists keep it for
+        usage counts and finish_reason."""
+        if out and (out[-1] == comp.eos_id or out[-1] in comp.stop_ids):
+            return out[:-1]
+        return out
+
     def _wait(self, comp: _Completion, timeout: float = 600.0):
         deadline = time.time() + timeout
         while time.time() < deadline:
@@ -166,6 +192,10 @@ class APIServer:
                     self._completions.pop(comp.uid, None)
                     return list(out)
             time.sleep(0.002)
+        with self._lock:  # stop paying for a request nobody will read
+            self.engine.abort(comp.uid)
+            self.engine.pop_finished(comp.uid)
+            self._completions.pop(comp.uid, None)
         raise TimeoutError(f"request {comp.uid} timed out")
 
     def _iter_stream(self, comp: _Completion, timeout: float = 600.0):
@@ -176,6 +206,10 @@ class APIServer:
                 tok = comp.tokens.get(timeout=min(1.0, deadline - time.time()))
             except (Empty, ValueError):
                 if time.time() >= deadline:
+                    with self._lock:
+                        self.engine.abort(comp.uid)
+                        self.engine.pop_finished(comp.uid)
+                        self._completions.pop(comp.uid, None)
                     raise TimeoutError(f"request {comp.uid} timed out")
                 continue
             if tok is None:
@@ -273,6 +307,8 @@ class APIServer:
                 self._json(h, 404, {"error": "not found"})
         except (KeyError, TypeError, ValueError) as e:
             self._json(h, 400, {"error": str(e)})
+        except TimeoutError as e:
+            self._json(h, 504, {"error": str(e)})
 
     def _completion(self, h, body, chat: bool):
         if chat:
@@ -293,7 +329,9 @@ class APIServer:
                 else self.tokenizer.encode(prompt)
             )
         max_tokens = int(body.get("max_tokens", 16))
-        temperature = float(body.get("temperature", 0.0))
+        # OpenAI defaults temperature to 1.0 (sampling); clients that want
+        # greedy must pass temperature=0 explicitly
+        temperature = float(body.get("temperature", 1.0))
         sampling = SamplingParams(
             temperature=temperature,
             top_k=int(body.get("top_k", 0)),
@@ -351,6 +389,9 @@ class APIServer:
 
             try:
                 for tok in self._iter_stream(comp):
+                    if tok == comp.eos_id or tok in comp.stop_ids:
+                        out.append(tok)  # keeps finish_reason="stop";
+                        break            # the marker itself is not content
                     piece = self.tokenizer.decode([tok])
                     if stops:
                         # stop strings end the stream at the match start;
@@ -375,6 +416,7 @@ class APIServer:
                 # client went away: stop paying for its tokens
                 with self._lock:
                     self.engine.abort(comp.uid)
+                    self.engine.pop_finished(comp.uid)
                     self._completions.pop(comp.uid, None)
                 return
             fin = {"id": rid, "object": kind + ".chunk",
@@ -388,6 +430,8 @@ class APIServer:
             h.wfile.write(f"data: {json.dumps(fin)}\n\n".encode())
             h.wfile.write(b"data: [DONE]\n\n")
             h.wfile.flush()
+            with self._lock:
+                self.engine.pop_finished(comp.uid)
             return
         want_lp = body.get("logprobs")
         results, total_out = [], 0
@@ -421,6 +465,9 @@ class APIServer:
                     c.uid, out, want_lp, body, chat
                 )
             choices.append(choice)
+        with self._lock:  # logprobs were read above — release everything
+            for c in comps:
+                self.engine.pop_finished(c.uid)
         self._json(h, 200, {
             "id": rid, "object": kind, "model": self.model_name,
             "choices": choices,

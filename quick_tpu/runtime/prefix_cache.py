@@ -29,14 +29,25 @@ from typing import Dict, List, Optional, Tuple
 from quick_tpu.modules.paged_cache import PageAllocator, TRASH_PAGE
 
 
-def page_hashes(prompt: List[int], page_size: int) -> List[int]:
+def page_hashes(prompt: List[int], page_size: int) -> List[bytes]:
     """Chain hashes of the prompt's shareable full pages (at least one
-    trailing token is left uncovered — see module docstring)."""
+    trailing token is left uncovered — see module docstring).
+
+    SHA-256 chain, not Python ``hash()``: a page-id collision silently
+    serves another request's KV (wrong output AND a cross-request context
+    leak), and 64-bit hashes are adversarially constructible — the same
+    reason vLLM's prefix cache moved to SHA-256."""
+    import hashlib
+    import struct
+
     n_full = (len(prompt) - 1) // page_size
-    hashes = []
-    h = 0
+    hashes: List[bytes] = []
+    h = b""
     for i in range(n_full):
-        h = hash((h, tuple(prompt[i * page_size : (i + 1) * page_size])))
+        page = prompt[i * page_size : (i + 1) * page_size]
+        h = hashlib.sha256(
+            h + struct.pack(f"<{len(page)}q", *page)
+        ).digest()
         hashes.append(h)
     return hashes
 
@@ -47,15 +58,15 @@ class PrefixCache:
 
     def __init__(self, alloc: PageAllocator):
         self._alloc = alloc
-        self.index: Dict[int, int] = {}   # chain-hash -> page id
-        self.rev: Dict[int, int] = {}     # page id -> chain-hash
+        self.index: Dict[bytes, int] = {}  # chain-hash -> page id
+        self.rev: Dict[int, bytes] = {}   # page id -> chain-hash
         self.refs: Dict[int, int] = {}    # page id -> slot-owner count
         self.lru: "OrderedDict[int, None]" = OrderedDict()  # retained pages
         self.hits = 0
         self.misses = 0
 
     # -- admission ------------------------------------------------------------
-    def match(self, hashes: List[int]) -> List[int]:
+    def match(self, hashes: List[bytes]) -> List[int]:
         """Longest indexed chain prefix; increments refcounts of the
         matched pages (call release() on admission failure)."""
         got: List[int] = []
@@ -73,6 +84,10 @@ class PrefixCache:
     def alloc(self, n: int) -> Optional[List[int]]:
         """Allocate n fresh pages (refcount 1), evicting LRU-retained
         pages under pressure."""
+        if n > self.n_reusable:
+            # infeasible even after evicting everything: fail WITHOUT
+            # wiping the warm index (the caller retries after retirements)
+            return None
         while self._alloc.n_free < n and self.lru:
             pg, _ = self.lru.popitem(last=False)  # oldest retained page
             h = self.rev.pop(pg)
@@ -91,7 +106,7 @@ class PrefixCache:
         return self._alloc.n_free + len(self.lru)
 
     # -- registration ---------------------------------------------------------
-    def register(self, h: int, page: int) -> None:
+    def register(self, h: bytes, page: int) -> None:
         """Publish a fully-written prompt page. First writer wins; later
         identical pages stay private (no dedup-merge)."""
         if h not in self.index and page not in self.rev:

@@ -514,12 +514,24 @@ class Engine:
             raise ValueError(
                 "history penalties need Engine(enable_penalties=True)"
             )
-        uid = self._uid
-        self._uid += 1
         if logit_bias and not self.penalties:
             raise ValueError(
                 "logit_bias needs Engine(enable_penalties=True)"
             )
+        if not prompt:
+            raise ValueError("empty prompt")
+        full_need = -(-(len(prompt) + max_new_tokens) // self.page_size)
+        max_pages = self.cache.block_table.shape[1]
+        if full_need > max_pages:
+            # reject HERE, in the caller's thread — raising at admission
+            # time would kill the scheduler loop with the request still
+            # queued (it can never become admissible)
+            raise ValueError(
+                f"prompt + max_new_tokens needs {full_need} pages > table "
+                f"width {max_pages}; raise max_seq or shorten the request"
+            )
+        uid = self._uid
+        self._uid += 1
         req = Request(
             uid, list(prompt), max_new_tokens, eos_token_id,
             frozenset(stop_token_ids) if stop_token_ids else None,
@@ -559,6 +571,14 @@ class Engine:
             return base
         return base + (jnp.asarray(reps), jnp.asarray(freqs),
                        jnp.asarray(press))
+
+    def pop_finished(self, uid: int) -> Optional[List[int]]:
+        """Release a completed request's bookkeeping (its ``finished``
+        output list and the uid -> Request registry entry — logprobs etc.
+        live on the Request). Long-running callers MUST pop what they
+        consume or the per-request state accumulates forever."""
+        self.requests.pop(uid, None)
+        return self.finished.pop(uid, None)
 
     def abort(self, uid: int) -> bool:
         """Cancel a request. Queued requests are dropped; active requests

@@ -42,6 +42,15 @@ def server():
 
 
 def _post(port, path, body):
+    # the server's OpenAI-compliant default is temperature=1.0 (sampling);
+    # these tests assert deterministic outputs, so pin greedy unless a
+    # test opts out via _post_raw
+    if "temperature" not in body:
+        body = {**body, "temperature": 0.0}
+    return _post_raw(port, path, body)
+
+
+def _post_raw(port, path, body):
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
     conn.request("POST", path, json.dumps(body),
                  {"Content-Type": "application/json"})
@@ -196,7 +205,8 @@ def test_stop_string_streaming(server):
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
     conn.request("POST", "/v1/completions",
                  json.dumps({"prompt": "halt here", "max_tokens": 8,
-                             "stop": stop, "stream": True}),
+                             "stop": stop, "stream": True,
+                             "temperature": 0.0}),
                  {"Content-Type": "application/json"})
     resp = conn.getresponse()
     body = resp.read().decode()
@@ -299,3 +309,90 @@ def test_bad_request(server):
     assert st == 400
     st, _ = _post(port, "/v1/nope", {})
     assert st == 404
+
+
+def test_default_temperature_is_sampling(server):
+    """Omitting temperature must follow the OpenAI default (1.0 sampling):
+    repeated calls on a near-uniform tiny model produce differing outputs,
+    while explicit temperature=0 is deterministic."""
+    srv, port, params = server
+    outs = set()
+    for _ in range(6):
+        st, body = _post_raw(port, "/v1/completions",
+                             {"prompt": "draw", "max_tokens": 6})
+        assert st == 200
+        outs.add(json.loads(body)["choices"][0]["text"])
+    assert len(outs) > 1
+
+
+def test_oversized_request_rejected_not_fatal(server):
+    """A request whose pages exceed the table must 400 at submit time —
+    and the server must keep serving afterwards (the scheduler thread
+    never sees it)."""
+    srv, port, params = server
+    st, body = _post(port, "/v1/completions",
+                     {"prompt": "x" * 10, "max_tokens": 100000})
+    assert st == 400
+    st, body = _post(port, "/v1/completions",
+                     {"prompt": "still alive", "max_tokens": 4})
+    assert st == 200
+    assert len(json.loads(body)["choices"][0]["text"]) == 4
+
+
+def test_finished_bookkeeping_released(server):
+    """Completed requests must not accumulate in engine.finished /
+    engine.requests (the api_server pops what it consumes)."""
+    srv, port, params = server
+    for _ in range(3):
+        _post(port, "/v1/completions", {"prompt": "gc me", "max_tokens": 3})
+    with srv._lock:
+        assert not srv.engine.finished
+        assert not srv.engine.requests
+
+
+def test_eos_token_excluded_from_text():
+    """The terminating EOS token must not appear in returned or streamed
+    text (finish_reason still 'stop')."""
+    params = init_float_params(TINY, jax.random.PRNGKey(0))
+    eng = Engine(params, TINY, max_slots=2, max_seq=64, page_size=4,
+                 chunk=4, dtype=jnp.float32, decode_window=2)
+    tok = StubTokenizer()
+    srv = APIServer(eng, tok, model_name="tiny-test")
+    port = srv.start(port=0)
+    try:
+        # find the greedy continuation, then declare its 3rd token as EOS
+        st, body = _post(port, "/v1/completions",
+                         {"prompt": "eos test", "max_tokens": 6})
+        full = json.loads(body)["choices"][0]["text"]
+        # token IDS from the greedy reference (the stub tokenizer's
+        # encode(decode(ids)) is NOT the identity for ids >= 180)
+        import numpy as np
+        ids = tok.encode("eos test")
+        ref = generate(params, TINY, jnp.asarray([ids], jnp.int32),
+                       max_new_tokens=6,
+                       sampling=SamplingParams(temperature=0.0))
+        eos_id = int(np.asarray(ref)[0, len(ids) + 2])
+        srv.eos_token_id = eos_id
+        st, body = _post(port, "/v1/completions",
+                         {"prompt": "eos test", "max_tokens": 6})
+        ch = json.loads(body)["choices"][0]
+        assert ch["finish_reason"] == "stop"
+        assert ch["text"] == full[:2]
+        # streaming too
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/v1/completions",
+                     json.dumps({"prompt": "eos test", "max_tokens": 6,
+                                 "stream": True, "temperature": 0.0}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        data = resp.read().decode()
+        conn.close()
+        pieces = []
+        for line in data.splitlines():
+            if line.startswith("data: ") and line != "data: [DONE]":
+                c = json.loads(line[6:])["choices"][0]
+                if c.get("text"):
+                    pieces.append(c["text"])
+        assert "".join(pieces) == full[:2]
+    finally:
+        srv.stop()

@@ -1008,6 +1008,8 @@ def test_olmo2_save_quantize_roundtrip(tmp_path):
 
 
 def test_import_qwen2_moe(tmp_path):
+    _rng = np.random.default_rng(77)
+    _wl = lambda *sh: (_rng.standard_normal(sh) * 0.05).astype(np.float32)
     """qwen2_moe: softmax-all routing, per-layer sparse/dense mix
     (mlp_only_layers), shared expert with sigmoid gate, qkv biases."""
     E, Fe, Fs = 4, 32, 48
@@ -1022,31 +1024,31 @@ def test_import_qwen2_moe(tmp_path):
         "mlp_only_layers": [0], "vocab_size": V,
         "max_position_embeddings": 64, "rms_norm_eps": 1e-6,
     }
-    t = {"model.embed_tokens.weight": _w(V, D),
+    t = {"model.embed_tokens.weight": _wl(V, D),
          "model.norm.weight": np.ones(D, np.float32),
-         "lm_head.weight": _w(V, D)}
+         "lm_head.weight": _wl(V, D)}
     for i in range(L):
         p = f"model.layers.{i}"
         t[f"{p}.input_layernorm.weight"] = np.ones(D, np.float32)
         t[f"{p}.post_attention_layernorm.weight"] = np.ones(D, np.float32)
         for n, o in (("q_proj", D), ("k_proj", 2 * HD), ("v_proj", 2 * HD)):
-            t[f"{p}.self_attn.{n}.weight"] = _w(o, D)
-            t[f"{p}.self_attn.{n}.bias"] = _w(o)
-        t[f"{p}.self_attn.o_proj.weight"] = _w(D, D)
+            t[f"{p}.self_attn.{n}.weight"] = _wl(o, D)
+            t[f"{p}.self_attn.{n}.bias"] = _wl(o)
+        t[f"{p}.self_attn.o_proj.weight"] = _wl(D, D)
         if i == 0:  # mlp_only layer: dense MLP
-            t[f"{p}.mlp.gate_proj.weight"] = _w(F, D)
-            t[f"{p}.mlp.up_proj.weight"] = _w(F, D)
-            t[f"{p}.mlp.down_proj.weight"] = _w(D, F)
+            t[f"{p}.mlp.gate_proj.weight"] = _wl(F, D)
+            t[f"{p}.mlp.up_proj.weight"] = _wl(F, D)
+            t[f"{p}.mlp.down_proj.weight"] = _wl(D, F)
         else:
-            t[f"{p}.mlp.gate.weight"] = _w(E, D)
+            t[f"{p}.mlp.gate.weight"] = _wl(E, D)
             for e in range(E):
-                t[f"{p}.mlp.experts.{e}.gate_proj.weight"] = _w(Fe, D)
-                t[f"{p}.mlp.experts.{e}.up_proj.weight"] = _w(Fe, D)
-                t[f"{p}.mlp.experts.{e}.down_proj.weight"] = _w(D, Fe)
-            t[f"{p}.mlp.shared_expert.gate_proj.weight"] = _w(Fs, D)
-            t[f"{p}.mlp.shared_expert.up_proj.weight"] = _w(Fs, D)
-            t[f"{p}.mlp.shared_expert.down_proj.weight"] = _w(D, Fs)
-            t[f"{p}.mlp.shared_expert_gate.weight"] = _w(1, D)
+                t[f"{p}.mlp.experts.{e}.gate_proj.weight"] = _wl(Fe, D)
+                t[f"{p}.mlp.experts.{e}.up_proj.weight"] = _wl(Fe, D)
+                t[f"{p}.mlp.experts.{e}.down_proj.weight"] = _wl(D, Fe)
+            t[f"{p}.mlp.shared_expert.gate_proj.weight"] = _wl(Fs, D)
+            t[f"{p}.mlp.shared_expert.up_proj.weight"] = _wl(Fs, D)
+            t[f"{p}.mlp.shared_expert.down_proj.weight"] = _wl(D, Fs)
+            t[f"{p}.mlp.shared_expert_gate.weight"] = _wl(1, D)
     m = AutoQuickModel.from_pretrained(_write(tmp_path, cfg, t), jnp.float32)
     assert m.cfg.moe_router == "softmax_all" and not m.cfg.norm_topk_prob
     assert not m.cfg.layer_is_moe(0) and m.cfg.layer_is_moe(1)
@@ -1063,6 +1065,8 @@ def test_import_qwen2_moe(tmp_path):
 
 
 def test_import_qwen3_moe(tmp_path):
+    _rng = np.random.default_rng(77)
+    _wl = lambda *sh: (_rng.standard_normal(sh) * 0.05).astype(np.float32)
     """qwen3_moe: per-head q/k RMSNorm + softmax-all routing with
     norm_topk_prob, no shared expert."""
     E, Fe = 4, 32
@@ -1075,23 +1079,23 @@ def test_import_qwen3_moe(tmp_path):
         "decoder_sparse_step": 1, "head_dim": HD, "vocab_size": V,
         "max_position_embeddings": 64, "rms_norm_eps": 1e-6,
     }
-    t = {"model.embed_tokens.weight": _w(V, D),
+    t = {"model.embed_tokens.weight": _wl(V, D),
          "model.norm.weight": np.ones(D, np.float32),
-         "lm_head.weight": _w(V, D)}
+         "lm_head.weight": _wl(V, D)}
     for i in range(L):
         p = f"model.layers.{i}"
         t[f"{p}.input_layernorm.weight"] = np.ones(D, np.float32)
         t[f"{p}.post_attention_layernorm.weight"] = np.ones(D, np.float32)
         for n, o in (("q_proj", D), ("k_proj", 2 * HD), ("v_proj", 2 * HD)):
-            t[f"{p}.self_attn.{n}.weight"] = _w(o, D)
-        t[f"{p}.self_attn.o_proj.weight"] = _w(D, D)
+            t[f"{p}.self_attn.{n}.weight"] = _wl(o, D)
+        t[f"{p}.self_attn.o_proj.weight"] = _wl(D, D)
         t[f"{p}.self_attn.q_norm.weight"] = np.ones(HD, np.float32)
         t[f"{p}.self_attn.k_norm.weight"] = np.ones(HD, np.float32)
-        t[f"{p}.mlp.gate.weight"] = _w(E, D)
+        t[f"{p}.mlp.gate.weight"] = _wl(E, D)
         for e in range(E):
-            t[f"{p}.mlp.experts.{e}.gate_proj.weight"] = _w(Fe, D)
-            t[f"{p}.mlp.experts.{e}.up_proj.weight"] = _w(Fe, D)
-            t[f"{p}.mlp.experts.{e}.down_proj.weight"] = _w(D, Fe)
+            t[f"{p}.mlp.experts.{e}.gate_proj.weight"] = _wl(Fe, D)
+            t[f"{p}.mlp.experts.{e}.up_proj.weight"] = _wl(Fe, D)
+            t[f"{p}.mlp.experts.{e}.down_proj.weight"] = _wl(D, Fe)
     m = AutoQuickModel.from_pretrained(_write(tmp_path, cfg, t), jnp.float32)
     assert m.cfg.use_qk_norm and m.cfg.norm_topk_prob
     moe = m.params.blocks[0].mlp
