@@ -259,17 +259,18 @@ def _quantized_matmul_2d_a8(
     ng = K // G
     slab = G // PACK
 
-    if _impl_mode() == "jnp":
+    if _impl_mode() == "jnp" or group_size != 128:
         return _quantized_matmul_a8_jnp(
             x, qweight, scales, zeros_x_scales, G, out_dtype
         )
 
-    # int8 operand blocks tile at (32, 128): round rows to 32
-    Mp = _round_up(M, 32)
+    # int8 operand blocks tile at (32, 128): round rows to 32 (<=128) or
+    # pad up to a 128 multiple (same ragged-M policy as the a16 kernel)
+    Mp = _round_up(M, 32) if M <= 128 else _round_up(M, 128)
     if bm is None:
-        bm = Mp if Mp <= 128 else (128 if Mp % 128 == 0 else 32)
+        bm = Mp if Mp <= 128 else 128
     if bn is None:
-        bn = _pick_bn(N, Mp)
+        bn = _pick_bn(N)
     if gpb is None:
         gpb = _pick_gpb(ng, G, bn, slab)
 
@@ -307,7 +308,7 @@ def _quantized_matmul_2d_a8(
     return out[:M] if Mp != M else out
 
 
-def _pick_bn(N: int, Mp: int = 8) -> int:
+def _pick_bn(N: int) -> int:
     # 1024 measured best across M=1..128 at 7B/8192 shapes (tools/msweep.py,
     # tools/shape_sweep.py, tools/tile_sweep.py: bn=2048 helps some mid-M
     # fan-out shapes ~10% but regresses K-heavy ones ~30%; net within
@@ -359,19 +360,27 @@ def _quantized_matmul_2d(
     ng = K // G
     slab = G // PACK
 
-    if _impl_mode() == "jnp":
+    if _impl_mode() == "jnp" or group_size != 128:
+        # group_size != 128 (GGUF imports use the llama.cpp block size 32):
+        # the fused kernel's in-kernel group slices land at sub-native-tile
+        # offsets (slab < 8 sublanes, 32-lane x cuts) — an unvalidated
+        # Mosaic layout path. The XLA dequant form is correct everywhere
+        # and stays the serving path for non-128 groups until the small-G
+        # kernel is tuned on hardware.
         return _quantized_matmul_jnp(
             x, qweight, scales, zeros_x_scales, G, out_dtype
         )
 
     # --- tile selection (reference's M-based kernel mux, csrc:1488-1514) ---
     # pad rows to the 8-sublane granule: a [8, G] x [G, bn] dot per group is
-    # the smallest MXU-shaped op; M=1 decode rides the same kernel
-    Mp = _round_up(M, 8)
+    # the smallest MXU-shaped op; M=1 decode rides the same kernel. Ragged
+    # M > 128 pads UP to the next 128 multiple: a few junk rows beat the
+    # 8-row-tile degeneration (25x more grid rows re-streaming the weights)
+    Mp = _round_up(M, 8) if M <= 128 else _round_up(M, 128)
     if bm is None:
-        bm = Mp if Mp <= 128 else (128 if Mp % 128 == 0 else _round_up_pow2_div(Mp))
+        bm = Mp if Mp <= 128 else 128
     if bn is None:
-        bn = _pick_bn(N, Mp)
+        bn = _pick_bn(N)
     if gpb is None:
         gpb = _pick_gpb(ng, G, bn, slab)
 
@@ -409,16 +418,6 @@ def _quantized_matmul_2d(
 
 def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
-
-
-def _round_up_pow2_div(Mp: int) -> int:
-    # largest tile in (64, 32, 16, 8) that divides Mp; only reached when
-    # Mp > 128 and Mp % 128 != 0, and Mp is always a multiple of 8, so one
-    # of these divides it
-    for bm in (64, 32, 16, 8):
-        if Mp % bm == 0:
-            return bm
-    raise AssertionError(f"Mp={Mp} not a multiple of 8")
 
 
 def quantized_matmul_reference(

@@ -215,6 +215,13 @@ def _q6_k_float(raw: np.ndarray, nsb: int) -> np.ndarray:
 
 def _tensor_bytes(info: TensorInfo) -> int:
     n = int(np.prod(info.shape))
+    if info.ggml_type not in BLOCK:
+        raise NotImplementedError(
+            f"{info.name}: ggml type {info.ggml_type} not supported "
+            f"(supported: F32/F16/BF16/Q4_0/Q4_1/Q8_0/Q4_K/Q6_K — Q5_K/"
+            f"Q5_0/Q5_1/Q3_K/Q2_K files need a different llama.cpp "
+            f"quantization, e.g. Q4_K_M)"
+        )
     be, bb = BLOCK[info.ggml_type]
     assert n % be == 0, (info.name, info.shape, info.ggml_type)
     return n // be * bb
@@ -286,6 +293,23 @@ def load_tensor_q4(
     return c.reshape(out, k), s.reshape(out, k // 32), zs.reshape(out, k // 32)
 
 
+def _unpermute_rows(arr: np.ndarray, n_head: int) -> np.ndarray:
+    """Invert llama.cpp's per-head q/k row permutation.
+
+    convert_hf_to_gguf.py permutes q_proj/k_proj OUT rows per head from
+    the HF rotate-half layout to ggml's interleaved-RoPE layout:
+    ggml_row[2j + i] = hf_row[i*hd/2 + j]. ops/rope.py implements the HF
+    rotate-half convention, so the rows must be permuted BACK on import
+    (quantized tensors permute exactly — blocks run along the IN dim)."""
+    out = arr.shape[0]
+    hd = out // n_head
+    idx = np.empty(hd, np.int64)
+    idx[: hd // 2] = 2 * np.arange(hd // 2)       # i = 0 rows
+    idx[hd // 2 :] = 2 * np.arange(hd // 2) + 1   # i = 1 rows
+    full = (np.arange(n_head)[:, None] * hd + idx[None, :]).reshape(-1)
+    return arr[full]
+
+
 # -- model-level loader ---------------------------------------------------------
 
 def load_gguf(path: str, lm_head_float: bool = True):
@@ -309,6 +333,20 @@ def load_gguf(path: str, lm_head_float: bool = True):
     a = arch
     G = 32  # the llama.cpp 4-bit sub-group size
 
+    def _rope_scaling_meta(meta, a):
+        st = str(meta.get(f"{a}.rope.scaling.type", "") or "")
+        if not st or st == "none":
+            return None
+        d = {"rope_type": st,
+             "factor": float(meta.get(f"{a}.rope.scaling.factor", 1.0))}
+        oc = meta.get(f"{a}.rope.scaling.original_context_length")
+        if oc is not None:
+            d["original_max_position_embeddings"] = int(oc)
+        af = meta.get(f"{a}.rope.scaling.attn_factor")
+        if af is not None:
+            d["attention_factor"] = float(af)
+        return d
+
     def mi(key, default=None):
         v = meta.get(f"{a}.{key}", default)
         if v is None:
@@ -331,22 +369,34 @@ def load_gguf(path: str, lm_head_float: bool = True):
             meta.get(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
         ),
         rope_theta=float(meta.get(f"{a}.rope.freq_base", 10000.0)),
-        model_type=arch if arch != "mistral" else "mistral",
+        rope_scaling=_rope_scaling_meta(meta, a),
+        model_type="llama",  # llama.cpp writes mistral as arch 'llama' too
     )
 
     def fl(name):
         return load_tensor_float(tensors[name], mm, data_start)
 
+    def bf16(a):
+        # float tensors load as bf16 like the HF importer (checkpoint.py
+        # load_hf_float) — f32 embeddings/head waste ~1GB HBM at 7B and
+        # the matmuls cast to the activation dtype anyway
+        return np.asarray(jnp.asarray(a, jnp.bfloat16))
+
     flat: Dict[str, np.ndarray] = {}
 
-    def qlin(prefix, names):
-        """Concatenate GGUF linears along OUT and emit QTPU tensors."""
+    def qlin(prefix, names, unpermute=0):
+        """Concatenate GGUF linears along OUT and emit QTPU tensors.
+        ``unpermute``: per-head count to invert the q/k rotary row
+        permutation (exact on quantized tensors — rows carry their own
+        blocks)."""
         cs, ss, zss = [], [], []
         for nm in names:
             info = tensors[nm]
             q4 = load_tensor_q4(info, mm, data_start)
             if q4 is None:
                 w = load_tensor_float(info, mm, data_start)  # [out, in]
+                if unpermute:
+                    w = _unpermute_rows(w, unpermute)
                 qt = quantize_tensor(
                     jnp.asarray(w.T), group_size=G
                 )  # ours: [in, out]
@@ -354,7 +404,11 @@ def load_gguf(path: str, lm_head_float: bool = True):
                 s = np.asarray(qt.scales, np.float32)
                 zs = np.asarray(qt.zeros * qt.scales, np.float32)
             else:
-                codes, s, zs = q4
+                codes, s, zs = q4  # [out, K] / [out, K//G]
+                if unpermute:
+                    codes = _unpermute_rows(codes, unpermute)
+                    s = _unpermute_rows(s, unpermute)
+                    zs = _unpermute_rows(zs, unpermute)
                 codes = np.ascontiguousarray(codes.T)  # [K, N]
                 s = np.ascontiguousarray(s.T)          # [K//G, N]
                 zs = np.ascontiguousarray(zs.T)
@@ -369,14 +423,14 @@ def load_gguf(path: str, lm_head_float: bool = True):
             np.float32
         )
 
-    flat["embed"] = fl("token_embd.weight").astype(np.float32)
-    flat["final_norm"] = fl("output_norm.weight").astype(np.float32)
+    flat["embed"] = bf16(fl("token_embd.weight"))
+    flat["final_norm"] = bf16(fl("output_norm.weight"))
     if "output.weight" in tensors:
         head = fl("output.weight")  # [vocab, D]
     else:
         head = flat["embed"]        # tied embeddings
     if lm_head_float:
-        flat["lm_head.weight"] = np.ascontiguousarray(head.T)  # [D, vocab]
+        flat["lm_head.weight"] = bf16(np.ascontiguousarray(head.T))
     else:
         qt = quantize_tensor(jnp.asarray(head.T), group_size=G)
         flat["lm_head.qweight"] = np.asarray(
@@ -388,16 +442,43 @@ def load_gguf(path: str, lm_head_float: bool = True):
         )
     for i in range(cfg.num_hidden_layers):
         b, p = f"blk.{i}", f"blocks.{i}"
-        flat[f"{p}.attn_norm"] = fl(f"{b}.attn_norm.weight").astype(
-            np.float32
-        )
-        flat[f"{p}.mlp_norm"] = fl(f"{b}.ffn_norm.weight").astype(np.float32)
-        qlin(f"{p}.attn.qkv", [f"{b}.attn_q.weight", f"{b}.attn_k.weight",
-                               f"{b}.attn_v.weight"])
+        flat[f"{p}.attn_norm"] = bf16(fl(f"{b}.attn_norm.weight"))
+        flat[f"{p}.mlp_norm"] = bf16(fl(f"{b}.ffn_norm.weight"))
+        hq = cfg.num_attention_heads
+        hkv = cfg.num_key_value_heads
+        qlin(f"{p}.attn.q_part", [f"{b}.attn_q.weight"], unpermute=hq)
+        qlin(f"{p}.attn.k_part", [f"{b}.attn_k.weight"], unpermute=hkv)
+        qlin(f"{p}.attn.v_part", [f"{b}.attn_v.weight"])
+        # fuse qkv by concatenating the already-packed planes on N
+        for suf in ("qweight", "scales", "zeros_x_scales"):
+            flat[f"{p}.attn.qkv.{suf}"] = np.concatenate(
+                [flat.pop(f"{p}.attn.q_part.{suf}"),
+                 flat.pop(f"{p}.attn.k_part.{suf}"),
+                 flat.pop(f"{p}.attn.v_part.{suf}")], axis=1
+            )
         qlin(f"{p}.attn.o", [f"{b}.attn_output.weight"])
         qlin(f"{p}.mlp.gate_up", [f"{b}.ffn_gate.weight",
                                   f"{b}.ffn_up.weight"])
         qlin(f"{p}.mlp.down", [f"{b}.ffn_down.weight"])
     params = flat_to_params(flat, cfg, group_size=G)
+    if "rope_freqs.weight" in tensors:
+        # Llama-3.1-style GGUFs bake the rope scaling into per-dim
+        # frequency FACTORS (inv_freq /= factor) instead of metadata —
+        # rebuild the cos/sin tables from them
+        import dataclasses as _dc
+
+        ff = load_tensor_float(
+            tensors["rope_freqs.weight"], mm, data_start
+        ).reshape(-1).astype(np.float64)
+        hd = cfg.rotary_dim or cfg.head_dim
+        half = np.arange(0, hd, 2, dtype=np.float64) / hd
+        inv = (1.0 / cfg.rope_theta ** half) / ff
+        pos = np.arange(cfg.max_position_embeddings, dtype=np.float64)
+        ang = pos[:, None] * inv[None, :]
+        params = _dc.replace(
+            params,
+            rope_cos=jnp.asarray(np.cos(ang), jnp.float32),
+            rope_sin=jnp.asarray(np.sin(ang), jnp.float32),
+        )
     qcfg = QuantConfig(w_bit=4, q_group_size=G, version="qtpu")
     return params, cfg, qcfg

@@ -203,6 +203,24 @@ def test_q6_k_vs_reference(rng, tmp_path):
 # end-to-end model load
 # ---------------------------------------------------------------------------
 
+def _llamacpp_permute(w, n_head):
+    """convert_hf_to_gguf.py's q/k row permutation (HF rotate-half ->
+    ggml interleaved): ggml_row[2j+i] = hf_row[i*hd/2 + j] per head."""
+    out = w.shape[0]
+    return (w.reshape(n_head, 2, out // n_head // 2, *w.shape[1:])
+             .swapaxes(1, 2).reshape(w.shape))
+
+
+def test_unpermute_inverts_llamacpp_permute(rng):
+    from quick_tpu.utils.gguf import _unpermute_rows
+
+    w = rng.standard_normal((8 * 16, 32)).astype(np.float32)
+    for heads in (1, 2, 4, 8):
+        np.testing.assert_array_equal(
+            _unpermute_rows(_llamacpp_permute(w, heads), heads), w
+        )
+
+
 def _tiny_gguf(path, rng, vocab=256, D=64, L=2, hq=4, hkv=2, ffn=128):
     hd = D // hq
     kvs, n_kv = b"", 0
@@ -225,17 +243,25 @@ def _tiny_gguf(path, rng, vocab=256, D=64, L=2, hq=4, hkv=2, ffn=128):
     tensors = []
     expect = {}
 
-    def q4_lin(name, out_, in_):
+    def q4_lin(name, out_, in_, permute_heads=0):
         nb = out_ * in_ // 32
         codes = rng.integers(0, 16, (nb, 32), dtype=np.uint8)
         d = (rng.random(nb, dtype=np.float32) * 0.02 + 0.005).astype(
             "<f2"
         ).astype(np.float32)
+        hf_codes = codes.reshape(out_, in_)
+        hf_d = d.reshape(out_, in_ // 32)
+        if permute_heads:
+            # store ggml-permuted rows (like convert_hf_to_gguf.py);
+            # expect[] keeps the HF layout the loader must recover
+            codes = _llamacpp_permute(hf_codes, permute_heads).reshape(
+                nb, 32
+            )
+            d = _llamacpp_permute(hf_d, permute_heads).reshape(nb)
         tensors.append((name, (out_, in_), G.Q4_0, _enc_q4_0(codes, d)))
-        w = ((codes.astype(np.float32) - 8.0) * d[:, None]).reshape(
-            out_, in_
+        expect[name] = (hf_codes.astype(np.float32) - 8.0) * np.repeat(
+            hf_d, 32, axis=1
         )
-        expect[name] = w
 
     def f32_t(name, shape):
         a = (rng.standard_normal(shape) * 0.05).astype(np.float32)
@@ -248,8 +274,8 @@ def _tiny_gguf(path, rng, vocab=256, D=64, L=2, hq=4, hkv=2, ffn=128):
     for i in range(L):
         f32_t(f"blk.{i}.attn_norm.weight", (D,))
         f32_t(f"blk.{i}.ffn_norm.weight", (D,))
-        q4_lin(f"blk.{i}.attn_q.weight", hq * hd, D)
-        q4_lin(f"blk.{i}.attn_k.weight", hkv * hd, D)
+        q4_lin(f"blk.{i}.attn_q.weight", hq * hd, D, permute_heads=hq)
+        q4_lin(f"blk.{i}.attn_k.weight", hkv * hd, D, permute_heads=hkv)
         q4_lin(f"blk.{i}.attn_v.weight", hkv * hd, D)
         q4_lin(f"blk.{i}.attn_output.weight", D, hq * hd)
         q4_lin(f"blk.{i}.ffn_gate.weight", ffn, D)
@@ -284,12 +310,14 @@ def test_load_gguf_tiny_llama(rng, tmp_path):
     ).T  # [in, out]
     np.testing.assert_allclose(deq, ref, rtol=1e-6, atol=1e-7)
 
+    # float tensors load as bf16 (HF-importer convention)
     np.testing.assert_allclose(
-        np.asarray(params.embed), expect["token_embd.weight"], rtol=1e-6
+        np.asarray(params.embed, np.float32),
+        expect["token_embd.weight"], rtol=0.01, atol=1e-3,
     )
     np.testing.assert_allclose(
-        np.asarray(params.lm_head.weight),
-        expect["output.weight"].T, rtol=1e-6,
+        np.asarray(params.lm_head.weight, np.float32),
+        expect["output.weight"].T, rtol=0.01, atol=1e-3,
     )
 
     toks = jnp.asarray(rng.integers(0, 256, (2, 10)), jnp.int32)
@@ -364,3 +392,76 @@ def test_load_gguf_tied_head_and_mixed_types(rng, tmp_path):
     toks = jnp.asarray(rng.integers(0, vocab, (1, 6)), jnp.int32)
     logits, _ = model_forward(params, cfg, toks)
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_rope_scaling_metadata_and_freq_factors(rng, tmp_path):
+    """llama.rope.scaling.* metadata lands in cfg.rope_scaling; a
+    rope_freqs.weight tensor (Llama-3.1 style) rebuilds the cos/sin
+    tables with per-dim frequency factors."""
+    path = str(tmp_path / "tiny.gguf")
+    _tiny_gguf(path, rng)
+    params_base, cfg_base, _ = G.load_gguf(path)
+    assert cfg_base.rope_scaling is None
+
+    # same file + linear scaling metadata + freq factors tensor
+    path2 = str(tmp_path / "tiny2.gguf")
+    expect = _tiny_gguf(path2, rng)  # regenerate (different weights, fine)
+    # append metadata + tensor by rebuilding with extras
+    import struct as _st
+    vocab, D, L, hq, hkv, ffn = 256, 64, 2, 4, 2, 128
+    hd = D // hq
+    # easier: rebuild the file through the writer with extra kvs/tensor
+    kvs, n_kv = b"", 0
+
+    def add(b):
+        nonlocal kvs, n_kv
+        kvs += b
+        n_kv += 1
+
+    add(_kv_str("general.architecture", "llama"))
+    add(_kv_u32("llama.embedding_length", D))
+    add(_kv_u32("llama.block_count", 1))
+    add(_kv_u32("llama.feed_forward_length", ffn))
+    add(_kv_u32("llama.attention.head_count", hq))
+    add(_kv_u32("llama.attention.head_count_kv", hkv))
+    add(_kv_u32("llama.context_length", 64))
+    add(_kv_str("llama.rope.scaling.type", "linear"))
+    add(_kv_f32("llama.rope.scaling.factor", 2.0))
+
+    ff = (rng.random(hd // 2, dtype=np.float32) * 3 + 1).astype(np.float32)
+    tensors = []
+
+    def f32_t(name, shape, a=None):
+        a = (rng.standard_normal(shape) * 0.05).astype(np.float32) \
+            if a is None else a
+        tensors.append((name, shape, G.F32, _f32_bytes(a)))
+
+    def q4(name, out_, in_):
+        nb = out_ * in_ // 32
+        codes = rng.integers(0, 16, (nb, 32), dtype=np.uint8)
+        d = np.full(nb, 0.01, np.float32)
+        tensors.append((name, (out_, in_), G.Q4_0, _enc_q4_0(codes, d)))
+
+    f32_t("token_embd.weight", (vocab, D))
+    f32_t("output_norm.weight", (D,))
+    f32_t("rope_freqs.weight", (hd // 2,), ff)
+    f32_t("blk.0.attn_norm.weight", (D,))
+    f32_t("blk.0.ffn_norm.weight", (D,))
+    q4("blk.0.attn_q.weight", D, D)
+    q4("blk.0.attn_k.weight", hkv * hd, D)
+    q4("blk.0.attn_v.weight", hkv * hd, D)
+    q4("blk.0.attn_output.weight", D, D)
+    q4("blk.0.ffn_gate.weight", ffn, D)
+    q4("blk.0.ffn_up.weight", ffn, D)
+    q4("blk.0.ffn_down.weight", D, ffn)
+    path3 = str(tmp_path / "tiny3.gguf")
+    write_gguf(path3, kvs, n_kv, tensors)
+    params, cfg, _ = G.load_gguf(path3)
+    d = dict(cfg.rope_scaling)
+    assert d["rope_type"] == "linear" and d["factor"] == 2.0
+    # freq-factor tables: cos at position 1, dim j is cos(inv_freq/ff)
+    half = np.arange(0, hd, 2, dtype=np.float64) / hd
+    inv = (1.0 / cfg.rope_theta ** half) / ff.astype(np.float64)
+    np.testing.assert_allclose(
+        np.asarray(params.rope_cos[1]), np.cos(inv), rtol=1e-5
+    )

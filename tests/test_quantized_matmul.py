@@ -27,7 +27,7 @@ def _make_case(rng, M, K, N, G=128):
     return x, qw, s, z * s, ref
 
 
-@pytest.mark.parametrize("M", [1, 4, 8, 16, 33, 128])
+@pytest.mark.parametrize("M", [1, 4, 8, 16, 33, 128, 200])
 def test_matches_reference_over_M(rng, M):
     x, qw, s, zs, ref = _make_case(rng, M, 512, 256)
     out = np.asarray(
