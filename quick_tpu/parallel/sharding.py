@@ -240,6 +240,20 @@ def prepare_params_for_tp(
     qkv_sections = [hq * hd, hkv * hd, hkv * hd]
     gu_sections = [cfg.intermediate_size, cfg.intermediate_size]
     new_blocks = []
+    import jax.numpy as jnp
+
+    def _split_bias(lin):
+        """Row-parallel (K-sharded) linears add their replicated bias on
+        EVERY shard BEFORE the model-axis psum (blocks.py psum_model after
+        o_proj/down_proj) — pre-divide by tp so the psum reconstructs it
+        exactly once."""
+        if lin is None or getattr(lin, "bias", None) is None:
+            return lin
+        return dataclasses.replace(
+            lin,
+            bias=(lin.bias.astype(jnp.float32) / tp).astype(lin.bias.dtype),
+        )
+
     for blk in params.blocks:
         if hasattr(blk.attn, "qkv_proj"):
             attn = dataclasses.replace(
@@ -247,23 +261,31 @@ def prepare_params_for_tp(
                 qkv_proj=permute_fused_for_tp(
                     blk.attn.qkv_proj, qkv_sections, tp
                 ),
+                o_proj=_split_bias(blk.attn.o_proj),
             )
         else:
             # deepseek MLA: q_b/kv_b columns are head-contiguous, so plain
             # N-sharding already hands each shard whole heads — nothing to
-            # permute
-            attn = blk.attn
+            # permute (o_proj bias still pre-divides for the psum)
+            attn = dataclasses.replace(
+                blk.attn, o_proj=_split_bias(blk.attn.o_proj)
+            )
         mlp = blk.mlp
-        if isinstance(mlp, MLPParams) and cfg.gated_mlp:
+        if isinstance(mlp, MLPParams):
             mlp = dataclasses.replace(
                 mlp,
-                gate_up_proj=permute_fused_for_tp(
-                    mlp.gate_up_proj, gu_sections, tp
+                gate_up_proj=(
+                    permute_fused_for_tp(mlp.gate_up_proj, gu_sections, tp)
+                    if cfg.gated_mlp else mlp.gate_up_proj
                 ),
+                down_proj=_split_bias(mlp.down_proj),
             )
-        elif isinstance(mlp, MoEParams) and cfg.gated_mlp:
+        elif isinstance(mlp, MoEParams):
             # expert arrays are EP-sharded on the expert axis; the gate/up
-            # split happens locally per expert — no permutation needed.
+            # split happens locally per expert — no permutation needed,
+            # and each expert's down bias is added on exactly one shard
+            # (the others contribute zero through the routing combine), so
+            # no bias pre-division either.
             pass
         new_blocks.append(dataclasses.replace(blk, attn=attn, mlp=mlp))
     return dataclasses.replace(params, blocks=new_blocks)
@@ -280,7 +302,10 @@ def shard_params(params: "ModelParams", cfg: ModelConfig, mesh: Mesh) -> "ModelP
 
 
 def local_config(cfg: ModelConfig, tp: int) -> ModelConfig:
-    """Per-shard config: head counts and expert count divided by tp."""
+    """Per-shard config: head counts divided by tp. ``num_local_experts``
+    stays GLOBAL on purpose — moe_forward routes over all experts with a
+    replicated router and slices the combine weights by each shard's
+    expert range (blocks.py::_n_local_experts + expert_axis_index)."""
     if tp == 1:
         return cfg
     if cfg.num_attention_heads % tp or cfg.num_key_value_heads % tp:

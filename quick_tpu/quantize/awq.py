@@ -173,10 +173,6 @@ class AwqBlockResult:
     x_next: jax.Array   # activations for the next block (float, scaled)
 
 
-def _linear_cols(lin: Linear, cols: slice) -> jax.Array:
-    return lin.weight[:, cols]
-
-
 def awq_quantize_block(
     blk: BlockParams,
     cfg: ModelConfig,
@@ -187,6 +183,7 @@ def awq_quantize_block(
     qcfg: QuantConfig,
     apply_clips: bool = True,
     skip: frozenset = frozenset(),
+    sliding: bool = False,  # this layer attends through a sliding window
 ) -> AwqBlockResult:
     """Search + apply AWQ scales/clips for one block, then quantize+pack.
 
@@ -205,14 +202,35 @@ def awq_quantize_block(
         return a.reshape(-1, a.shape[-1])
 
     def attn_fwd(qkv_w: jax.Array, attn_in: jax.Array) -> jax.Array:
-        """Attention output (pre-o_proj input) given a qkv weight."""
+        """Attention output (pre-o_proj input) given a qkv weight —
+        mirrors blocks.attention_forward's numerics (q/k norms,
+        query_pre_attn_scalar, sliding window, logit softcap) so the
+        scale/clip search optimizes against the REAL activation
+        distributions for qwen3/gemma2/gemma3/olmo2/cohere/mistral."""
+        from quick_tpu.ops.norms import layer_norm as _ln
+
         qkv = attn_in @ qkv_w.astype(attn_in.dtype)
         if blk.attn.qkv_proj.bias is not None:
             qkv = qkv + blk.attn.qkv_proj.bias.astype(qkv.dtype)
         q, k, v = jnp.split(qkv, [hq * hd, (hq + hkv) * hd], axis=-1)
+        qn, kn = blk.attn.q_norm, blk.attn.k_norm
+        if cfg.use_qk_norm and cfg.qk_norm_full:
+            q = rms_norm(q, qn, cfg.rms_norm_eps)
+            k = rms_norm(k, kn, cfg.rms_norm_eps)
         q = q.reshape(B, S, hq, hd)
         k = k.reshape(B, S, hkv, hd)
         v = v.reshape(B, S, hkv, hd)
+        if cfg.use_qk_norm and not cfg.qk_norm_full:
+            if cfg.layernorm == "rmsnorm":
+                q = rms_norm(q, qn, cfg.rms_norm_eps)
+                k = rms_norm(k, kn, cfg.rms_norm_eps)
+            else:
+                q = _ln(q, qn, None, cfg.rms_norm_eps)
+                k = _ln(k, kn, None, cfg.rms_norm_eps)
+        if cfg.query_pre_attn_scalar is not None:
+            q = q * jnp.asarray(
+                cfg.query_pre_attn_scalar ** -0.5 * hd ** 0.5, q.dtype
+            )
         if cfg.use_rope:
             q = apply_rope(q, positions, rope_cos, rope_sin)
             k = apply_rope(k, positions, rope_cos, rope_sin)
@@ -221,7 +239,13 @@ def awq_quantize_block(
             from quick_tpu.ops.alibi import alibi_slopes
 
             slopes = jnp.asarray(alibi_slopes(hq))
-        out = causal_attention(q, k, v, alibi_slopes=slopes)
+        window = cfg.sliding_window if sliding else None
+        if window is not None and S <= window:
+            window = None
+        out = causal_attention(
+            q, k, v, alibi_slopes=slopes, window=window,
+            logit_softcap=cfg.attn_logit_softcap,
+        )
         return out.reshape(B, S, hq * hd)
 
     def norm_fwd(h, w, b):
@@ -319,7 +343,7 @@ def awq_quantize_block(
 
     if isinstance(blk.mlp, MoEParams):
         new_mlp, mlp_out, mlp_norm_scale = _awq_moe(
-            blk.mlp, cfg, mlp_in, ones, qcfg, apply_clips
+            blk.mlp, cfg, mlp_in, ones, qcfg, apply_clips, skip=skip
         )
     else:
         new_mlp, mlp_out, mlp_norm_scale = _awq_mlp(
@@ -405,15 +429,17 @@ def _awq_mlp(mlp: MLPParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
     dn_w = mlp.down_proj.weight
     flat = lambda a: a.reshape(-1, a.shape[-1])
 
+    from quick_tpu.modules.blocks import _act
+
     def mlp_fwd(gu, dn, h, b=None):
         z = h @ gu.astype(h.dtype)
         if b is not None:
             z = z + b.astype(z.dtype)
         if cfg.gated_mlp:
             gate, up = jnp.split(z, 2, axis=-1)
-            z = jax.nn.silu(gate) * up if cfg.act_fn == "silu" else jax.nn.gelu(gate) * up
+            z = _act(gate, cfg) * up
         else:
-            z = jax.nn.silu(z) if cfg.act_fn == "silu" else jax.nn.gelu(z)
+            z = _act(z, cfg)  # silu/gelu/RELU — must match blocks._act
         return z @ dn.astype(h.dtype)
 
     if mlp_norm is not None:
@@ -432,10 +458,9 @@ def _awq_mlp(mlp: MLPParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
         z = z + gu_b.astype(z.dtype)
     if cfg.gated_mlp:
         gate, up = jnp.split(z, 2, axis=-1)
-        act = jax.nn.silu(gate) if cfg.act_fn == "silu" else jax.nn.gelu(gate)
-        dn_in = act * up
+        dn_in = _act(gate, cfg) * up
     else:
-        dn_in = jax.nn.silu(z) if cfg.act_fn == "silu" else jax.nn.gelu(z)
+        dn_in = _act(z, cfg)
     s_dn = search_scale(
         flat(dn_in), [dn_w],
         loss_forward=lambda ws: dn_in @ ws[0].astype(dn_in.dtype),
@@ -477,10 +502,11 @@ def _awq_mlp(mlp: MLPParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
     )
 
 
-def _awq_moe(moe: MoEParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
+def _awq_moe(moe: MoEParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips,
+             skip: frozenset = frozenset()):
     """MoE: all experts' gate_up scaled JOINTLY from the shared input
     (reference models/mixtral.py:58-66), per-expert down scaling (69-74)."""
-    from quick_tpu.modules.blocks import moe_forward
+    from quick_tpu.modules.blocks import _act, moe_forward
 
     G, zp = qcfg.q_group_size, qcfg.zero_point
     E = cfg.num_local_experts
@@ -492,10 +518,20 @@ def _awq_moe(moe: MoEParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
     sgu = None if moe.shared_gate_up is None else moe.shared_gate_up.weight
     sdn = None if moe.shared_down is None else moe.shared_down.weight
 
-    def routed(gu_s, dn_s, h):
+    def routed(gu_s, dn_s, h, sgu_s=None):
+        # the loss forward includes the shared expert when present — its
+        # weights are scaled by the SAME joint s_gu, so the search must
+        # measure its quantization error too
         return moe_forward(
             MoEParams(moe.router, Linear(gu_s), Linear(dn_s),
-                      score_bias=moe.score_bias),
+                      shared_gate_up=(
+                          None if sgu_s is None else Linear(sgu_s)
+                      ),
+                      shared_down=(
+                          None if sgu_s is None else Linear(sdn)
+                      ),
+                      score_bias=moe.score_bias,
+                      shared_gate=moe.shared_gate),
             cfg, h,
         )
 
@@ -507,7 +543,10 @@ def _awq_moe(moe: MoEParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
         layers = [gu[e] for e in range(E)] + ([sgu] if sgu is not None else [])
         s_gu = search_scale(
             flat(mlp_in), layers,
-            loss_forward=lambda ws: routed(jnp.stack(ws[:E]), dn, mlp_in),
+            loss_forward=lambda ws: routed(
+                jnp.stack(ws[:E]), dn, mlp_in,
+                ws[E] if sgu is not None else None,
+            ),
             group_size=G, zero_point=zp,
         )
         mlp_norm = mlp_norm / s_gu
@@ -522,7 +561,7 @@ def _awq_moe(moe: MoEParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
     for e in range(E):
         z = mlp_in @ gu[e].astype(mlp_in.dtype)
         gate, up = jnp.split(z, 2, axis=-1)
-        dn_in = jax.nn.silu(gate) * up
+        dn_in = _act(gate, cfg) * up
         s_dn = search_scale(
             flat(dn_in), [dn[e]],
             loss_forward=lambda ws: dn_in @ ws[0].astype(dn_in.dtype),
@@ -544,7 +583,7 @@ def _awq_moe(moe: MoEParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
         Fs = sgu.shape[-1] // 2
         z = mlp_in @ sgu.astype(mlp_in.dtype)
         gate, up = jnp.split(z, 2, axis=-1)
-        sdn_in = jax.nn.silu(gate) * up
+        sdn_in = _act(gate, cfg) * up
         s_sdn = search_scale(
             flat(sdn_in), [sdn],
             loss_forward=lambda ws: sdn_in @ ws[0].astype(sdn_in.dtype),
@@ -579,13 +618,21 @@ def _awq_moe(moe: MoEParams, cfg, mlp_in, mlp_norm, qcfg, apply_clips):
 
     packed = MoEParams(
         router=moe.router,
-        gate_up_proj=pack_stacked(gu),
-        down_proj=pack_stacked(dn),
+        gate_up_proj=(
+            Linear(gu) if "gate_up" in skip else pack_stacked(gu)
+        ),
+        down_proj=Linear(dn) if "down" in skip else pack_stacked(dn),
         shared_gate_up=(
-            None if sgu is None else QuantLinear.from_float(sgu, None, G, zp)
+            None if sgu is None else (
+                Linear(sgu) if "gate_up" in skip
+                else QuantLinear.from_float(sgu, None, G, zp)
+            )
         ),
         shared_down=(
-            None if sdn is None else QuantLinear.from_float(sdn, None, G, zp)
+            None if sdn is None else (
+                Linear(sdn) if "down" in skip
+                else QuantLinear.from_float(sdn, None, G, zp)
+            )
         ),
         score_bias=moe.score_bias,
         shared_gate=moe.shared_gate,
@@ -630,9 +677,11 @@ def awq_quantize_mla_block(
             w = apply_clip(w, search_clip(w, flat(inp), G, zp), G)
         return QuantLinear.from_float(w, lin.bias, G, zp)
 
-    q_in2 = None
-    if a.q_b_proj is not None:
-        q_in2 = rms_norm(a.q_proj(attn_in), a.q_a_norm, cfg.rms_norm_eps)
+    # q_proj/q_b_proj/kv_a_proj carry the rope'd q_pe/k_pe channels —
+    # never clipped (the reference's avoid-clipping rule for q/k,
+    # quantizer.py:287: per-group output MSE misses rope phase error);
+    # o_proj's pre-projection input isn't exposed by the absorbed forward,
+    # so MLA attention quantizes pure RTN
     # attention output for the residual stream comes from the FLOAT weights
     # (the packed weights' error is what PPL measures downstream)
     attn_out, _ = mla_attention_forward(
@@ -641,12 +690,12 @@ def awq_quantize_mla_block(
     x_mid = x + attn_out
 
     new_attn = MLAParams(
-        q_proj=rtn(a.q_proj, "qkv", attn_in),
-        kv_a_proj=rtn(a.kv_a_proj, "qkv", attn_in),
+        q_proj=rtn(a.q_proj, "qkv", None),
+        kv_a_proj=rtn(a.kv_a_proj, "qkv", None),
         kv_a_norm=a.kv_a_norm,
         kv_b_proj=a.kv_b_proj,  # float: absorbed einsum operand
         o_proj=rtn(a.o_proj, "o", None),
-        q_b_proj=rtn(a.q_b_proj, "qkv", q_in2),
+        q_b_proj=rtn(a.q_b_proj, "qkv", None),
         q_a_norm=a.q_a_norm,
     )
 
@@ -654,7 +703,7 @@ def awq_quantize_mla_block(
     mlp_in = norm_fwd(x_mid, blk.mlp_norm, blk.mlp_norm_bias)
     if isinstance(blk.mlp, MoEParams):
         new_mlp, mlp_out, mlp_norm = _awq_moe(
-            blk.mlp, cfg, mlp_in, mlp_norm, qcfg, apply_clips
+            blk.mlp, cfg, mlp_in, mlp_norm, qcfg, apply_clips, skip=skip
         )
     else:
         new_mlp, mlp_out, mlp_norm = _awq_mlp(
@@ -728,22 +777,28 @@ def awq_quantize_model(
     import functools
 
     @functools.lru_cache(maxsize=None)
-    def _jitted(mla: bool):
+    def _jitted(mla: bool, sliding: bool):
         fn = awq_quantize_mla_block if mla else awq_quantize_block
 
         def run(blk, x, positions, rc, rs):
+            kw = {} if mla else {"sliding": sliding}
             res = fn(
-                blk, cfg, x, positions, rc, rs, qcfg, apply_clips, skip=skip
+                blk, cfg, x, positions, rc, rs, qcfg, apply_clips,
+                skip=skip, **kw,
             )
             return res.block, res.x_next
 
         return jax.jit(run)
 
+    use_local = params.rope_cos_local is not None
     new_blocks = []
     for i, blk in enumerate(params.blocks):
-        new_blk, x = _jitted(cfg.is_mla)(
-            blk, x, positions, params.rope_cos, params.rope_sin
-        )
+        sl = cfg.layer_is_sliding(i)
+        # gemma3: sliding layers rope with the LOCAL theta tables — the
+        # calibration forward must match model_forward's per-layer choice
+        rc = params.rope_cos_local if (use_local and sl) else params.rope_cos
+        rs = params.rope_sin_local if (use_local and sl) else params.rope_sin
+        new_blk, x = _jitted(cfg.is_mla, sl)(blk, x, positions, rc, rs)
         new_blocks.append(new_blk)
         if verbose:
             print(f"[awq] block {i + 1}/{len(params.blocks)} quantized", flush=True)

@@ -132,6 +132,32 @@ def test_awq_moe_pipeline():
     assert bool(jnp.isfinite(logits).all())
 
 
+def test_awq_moe_respects_skip():
+    """modules_to_not_convert must keep MoE expert linears float too (the
+    dense branch already honored it)."""
+    from quick_tpu.modules.linear import Linear
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=32, num_local_experts=2,
+        num_experts_per_tok=1, model_type="mixtral",
+    )
+    p = init_float_params(cfg, jax.random.PRNGKey(5))
+    calib = jax.random.randint(jax.random.PRNGKey(6), (2, 16), 0, 64)
+    qp = awq_quantize_model(
+        p, cfg, calib,
+        QuantConfig(q_group_size=32,
+                    modules_to_not_convert=["gate_up", "down"]),
+        verbose=False,
+    )
+    moe = qp.blocks[0].mlp
+    assert isinstance(moe.gate_up_proj, Linear)
+    assert isinstance(moe.down_proj, Linear)
+    logits, _ = model_forward(qp, cfg, calib[:, :8])
+    assert bool(jnp.isfinite(logits).all())
+
+
 def test_awq_bias_scaling_exact():
     """The o-scale (v-section) and up-scale transforms must divide the
     corresponding BIAS slices too (reference scale_fc_fc divides

@@ -62,6 +62,37 @@ def test_float_tp_matches_single(fparams, tp, dp):
     np.testing.assert_allclose(par, ref, atol=0.05, rtol=0.05)
 
 
+def test_tp_with_row_parallel_biases(fparams):
+    """o_proj/down_proj biases are added per-shard BEFORE the model-axis
+    psum: prepare_params_for_tp must pre-divide them by tp or the output
+    gains (tp-1) extra copies of every bias (phi/opt/bloom-style
+    checkpoints carry these)."""
+    import dataclasses
+
+    from quick_tpu.modules.linear import Linear
+
+    rng = np.random.default_rng(9)
+
+    def add_bias(lin):
+        b = jnp.asarray(
+            rng.standard_normal(lin.weight.shape[1]) * 0.5, lin.weight.dtype
+        )
+        return dataclasses.replace(lin, bias=b)
+
+    blocks = []
+    for blk in fparams.blocks:
+        blocks.append(dataclasses.replace(
+            blk,
+            attn=dataclasses.replace(blk.attn, o_proj=add_bias(blk.attn.o_proj)),
+            mlp=dataclasses.replace(blk.mlp, down_proj=add_bias(blk.mlp.down_proj)),
+        ))
+    biased = dataclasses.replace(fparams, blocks=blocks)
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (2, 8), 0, 128)
+    ref = _reference_logits(biased, tokens)
+    par = _parallel_logits(biased, tokens, tp=4, dp=1)
+    np.testing.assert_allclose(par, ref, atol=0.05, rtol=0.05)
+
+
 def test_quant_tp_matches_single(fparams):
     qp = quantize_params(fparams, CFG, group_size=32)
     tokens = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, 128)
