@@ -108,6 +108,11 @@ def mla_attention_forward(
     c = rms_norm(ckv[..., :R], p.kv_a_norm, cfg.rms_norm_eps)
     k_pe = apply_rope(ckv[..., None, R:], positions, rope_cos, rope_sin)
 
+    # kv_b is consumed as einsum operands in every branch (W_UK into the
+    # queries, W_UV out of the context) — split once
+    wkv_b = p.kv_b_proj.weight.reshape(R, hq, dn + dv)
+    w_uk, w_uv = wkv_b[..., :dn], wkv_b[..., dn:]
+
     if cache is not None:
         start = cache.length
         # k-slot: rope'd shared k_pe [B,S,1,dr]; v-slot: normed latent.
@@ -121,8 +126,6 @@ def mla_attention_forward(
                 mla_paged_decode_attention,
             )
 
-            wkv_b = p.kv_b_proj.weight.reshape(R, hq, dn + dv)
-            w_uk, w_uv = wkv_b[..., :dn], wkv_b[..., dn:]
             q_c = jnp.einsum(
                 "bshd,rhd->bshr", q_nope, w_uk.astype(q_nope.dtype),
                 preferred_element_type=jnp.float32,
@@ -158,19 +161,18 @@ def mla_attention_forward(
         q_offset = jnp.zeros((), jnp.int32)
     T = c_all.shape[1]
 
-    if S >= 32:
+    if S >= 32 and 8 * S >= T:
         # -- expanded prefill: k = [c@W_UK | k_pe], v = c@W_UV ------------------
         # The absorbed form materializes [B, hq, S, T] f32 scores — 2GB+ at
         # S=T=2048 with 128 heads. Long queries instead expand the latent to
-        # per-head K/V (FLOPs comparable to the attention itself, done once)
-        # and ride causal_attention, which dispatches to the flash kernel on
-        # TPU (O(S*D) memory). Decode and short serving chunks (S < 32) keep
-        # the absorbed form below — there the score block is tiny and the
-        # expansion would re-project the WHOLE past every chunk.
+        # per-head K/V and ride causal_attention, which dispatches to the
+        # flash kernel on TPU (O(S*D) memory). The expansion re-projects the
+        # WHOLE (padded) cache extent T, so it only pays when S is a sizable
+        # fraction of T: full prefill (S ~ T) yes; decode and short serving
+        # chunks over a long cache keep the absorbed form below, whose score
+        # block is tiny there.
         from quick_tpu.ops.attention import causal_attention
 
-        wkv_b = p.kv_b_proj.weight.reshape(R, hq, dn + dv)
-        w_uk, w_uv = wkv_b[..., :dn], wkv_b[..., dn:]
         k_nope = jnp.einsum(
             "btr,rhd->bthd", c_all, w_uk.astype(c_all.dtype),
             preferred_element_type=jnp.float32,
