@@ -187,6 +187,10 @@ class ModelConfig:
     residual_multiplier: Optional[float] = None
     layernorm: str = "rmsnorm"            # "rmsnorm" | "layernorm"
     act_fn: str = "silu"                  # "silu" | "gelu" | "relu"
+    #: MPT attn_config.clip_qkv: clamp the fused qkv ACTIVATIONS to
+    #: [-clip, clip] before splitting (HF modeling_mpt applies it every
+    #: attention call)
+    qkv_clip: Optional[float] = None
     gated_mlp: bool = True                # swiglu vs plain 2-layer mlp
     # MoE (mixtral)
     num_local_experts: int = 0
@@ -342,6 +346,34 @@ class ModelConfig:
         if isinstance(rs, dict) and (
             rs.get("rope_type", rs.get("type", "default")) != "default"
         ):
+            rs = dict(rs)
+            # HF stores the pre-extension length at the config TOP level
+            # (phi3 longrope, dynamic NTK); rope_table reads it from the
+            # scaling dict — inject it or the long/short regime test never
+            # fires (ops/rope.py)
+            if (
+                "original_max_position_embeddings" not in rs
+                and hf.get("original_max_position_embeddings")
+            ):
+                rs["original_max_position_embeddings"] = int(
+                    hf["original_max_position_embeddings"]
+                )
+            rtype = rs.get("rope_type", rs.get("type"))
+            if rtype == "dynamic":
+                # dynamic NTK grows the table with the ACTUAL length; the
+                # static-table approximation is a factor*L0 table with the
+                # rescaled theta — extend max_position_embeddings so the
+                # rescale actually binds (rope_table's L0 regime test)
+                L0 = int(
+                    rs.get(
+                        "original_max_position_embeddings",
+                        hf.get("max_position_embeddings", 2048),
+                    )
+                )
+                rs.setdefault("original_max_position_embeddings", L0)
+                kw["max_position_embeddings"] = int(
+                    L0 * float(rs.get("factor", 1.0))
+                )
             kw["rope_scaling"] = rs  # normalized to a tuple in __post_init__
         kw["tie_word_embeddings"] = hf.get("tie_word_embeddings", False)
         kw["attention_bias"] = hf.get("attention_bias", mt == "qwen")
@@ -372,6 +404,8 @@ class ModelConfig:
             kw["num_key_value_heads"] = attn_cfg.get("kv_n_heads", H)
             kw["use_alibi"] = bool(attn_cfg.get("alibi", True))
             kw["use_rope"] = not kw["use_alibi"]
+            if attn_cfg.get("clip_qkv"):
+                kw["qkv_clip"] = float(attn_cfg["clip_qkv"])
         elif mt == "falcon":
             if hf.get("new_decoder_architecture", False) or "n_head_kv" in hf:
                 # pre-rename RefinedWeb (falcon-40b) configs carry n_head_kv

@@ -167,6 +167,9 @@ def attention_forward(
             )
         slopes = full
     qkv = p.qkv_proj(x)  # [B, S, (hq+2hkv)*hd]
+    if cfg.qkv_clip is not None:
+        # MPT clip_qkv: HF clamps the qkv activations every call
+        qkv = jnp.clip(qkv, -cfg.qkv_clip, cfg.qkv_clip)
     q, k, v = jnp.split(qkv, [hq * hd, (hq + hkv) * hd], axis=-1)
     if cfg.use_qk_norm and cfg.qk_norm_full:
         # olmo2: ONE RMSNorm over the full projection width, before the

@@ -479,6 +479,89 @@ def _hf_tensor_iter(model_dir: str) -> Iterator[Tuple[str, np.ndarray]]:
                 yield key, f.get_tensor(key)
 
 
+class _LazyRaw:
+    """Mapping over a safetensors checkpoint that loads each tensor on
+    first access (the streaming contract: a dict-of-everything doubles
+    peak host RAM on 70B-class imports — raw copy + converted params).
+    Supports the subset of the dict API the importers use: ``in``,
+    ``pop``, ``[]``, ``get``, ``items``/``keys``."""
+
+    def __init__(self, model_dir: str):
+        from safetensors import safe_open
+
+        self._dir = model_dir
+        self._safe_open = safe_open
+        self._where: Dict[str, str] = {}
+        index_path = os.path.join(model_dir, "model.safetensors.index.json")
+        if os.path.exists(index_path):
+            with open(index_path) as f:
+                files = sorted(set(json.load(f)["weight_map"].values()))
+        else:
+            files = sorted(
+                f for f in os.listdir(model_dir)
+                if f.endswith(".safetensors")
+            )
+        for fname in files:
+            with safe_open(
+                os.path.join(model_dir, fname), framework="np"
+            ) as f:
+                for key in f.keys():
+                    self._where[key] = fname
+        self._open: Dict[str, object] = {}
+        self._mem: Dict[str, np.ndarray] = {}
+
+    def _load(self, key: str) -> np.ndarray:
+        if key in self._mem:
+            return self._mem[key]
+        fname = self._where[key]
+        if fname not in self._open:
+            self._open[fname] = self._safe_open(
+                os.path.join(self._dir, fname), framework="np"
+            )
+        return self._open[fname].get_tensor(key)
+
+    def __contains__(self, key) -> bool:
+        return key in self._mem or key in self._where
+
+    def __getitem__(self, key) -> np.ndarray:
+        if key not in self:
+            raise KeyError(key)
+        return self._load(key)
+
+    def __setitem__(self, key, value) -> None:
+        # importer-side overrides (e.g. gemma's zero-centered-norm +1 fold)
+        self._mem[key] = value
+        self._where.pop(key, None)
+
+    def __iter__(self):
+        yield from self.keys()
+
+    def __len__(self) -> int:
+        return len(self._mem) + len(self._where)
+
+    def get(self, key, default=None):
+        return self._load(key) if key in self else default
+
+    def pop(self, key, *default):
+        if key in self._mem:
+            return self._mem.pop(key)
+        if key not in self._where:
+            if default:
+                return default[0]
+            raise KeyError(key)
+        t = self._load(key)
+        del self._where[key]
+        return t
+
+    def keys(self):
+        yield from self._mem
+        yield from self._where
+
+    def items(self):
+        for key in list(self.keys()):
+            yield key, self._load(key)
+
+
 def load_hf_float(model_dir: str, dtype=jnp.bfloat16) -> Tuple[ModelParams, ModelConfig]:
     """Import an HF float checkpoint into ModelParams, fusing q/k/v and
     gate/up offline. Dispatches on model_type: the Llama family
@@ -490,10 +573,7 @@ def load_hf_float(model_dir: str, dtype=jnp.bfloat16) -> Tuple[ModelParams, Mode
         hf_cfg = json.load(f)
     cfg = ModelConfig.from_hf_config(hf_cfg)
 
-    raw: Dict[str, np.ndarray] = {}
-    for key, tensor in _hf_tensor_iter(model_dir):
-        raw[key] = tensor
-
+    raw = _LazyRaw(model_dir)  # tensor-at-a-time (70B-class fits host RAM)
     importer = _HF_IMPORTERS.get(cfg.model_type, _import_llama_family)
     return importer(raw, cfg, dtype), cfg
 
@@ -947,6 +1027,11 @@ def _import_opt(raw, cfg: ModelConfig, dtype) -> ModelParams:
     """OPT: model.decoder.layers.{i}.{self_attn.{q,k,v,out}_proj,
     self_attn_layer_norm, fc1, fc2, final_layer_norm}; learned positions
     with the +2 offset folded in at import (reference models/opt.py)."""
+    if "model.decoder.project_in.weight" in raw:
+        raise NotImplementedError(
+            "OPT checkpoints with word_embed_proj_dim != hidden_size "
+            "(opt-350m's project_in/project_out) are not supported"
+        )
     W, V, B = _mk_wv(raw, dtype)
     blocks = []
     for i in range(cfg.num_hidden_layers):
@@ -1135,10 +1220,19 @@ def _import_baichuan(raw, cfg: ModelConfig, dtype) -> ModelParams:
         cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta,
         cfg.rope_scaling,
     )
-    lm_head = (
-        Linear(W("lm_head.weight")) if "lm_head.weight" in raw
-        else Linear(embed.T)
-    )
+    if "lm_head.weight" in raw:
+        hw = W("lm_head.weight")  # [D, vocab]
+        if cfg.vocab_size == 125696:
+            # Baichuan2 (same model_type string): NormHead L2-normalizes
+            # each output ROW at inference (modeling_baichuan NormHead) —
+            # fold the normalization into the stored weight
+            hw = hw.astype(jnp.float32)
+            hw = (hw / jnp.maximum(
+                jnp.linalg.norm(hw, axis=0, keepdims=True), 1e-7
+            )).astype(embed.dtype)
+        lm_head = Linear(hw)
+    else:
+        lm_head = Linear(embed.T)
     return ModelParams(
         embed=embed,
         blocks=blocks,
@@ -1152,7 +1246,12 @@ def _import_baichuan(raw, cfg: ModelConfig, dtype) -> ModelParams:
 def _import_qwen(raw, cfg: ModelConfig, dtype) -> ModelParams:
     """Qwen v1: transformer.h.{i}.{ln_1, attn.c_attn (fused, bias), attn.c_proj,
     ln_2, mlp.w1, mlp.w2, mlp.c_proj} — rmsnorm + swiglu
-    (reference models/qwen.py)."""
+    (reference models/qwen.py).
+
+    Known limitation: within the training seq_length only. Qwen-1's
+    use_dynamic_ntk/use_logn_attn long-context extensions (HF
+    modeling_qwen applies them past seq_length) are not implemented —
+    long-context Qwen-1 serving diverges from HF beyond that point."""
     W, V, B = _mk_wv(raw, dtype)
     blocks = []
     for i in range(cfg.num_hidden_layers):
@@ -1713,6 +1812,22 @@ def load_autoawq(model_dir: str) -> Tuple[ModelParams, ModelConfig, QuantConfig]
     with open(os.path.join(model_dir, "config.json")) as f:
         hf_cfg = json.load(f)
     cfg = ModelConfig.from_hf_config(hf_cfg)
+    # this loader maps the PLAIN llama rmsnorm schema only. Families whose
+    # conventions it does not reproduce must fail loudly instead of loading
+    # into silent garbage (gemma's zero-centered +1 norms, qwen3/olmo2
+    # q/k norms, stablelm layernorm biases, cohere shared-norm residual)
+    _AUTOAWQ_OK = {
+        "llama", "mistral", "vicuna", "yi", "aquila", "qwen2", "mixtral",
+        "tinyllama", "deepseek",
+    }
+    if cfg.model_type not in _AUTOAWQ_OK:
+        raise NotImplementedError(
+            f"AutoAWQ import supports the plain llama-schema families "
+            f"{sorted(_AUTOAWQ_OK)}; '{cfg.model_type}' checkpoints carry "
+            f"norm/attention conventions this loader does not map — "
+            f"quantize from the float checkpoint instead "
+            f"(AutoQuickModel.from_pretrained + .quantize)"
+        )
     qcfg = QuantConfig.from_pretrained(model_dir)
     G = qcfg.q_group_size
     version = qcfg.version.lower()

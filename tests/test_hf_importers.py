@@ -1156,3 +1156,30 @@ def test_qwen2_moe_routing_reference():
             g = 1.0 / (1.0 + np.exp(-(h @ Wg)[0]))
             ref[b, s] = acc + g * shared
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_import_baichuan2_normhead(tmp_path):
+    """Baichuan2 (same model_type, vocab 125696) uses NormHead: each output
+    row of lm_head is L2-normalized at inference — the import must fold
+    that in or logits are scaled by per-row norms."""
+    V2 = 125696
+    cfg = {
+        "model_type": "baichuan", "hidden_size": 32,
+        "num_attention_heads": 2, "num_hidden_layers": 1, "vocab_size": V2,
+        "intermediate_size": 64, "max_position_embeddings": 32,
+    }
+    t = {"model.embed_tokens.weight": _w(V2, 32),
+         "model.norm.weight": np.ones(32, np.float32),
+         "lm_head.weight": _w(V2, 32) * 3.0}
+    p = "model.layers.0"
+    t[f"{p}.input_layernorm.weight"] = np.ones(32, np.float32)
+    t[f"{p}.post_attention_layernorm.weight"] = np.ones(32, np.float32)
+    t[f"{p}.self_attn.W_pack.weight"] = _w(96, 32)
+    t[f"{p}.self_attn.o_proj.weight"] = _w(32, 32)
+    t[f"{p}.mlp.gate_proj.weight"] = _w(64, 32)
+    t[f"{p}.mlp.up_proj.weight"] = _w(64, 32)
+    t[f"{p}.mlp.down_proj.weight"] = _w(32, 64)
+    m = AutoQuickModel.from_pretrained(_write(tmp_path, cfg, t), jnp.float32)
+    hw = np.asarray(m.params.lm_head.weight, np.float32)  # [D, vocab]
+    norms = np.linalg.norm(hw, axis=0)
+    np.testing.assert_allclose(norms, np.ones_like(norms), atol=1e-4)

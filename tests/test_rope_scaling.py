@@ -207,3 +207,61 @@ def test_rope_scaling_survives_save_load(tmp_path):
     save_quantized(params, cfg, QuantConfig(q_group_size=8), str(tmp_path))
     _, cfg2, _ = load_quantized(str(tmp_path))
     assert cfg2.rope_scaling == cfg.rope_scaling
+
+
+def test_top_level_original_length_injected():
+    """HF stores original_max_position_embeddings at the config TOP level
+    (phi3 longrope, dynamic NTK); from_hf_config must inject it into the
+    scaling dict so rope_table's regime tests fire."""
+    from quick_tpu import ModelConfig
+
+    cfg = ModelConfig.from_hf_config({
+        "model_type": "phi3", "hidden_size": 64, "num_attention_heads": 4,
+        "num_hidden_layers": 1, "intermediate_size": 128, "vocab_size": 64,
+        "max_position_embeddings": 256,
+        "original_max_position_embeddings": 64,
+        "rope_scaling": {
+            "type": "longrope",
+            "short_factor": [1.0] * 8, "long_factor": [4.0] * 8,
+        },
+    })
+    d = dict(cfg.rope_scaling)
+    assert d["original_max_position_embeddings"] == 64
+    # 256 > 64 => the LONG factors must be used (inv_freq / 4)
+    from quick_tpu.ops.rope import rope_table
+
+    cos, _ = rope_table(256, 16, 10000.0, cfg.rope_scaling)
+    cos_plain, _ = rope_table(256, 16, 10000.0, None)
+    import math
+
+    af = math.sqrt(1.0 + math.log(256 / 64) / math.log(64))
+    np.testing.assert_allclose(
+        np.asarray(cos[1]), af * np.cos(np.asarray(
+            1.0 / (10000.0 ** (np.arange(0, 16, 2) / 16)) / 4.0
+        )), rtol=1e-5,
+    )
+    assert not np.allclose(np.asarray(cos[1]), np.asarray(cos_plain[1]))
+
+
+def test_dynamic_ntk_extends_table():
+    """dynamic NTK configs keep max_position_embeddings at the ORIGINAL
+    length; the static-table approximation extends it by the factor and
+    rescales theta (previously the rescale never fired)."""
+    from quick_tpu import ModelConfig
+
+    cfg = ModelConfig.from_hf_config({
+        "model_type": "llama", "hidden_size": 64, "num_attention_heads": 4,
+        "num_hidden_layers": 1, "intermediate_size": 128, "vocab_size": 64,
+        "max_position_embeddings": 64,
+        "rope_scaling": {"type": "dynamic", "factor": 4.0},
+    })
+    assert cfg.max_position_embeddings == 256
+    d = dict(cfg.rope_scaling)
+    assert d["original_max_position_embeddings"] == 64
+    from quick_tpu.ops.rope import rope_table
+
+    cos, _ = rope_table(
+        cfg.max_position_embeddings, 16, 10000.0, cfg.rope_scaling
+    )
+    cos_plain, _ = rope_table(256, 16, 10000.0, None)
+    assert not np.allclose(np.asarray(cos[100]), np.asarray(cos_plain[100]))
