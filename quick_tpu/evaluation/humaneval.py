@@ -47,15 +47,19 @@ def check_correctness(
     Returns {"passed": bool, "result": str}. (Reference check_correctness,
     humaneval_utils.py:112-180, but with OS-level process isolation.)
     """
-    program = "\n".join(
+    import secrets
+
+    nonce = secrets.token_hex(16)
+    # prompt + completion concatenate DIRECTLY (the OpenAI/reference
+    # protocol, humaneval_utils.py:137-143): an inserted newline splits a
+    # continuation of the prompt's final line and fails correct candidates
+    program = prompt + completion + "\n".join(
         [
-            prompt,
-            completion,
             "",
             test,
             "",
             f"check({entry_point})",
-            "print('__QUICK_TPU_PASS__')",
+            f"print('__QUICK_TPU_PASS_{{}}__'.format({nonce!r}))",
         ]
     )
     src = _RUNNER.format(
@@ -67,17 +71,34 @@ def check_correctness(
         f.write(src)
         path = f.name
     try:
-        proc = subprocess.run(
+        # own session => the timeout kills the whole PROCESS GROUP, so
+        # candidate-spawned children don't outlive the evaluation
+        proc = subprocess.Popen(
             [sys.executable, path],
-            capture_output=True,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
             text=True,
-            timeout=timeout,
             env={"PATH": os.environ.get("PATH", ""), "HOME": "/tmp"},
             cwd=tempfile.gettempdir(),
+            start_new_session=True,
         )
-        if "__QUICK_TPU_PASS__" in proc.stdout:
+        try:
+            stdout, stderr = proc.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            import signal
+
+            try:
+                os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                proc.kill()
+            proc.wait()
+            raise
+        # the per-run nonce keeps candidate prints from spoofing the
+        # pass sentinel
+        if f"__QUICK_TPU_PASS_{nonce}__" in stdout:
             return {"passed": True, "result": "passed"}
-        err = (proc.stderr or "").strip().splitlines()
+        proc_stderr = stderr
+        err = (proc_stderr or "").strip().splitlines()
         return {
             "passed": False,
             "result": f"failed: {err[-1] if err else 'no output'}",
@@ -107,6 +128,12 @@ def estimate_pass_at_k(
     if isinstance(num_samples, int):
         ns: Iterable[int] = itertools.repeat(num_samples, len(num_correct))
     else:
+        if len(num_samples) != len(num_correct):
+            raise ValueError(
+                f"num_samples ({len(num_samples)}) and num_correct "
+                f"({len(num_correct)}) must align — zip truncation would "
+                f"silently compute pass@k over the wrong population"
+            )
         ns = iter(np.asarray(num_samples))
     return np.array([one(int(n), int(c)) for n, c in zip(ns, num_correct)])
 

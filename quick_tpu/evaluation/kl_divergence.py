@@ -63,6 +63,10 @@ def eval_kl_divergence(
     k: int = 5,
 ) -> KLReport:
     flat = np.asarray(tokens, np.int32).reshape(-1)
+    if len(flat) < 2:
+        raise ValueError(
+            f"need at least 2 tokens for a KL window, got {len(flat)}"
+        )
     n_win = max(len(flat) // seqlen, 1)
     seqlen = min(seqlen, len(flat))
     kls, top1s, topks = [], [], []

@@ -94,15 +94,17 @@ def score_choices(
         cont_start = len(full) - len(cont)
         padded = full + [0] * (_bucket(len(full)) - len(full))
         toks = jnp.asarray([padded], jnp.int32)
-        scores.append(
-            float(
-                _continuation_logprob(
-                    params, cfg, toks,
-                    jnp.asarray(max(cont_start, 1)),
-                    jnp.asarray(len(full)),
-                )
+        lp = float(
+            _continuation_logprob(
+                params, cfg, toks,
+                jnp.asarray(max(cont_start, 1)),
+                jnp.asarray(len(full)),
             )
         )
+        # length-normalize (mean per-token logprob): summed logprobs over
+        # variable-length choice texts systematically favor SHORT choices
+        # (lm_eval's acc_norm / byte-normalized convention)
+        scores.append(lp / max(len(full) - max(cont_start, 1), 1))
     return np.asarray(scores)
 
 

@@ -17,13 +17,19 @@ from quick_tpu.models.model import ModelParams, model_forward
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _window_nll(params: ModelParams, cfg: ModelConfig, tokens: jax.Array):
-    """Sum of next-token NLLs and count for one [1, S] window."""
+def _window_nll(
+    params: ModelParams, cfg: ModelConfig, tokens: jax.Array,
+    skip_rows: jax.Array = 0,  # leading rows already scored (tail overlap)
+):
+    """Sum of next-token NLLs and count for one [B, S] window chunk."""
     logits, _ = model_forward(params, cfg, tokens)
     logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
     tgt = tokens[:, 1:]
     nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-    return nll.sum(), nll.size
+    live = (
+        jnp.arange(nll.shape[0]) >= jnp.asarray(skip_rows)
+    ).astype(nll.dtype)[:, None]
+    return (nll * live).sum(), (live * jnp.ones_like(nll)).sum()
 
 
 def evaluate_perplexity(
@@ -47,13 +53,23 @@ def evaluate_perplexity(
     total, count = 0.0, 0
     for i in range(0, n_win, batch):
         nb = min(batch, n_win - i)
+        lo = i
+        if nb < batch and n_win >= batch:
+            # keep ONE compiled [batch, seqlen] shape: slide the final
+            # chunk back to cover the tail (a partial [nb, seqlen] chunk
+            # costs a fresh 20-40s compile through the TPU tunnel for a
+            # handful of windows); the overlapping windows' losses are
+            # masked out below
+            lo = n_win - batch
+            nb = batch
         w = jnp.asarray(
-            flat[i * seqlen : (i + nb) * seqlen].reshape(nb, seqlen)
+            flat[lo * seqlen : (lo + nb) * seqlen].reshape(nb, seqlen)
         )
-        s, c = _window_nll(params, cfg, w)
+        s, c = _window_nll(params, cfg, w, skip_rows=max(i - lo, 0))
         total += float(s)
         count += int(c)
         if verbose:
-            print(f"[ppl] window {i + nb}/{n_win}: {np.exp(total / count):.4f}",
+            done = min(lo + nb, n_win)
+            print(f"[ppl] window {done}/{n_win}: {np.exp(total / count):.4f}",
                   flush=True)
     return float(np.exp(total / count))

@@ -75,7 +75,7 @@ def eval_librispeech(
             from datasets import load_dataset
 
             ds = load_dataset(
-                "librispeech_asr", "clean", split="test.clean"
+                "librispeech_asr", "clean", split="test"
             )
             dataset_rows = list(ds)
         except Exception as e:  # pragma: no cover - environment dependent

@@ -126,14 +126,27 @@ class AutoQuickModel:
         """Lazy HF tokenizer from the checkpoint dir (the reference returns
         the tokenizer separately; here it rides along, auto.py:47-52)."""
         if self._tokenizer is None:
-            if self.model_dir is None:
+            from transformers import AutoTokenizer
+
+            gguf = getattr(self, "gguf_path", None)
+            if gguf is not None:
+                # transformers loads GGUF-embedded tokenizers via the
+                # gguf_file kwarg on the CONTAINING directory
+                import os
+
+                self._tokenizer = AutoTokenizer.from_pretrained(
+                    os.path.dirname(os.path.abspath(gguf)) or ".",
+                    gguf_file=os.path.basename(gguf),
+                )
+            elif self.model_dir is None:
                 raise ValueError(
                     "no model_dir — construct via from_pretrained/"
                     "from_quantized or set .model_dir"
                 )
-            from transformers import AutoTokenizer
-
-            self._tokenizer = AutoTokenizer.from_pretrained(self.model_dir)
+            else:
+                self._tokenizer = AutoTokenizer.from_pretrained(
+                    self.model_dir
+                )
         return self._tokenizer
 
     # -- constructors --------------------------------------------------------
@@ -174,7 +187,9 @@ class AutoQuickModel:
 
         params, cfg, qcfg = load_gguf(path)
         check_and_get_model_type(cfg.model_type)
-        return cls(params, cfg, qcfg, model_dir=path)
+        m = cls(params, cfg, qcfg)
+        m.gguf_path = path  # tokenizer property loads via gguf_file=
+        return m
 
     @classmethod
     def from_random(
@@ -183,9 +198,9 @@ class AutoQuickModel:
         """Random-init float model (hermetic testing/benching)."""
         from quick_tpu.models.model import init_float_params
 
+        cfg = apply_model_type(cfg)
         return cls(
-            init_float_params(apply_model_type(cfg), jax.random.PRNGKey(seed), dtype),
-            apply_model_type(cfg),
+            init_float_params(cfg, jax.random.PRNGKey(seed), dtype), cfg
         )
 
     # -- pipeline ------------------------------------------------------------

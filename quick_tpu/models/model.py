@@ -418,10 +418,26 @@ _NAME_ALIASES = {
 
 def canonical_skips(modules_to_not_convert) -> frozenset:
     """Translate a modules_to_not_convert list into canonical fused-linear
-    names ({'qkv', 'o', 'gate_up', 'down', 'router'})."""
+    names ({'qkv', 'o', 'gate_up', 'down', 'router'}).
+
+    Patterns match by SUBSTRING like the reference's exclude check
+    (quick/awq/utils/module.py:44-54) — real AutoAWQ configs carry
+    qualified names ('model.layers.0.self_attn.q_proj', 'mlp.gate'), not
+    bare component names. Longer alias keys are tried first so
+    'gate_proj'/'up_proj' match gate_up before the bare MoE-router
+    'gate'."""
     out = set()
+    keys = sorted(_NAME_ALIASES, key=len, reverse=True)
     for pat in modules_to_not_convert or ():
-        out.add(_NAME_ALIASES.get(pat, pat))
+        if pat in ("qkv", "o", "gate_up", "down", "router"):
+            out.add(pat)
+            continue
+        for key in keys:
+            if key in pat:
+                out.add(_NAME_ALIASES[key])
+                break
+        else:
+            out.add(pat)  # unknown: kept verbatim (matches nothing)
     return frozenset(out)
 
 
