@@ -170,7 +170,9 @@ def _dense_decode(
     )(lengths, gmax, q, slopes, k, v)
 
 
-def _pick_tiles(B: int, Hkv: int, T: int, D: int) -> Optional[tuple]:
+def _pick_tiles(
+    B: int, Hkv: int, T: int, D: int, itemsize: int = 2
+) -> Optional[tuple]:
     """Choose (nb sequences/step, c tokens/chunk) for the grid.
 
     Sweet spot (tools/dense_decode_bench.py, 7B shapes on v5e): ~2MB of
@@ -179,7 +181,8 @@ def _pick_tiles(B: int, Hkv: int, T: int, D: int) -> Optional[tuple]:
     nb=8 c=128 at 7B shapes, measured 36% SLOWER than 2MB steps). Within
     that, prefer c <= 128 so short-context tails still skip DMA. Returns
     None if no layout fits (caller falls back to the einsum path)."""
-    budget = (2 << 20) // (Hkv * D * 2 * 2)  # max nb*c tokens (~2MB K+V)
+    # max nb*c tokens for ~2MB of K+V per step at the CACHE dtype
+    budget = (2 << 20) // (Hkv * D * 2 * itemsize)
     if budget < 8:
         return None
     c = None
@@ -229,9 +232,11 @@ def dense_decode_attention(
     if scale is None:
         scale = D ** -0.5
     if nb is None or c is None:
-        tiles = _pick_tiles(B, Hkv, T, D)
+        tiles = _pick_tiles(B, Hkv, T, D, itemsize=k.dtype.itemsize)
         assert tiles is not None, "no tileable layout; use supports()"
-        nb, c = tiles
+        # honor an explicitly fixed tile; auto-pick only the missing one
+        nb = tiles[0] if nb is None else nb
+        c = tiles[1] if c is None else c
     use_alibi = alibi_slopes is not None
     slopes = (
         jnp.asarray(alibi_slopes, jnp.float32).reshape(Hq, 1)

@@ -66,8 +66,20 @@ def paged_write_decode(
     """Returns (k_pages, v_pages) with the tokens written into ``layer``.
 
     Donation-friendly: the page arrays are aliased input->output, so under
-    jit the write is in-place. ``page`` must be a multiple of 8 (it is — it
-    must also be lane/sublane friendly for the attention kernel)."""
+    jit the write is in-place. PRECONDITION: ``page_size`` must be a
+    multiple of the dtype's RMW group (f32 8 / bf16 16 / int8 32 — see
+    _group_for), or the aligned group block spans past the page boundary
+    into the NEIGHBORING page through the aliased buffer. Validated here
+    because the kernel is also called directly by tests/benches
+    (PagedKVCache.update has its own guard)."""
+    page_sz = k_pages.shape[3]
+    grp = _group_for(k_pages.dtype)
+    if page_sz % grp != 0:
+        raise ValueError(
+            f"page_size {page_sz} must be a multiple of the {k_pages.dtype} "
+            f"RMW group ({grp}) — an aligned group block would cross into "
+            f"the next page"
+        )
     B, Hkv, Dk = k_new.shape
     Dv = v_new.shape[-1]  # deepseek MLA pages: k_pe/latent widths differ
     group = _group_for(k_pages.dtype)

@@ -66,7 +66,10 @@ def pack_qtpu(q: np.ndarray, group_size: int = 128) -> np.ndarray:
     qg = qg.astype(np.uint32)
     words = np.zeros((K // group_size, slab, N), dtype=np.uint32)
     for j in range(PACK):
-        words |= qg[:, j] << np.uint32(4 * j)
+        # mask to the nibble like the native packer (& 0xF): an
+        # out-of-range code must not bleed into the adjacent nibble —
+        # the two paths stay bit-identical
+        words |= (qg[:, j] & np.uint32(0xF)) << np.uint32(4 * j)
     return words.reshape(K // PACK, N).view(np.int32)
 
 
@@ -104,7 +107,7 @@ def pack_awq_gemm(q_t: np.ndarray) -> np.ndarray:
     cols = cols[:, :, AWQ_ORDER]  # nibble j holds column AWQ_ORDER[j]
     words = np.zeros((K, N // PACK), dtype=np.uint32)
     for j in range(PACK):
-        words |= cols[:, :, j] << np.uint32(4 * j)
+        words |= (cols[:, :, j] & np.uint32(0xF)) << np.uint32(4 * j)
     return words.view(np.int32)
 
 
