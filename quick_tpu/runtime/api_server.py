@@ -120,7 +120,7 @@ class APIServer:
 
     # -- submission (handler threads) ------------------------------------------
     def _submit(self, prompt_ids, max_tokens, sampling, stop_ids,
-                logit_bias=None) -> _Completion:
+                logit_bias=None, priority=0) -> _Completion:
         with self._lock:
             comp_holder = {}
 
@@ -134,6 +134,7 @@ class APIServer:
                 on_token=on_token,
                 sampling=sampling,
                 logit_bias=logit_bias,
+                priority=priority,
             )
             comp = _Completion(uid, len(prompt_ids), max_tokens,
                                self.eos_token_id, frozenset(stop_ids or ()))
@@ -359,8 +360,10 @@ class APIServer:
                     "support (Engine(enable_penalties=True) / --penalties)"
                 )
             lb = {int(k): float(v) for k, v in lb.items()}
+        prio = int(body.get("priority", 0))
         comps = [
-            self._submit(prompt_ids, max_tokens, sampling, stop_ids, lb)
+            self._submit(prompt_ids, max_tokens, sampling, stop_ids, lb,
+                         priority=prio)
             for _ in range(best_of)
         ]
         comp = comps[0]

@@ -78,6 +78,9 @@ class Request:
     # preemption and feeding it again would shift the stream by one
     resume_out: int = 0
     admit_seq: int = 0  # admission order; preemption evicts the youngest
+    #: scheduling priority (higher admits first; ties FIFO). Preemption
+    #: evicts the lowest-priority slot first, youngest within a priority.
+    priority: int = 0
 
     @property
     def _resume(self) -> int:
@@ -501,6 +504,7 @@ class Engine:
         on_token: Optional[Callable[[int, int], None]] = None,
         sampling=None,
         logit_bias: Optional[dict] = None,  # {token_id: additive bias}
+        priority: int = 0,  # higher admits first; preempted last
     ) -> int:
         if sampling is not None and self._tp and sampling.temperature != 0.0:
             raise NotImplementedError(
@@ -536,6 +540,7 @@ class Engine:
             uid, list(prompt), max_new_tokens, eos_token_id,
             frozenset(stop_token_ids) if stop_token_ids else None,
             on_token, sampling, logit_bias=dict(logit_bias or {}) or None,
+            priority=priority,
         )
         self.queue.append(req)
         # uid -> Request registry (logprobs/top_logprobs live here);
@@ -632,7 +637,8 @@ class Engine:
         for slot in range(self.max_slots):
             if self.slots[slot] is not None or not self.queue:
                 continue
-            req = self.queue[0]
+            req = max(self.queue, key=lambda r: r.priority)  # FIFO in ties
+            # (max is stable toward the FIRST maximal element)
             full_need = -(
                 -(len(req.prompt) + req.max_new_tokens) // self.page_size
             )
@@ -670,7 +676,7 @@ class Engine:
                 pages = self.alloc.alloc(need)
                 if pages is None:
                     return  # no memory — retry after a retirement
-            self.queue.popleft()
+            self.queue.remove(req)
             self.stats["admitted"] += 1
             req.admit_seq = self._admit_seq
             self._admit_seq += 1
@@ -815,7 +821,19 @@ class Engine:
                     f"{len(self.slot_pages[slot])} pages and needs {need} "
                     f"more; raise n_pages"
                 )
-            self._preempt(max(others, key=lambda s: self.slots[s].admit_seq))
+            victim = min(
+                others,
+                key=lambda s: (
+                    self.slots[s].priority, -self.slots[s].admit_seq
+                ),
+            )
+            if self.slots[victim].priority > req.priority:
+                # every other slot outranks this one: yield instead of
+                # evicting higher-priority work (requeued; re-admits when
+                # pages free up)
+                self._preempt(slot)
+                return False
+            self._preempt(victim)
             if self.slots[slot] is not req:
                 return False  # retired by the preemption's flush
         self.slot_pages[slot].extend(pages)

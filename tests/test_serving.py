@@ -550,6 +550,46 @@ def test_optimistic_preemption_fuzz(params):
     assert eng.stats["preemptions"] >= 1  # the tight pool was actually hit
 
 
+def test_priority_scheduling(params):
+    """Higher-priority queued requests admit before earlier-queued lower
+    ones (FIFO within a priority); preemption evicts lowest priority
+    first."""
+    order = []
+
+    def cb(uid, tok):
+        if uid not in order:
+            order.append(uid)
+
+    eng = Engine(params, TINY, max_slots=1, max_seq=32, page_size=4,
+                 chunk=4, dtype=jnp.float32, decode_window=2)
+    ua = eng.submit(list(range(3, 9)), 4, on_token=cb, priority=0)
+    ub = eng.submit(list(range(13, 19)), 4, on_token=cb, priority=0)
+    uc = eng.submit(list(range(23, 29)), 4, on_token=cb, priority=5)
+    outs = eng.run()
+    # all three were queued before the first admission, so the
+    # high-priority request goes FIRST, then FIFO among the rest
+    assert order == [uc, ua, ub]
+    assert all(len(outs[u]) == 4 for u in (ua, ub, uc))
+
+    # preemption: under page pressure the LOW priority slot is evicted
+    eng2 = Engine(params, TINY, max_slots=3, max_seq=24, page_size=4,
+                  chunk=4, dtype=jnp.float32, decode_window=2,
+                  n_pages=12, reserve="optimistic")
+    u_low = eng2.submit(list(range(3, 9)), 16, priority=0)
+    u_hi1 = eng2.submit(list(range(13, 19)), 16, priority=5)
+    u_hi2 = eng2.submit(list(range(23, 29)), 16, priority=5)
+    outs = eng2.run()
+    assert eng2.stats["preemptions"] >= 1
+    assert all(len(outs[u]) == 16 for u in (u_low, u_hi1, u_hi2))
+    low_req = eng2.requests[u_low]
+    hi_reqs = [eng2.requests[u_hi1], eng2.requests[u_hi2]]
+    # the low-priority request was resumed at least as often as either
+    # high one (it is always the first eviction choice)
+    low_resumed = low_req.resume_len is not None
+    hi_resumed = [r.resume_len is not None for r in hi_reqs]
+    assert low_resumed or not any(hi_resumed)
+
+
 def test_abort_from_on_token_callback(params):
     """Aborting from inside the streaming callback (the EOS-at-N pattern
     tools/serve_bench.py --declared_pad uses) must stop each request at
