@@ -27,6 +27,7 @@ Design (TPU-first, not a translation):
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -308,6 +309,51 @@ def _quantized_matmul_2d_a8(
     return out[:M] if Mp != M else out
 
 
+def _make_kernel_dequant(gpb: int, slab: int, bn: int):
+    """Small-group (G < 128, e.g. GGUF's 32) kernel variant.
+
+    The output-side-scaling kernel slices qw_ref/x_ref per group — at
+    slab < 8 those slices sit at sub-native-tile offsets (illegal/slow
+    Mosaic layouts). This variant never sub-slices: it unpacks the WHOLE
+    K-step block, reshapes on the LEADING dim only ([gpb*G, bn] ->
+    [gpb, G, bn] — free, the minor two dims are untouched), dequantizes
+    in-registers with the broadcast per-group scale/zero rows, and runs
+    one big dot:
+
+        acc += x_block @ (codes * s - zs)
+
+    Costs ~2 extra VPU ops/weight vs the factored form, but weights stay
+    INT4-packed in HBM — at decode that is ~4x less traffic than the XLA
+    fallback, which materializes dequantized bf16 weights through HBM."""
+    G = slab * PACK
+
+    def kernel(x_ref, qw_ref, s_ref, zs_ref, o_ref, acc):
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        qg = qw_ref[...]  # [gpb*slab, bn] int32 — whole block, no slices
+        nib = [(qg >> (4 * j)) & 0xF for j in range(PACK)]
+        # j-major order: nibble j of slab-row r is logical row
+        # (g, j*slab + r) — rebuild [gpb, G, bn] by leading-dim reshapes
+        w = jnp.concatenate(
+            [n.reshape(gpb, slab, bn) for n in nib], axis=1
+        ).astype(jnp.float32)  # [gpb, G, bn]
+        w = w * s_ref[:, :, :] - zs_ref[:, :, :]  # broadcast [gpb, 1, bn]
+        wg = w.reshape(gpb * G, bn).astype(jnp.bfloat16)
+        acc[:] += jnp.dot(
+            x_ref[...], wg, preferred_element_type=jnp.float32
+        )
+
+        @pl.when(k == pl.num_programs(2) - 1)
+        def _():
+            o_ref[:] = acc[:].astype(o_ref.dtype)
+
+    return kernel
+
+
 def _pick_bn(N: int) -> int:
     # 1024 measured best across M=1..128 at 7B/8192 shapes (tools/msweep.py,
     # tools/shape_sweep.py, tools/tile_sweep.py: bn=2048 helps some mid-M
@@ -360,13 +406,8 @@ def _quantized_matmul_2d(
     ng = K // G
     slab = G // PACK
 
-    if _impl_mode() == "jnp" or group_size != 128:
-        # group_size != 128 (GGUF imports use the llama.cpp block size 32):
-        # the fused kernel's in-kernel group slices land at sub-native-tile
-        # offsets (slab < 8 sublanes, 32-lane x cuts) — an unvalidated
-        # Mosaic layout path. The XLA dequant form is correct everywhere
-        # and stays the serving path for non-128 groups until the small-G
-        # kernel is tuned on hardware.
+    small_g = group_size != 128
+    if _impl_mode() == "jnp" or (small_g and (ng * slab) % 8 != 0):
         return _quantized_matmul_jnp(
             x, qweight, scales, zeros_x_scales, G, out_dtype
         )
@@ -383,6 +424,15 @@ def _quantized_matmul_2d(
         bn = _pick_bn(N)
     if gpb is None:
         gpb = _pick_gpb(ng, G, bn, slab)
+    if small_g and (gpb * slab) % 8 != 0:
+        # the packed block must stay 8-sublane aligned for the dequant
+        # kernel's whole-block read; bump gpb to the alignment multiple
+        mult = 8 // math.gcd(slab, 8) if slab < 8 else 1
+        gpb = mult if ng % mult == 0 else None
+        if gpb is None:
+            return _quantized_matmul_jnp(
+                x, qweight, scales, zeros_x_scales, G, out_dtype
+            )
 
     x = x.astype(jnp.bfloat16)
     if Mp != M:
@@ -391,8 +441,12 @@ def _quantized_matmul_2d(
     s3 = scales.reshape(ng, 1, N)
     zs3 = zeros_x_scales.reshape(ng, 1, N)
 
+    # small groups (GGUF g=32) use the dequant-in-kernel variant — the
+    # factored kernel's per-group slices are sub-native-tile at slab < 8
+    kern = _make_kernel_dequant if small_g else _make_kernel
+
     out = pl.pallas_call(
-        _make_kernel(gpb, slab, bn),
+        kern(gpb, slab, bn),
         grid=(Mp // bm, N // bn, ng // gpb),
         in_specs=[
             pl.BlockSpec((bm, gpb * G), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),

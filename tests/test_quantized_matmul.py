@@ -129,3 +129,32 @@ def test_a8_decode_m_routes_to_a16(rng):
     a = np.asarray(quantized_matmul(*args, a8=True))
     b = np.asarray(quantized_matmul(*args, a8=False))
     np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# small-group (GGUF g=32) dequant-in-kernel variant
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("M,G2", [(1, 32), (16, 32), (64, 32), (16, 64)])
+def test_small_group_kernel_matches_reference(rng, M, G2):
+    """group_size != 128 routes to the whole-block dequant kernel (no
+    sub-tile slices) — must match the golden dequant like the main
+    kernel."""
+    x, qw, s, zs, ref = _make_case(rng, M, 256, 128, G=G2)
+    out = np.asarray(
+        quantized_matmul(jnp.asarray(x, jnp.bfloat16), jnp.asarray(qw),
+                         jnp.asarray(s), jnp.asarray(zs), group_size=G2)
+    ).astype(np.float32)
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(out - ref).max() / scale < 2e-2
+
+
+def test_small_group_kernel_vs_jnp_fallback(rng, monkeypatch):
+    x, qw, s, zs, _ = _make_case(rng, 8, 256, 128, G=32)
+    args = (jnp.asarray(x, jnp.bfloat16), jnp.asarray(qw),
+            jnp.asarray(s), jnp.asarray(zs))
+    monkeypatch.setenv("QUICK_TPU_PALLAS_INTERPRET", "1")
+    k = np.asarray(quantized_matmul(*args, group_size=32)).astype(np.float32)
+    monkeypatch.setenv("QUICK_TPU_PALLAS_INTERPRET", "0")
+    j = np.asarray(quantized_matmul(*args, group_size=32)).astype(np.float32)
+    np.testing.assert_allclose(k, j, atol=2e-2, rtol=2e-2)
