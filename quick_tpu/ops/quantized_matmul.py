@@ -269,9 +269,14 @@ def _quantized_matmul_2d_a8(
     # pad up to a 128 multiple (same ragged-M policy as the a16 kernel)
     Mp = _round_up(M, 32) if M <= 128 else _round_up(M, 128)
     if bm is None:
-        bm = Mp if Mp <= 128 else 128
+        # measured (v5e, 8192^2): Mp=128 single-tile is HBM-bound at ~750
+        # GB/s -> 340 TOPS; Mp>=256 runs best at bm=256 (194 vs 234 us at
+        # M=256 with bm=128 — weight re-streaming dominates smaller tiles)
+        bm = Mp if Mp <= 256 else 256
+        if Mp % bm:
+            bm = 128
     if bn is None:
-        bn = _pick_bn(N)
+        bn = _pick_bn(N) if bm <= 128 else min(512, _pick_bn(N))
     if gpb is None:
         gpb = _pick_gpb(ng, G, bn, slab)
 
@@ -419,9 +424,14 @@ def _quantized_matmul_2d(
     # 8-row-tile degeneration (25x more grid rows re-streaming the weights)
     Mp = _round_up(M, 8) if M <= 128 else _round_up(M, 128)
     if bm is None:
-        bm = Mp if Mp <= 128 else 128
+        # Mp=256 measured ~10% faster single-tile (bm=256/bn=512: 194-207 us
+        # vs bm=128/bn=1024: 204-231 us at 8192^2); Mp>=512 is flat across
+        # tiles — keep bm=256 for the halved weight re-streaming
+        bm = Mp if Mp <= 256 else 256
+        if Mp % bm:
+            bm = 128
     if bn is None:
-        bn = _pick_bn(N)
+        bn = _pick_bn(N) if bm <= 128 else min(512, _pick_bn(N))
     if gpb is None:
         gpb = _pick_gpb(ng, G, bn, slab)
     if small_g and (gpb * slab) % 8 != 0:
@@ -518,7 +528,11 @@ def quantized_matmul(
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    if a8 and x2.shape[0] > 8:
+    # a8 measured (v5e, 8192^2): Mp=128 340 TOPS vs 155 a16 (2.2x — the
+    # int8 weight stream is HBM-bound at ~750 GB/s); but M<=64 REGRESSES
+    # (126 vs 158 TF — quantize_activations overhead dominates), so the
+    # int8 path only engages where it wins: rows that pad to >=128.
+    if a8 and x2.shape[0] > 96:
         y = _quantized_matmul_2d_a8(
             x2, qweight, scales, zeros_x_scales,
             group_size=group_size, out_dtype=out_dtype,
