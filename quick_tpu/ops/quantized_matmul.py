@@ -278,7 +278,7 @@ def _quantized_matmul_2d_a8(
     if bn is None:
         bn = _pick_bn(N) if bm <= 128 else min(512, _pick_bn(N))
     if gpb is None:
-        gpb = _pick_gpb(ng, G, bn, slab)
+        gpb = _pick_gpb(ng, G, bn, slab, bm)
 
     xq, sx = quantize_activations(x)
     if Mp != M:
@@ -371,14 +371,20 @@ def _pick_bn(N: int) -> int:
     return N
 
 
-def _pick_gpb(ng: int, G: int, bn: int, slab: int) -> int:
+def _pick_gpb(ng: int, G: int, bn: int, slab: int, bm: int = 128) -> int:
     # deepest K-step whose unpacked bf16 tile stays within ~4MB of VMEM and
-    # whose int32 block keeps sublane alignment
+    # whose int32 block keeps sublane alignment. Decode (bm<=8) tolerates
+    # 2x deeper steps — the x/acc tiles are tiny and the factored kernel
+    # only materializes one [G, bn] unpacked group at a time; measured
+    # (v5e, M=1, 7B shapes) gpb 16->32 gains 3-8% weight-stream on every
+    # GEMM (gate_up 711->767 GB/s). Candidates include non-power-of-2
+    # divisors for odd ng (down-proj ng=112 -> 28).
+    cap = (8 if bm <= 8 else 4) * 1024 * 1024
     gpb = 1
-    for cand in (64, 32, 16, 8, 4, 2, 1):
+    for cand in (64, 32, 28, 16, 14, 8, 7, 4, 2, 1):
         if ng % cand:
             continue
-        if cand * G * bn * 2 > 4 * 1024 * 1024:
+        if cand * G * bn * 2 > cap:
             continue
         if (cand * slab) % 8 and cand * slab != ng * slab:
             continue
@@ -433,7 +439,7 @@ def _quantized_matmul_2d(
     if bn is None:
         bn = _pick_bn(N) if bm <= 128 else min(512, _pick_bn(N))
     if gpb is None:
-        gpb = _pick_gpb(ng, G, bn, slab)
+        gpb = _pick_gpb(ng, G, bn, slab, bm)
     if small_g and (gpb * slab) % 8 != 0:
         # the packed block must stay 8-sublane aligned for the dequant
         # kernel's whole-block read; bump gpb to the alignment multiple

@@ -51,7 +51,10 @@ for bn, gpb, bm in configs:
         return best
 
     try:
-        n1, n2 = (10, 310) if M <= 64 else (4, 104)
+        if len(args) > 4:
+            n1, n2 = map(int, args[4].split(":"))
+        else:
+            n1, n2 = (10, 310) if M <= 64 else (4, 104)
         per = (run(n2) - run(n1)) / (n2 - n1)
         wb = K * N / 2 + 2 * (K // G) * N * 4
         tf = 2 * M * K * N / per / 1e12
