@@ -319,18 +319,29 @@ def _make_kernel_dequant(gpb: int, slab: int, bn: int):
 
     The output-side-scaling kernel slices qw_ref/x_ref per group — at
     slab < 8 those slices sit at sub-native-tile offsets (illegal/slow
-    Mosaic layouts). This variant never sub-slices: it unpacks the WHOLE
-    K-step block, reshapes on the LEADING dim only ([gpb*G, bn] ->
-    [gpb, G, bn] — free, the minor two dims are untouched), dequantizes
-    in-registers with the broadcast per-group scale/zero rows, and runs
-    one big dot:
+    Mosaic layouts). An earlier variant rebuilt logical row order with 3D
+    reshape/concat over a sub-native middle dim ([gpb, slab, bn]) — that
+    MISCOMPILES on real Mosaic (correct only in interpret mode; measured
+    rel err ~1.4 on v5e). This version is pure 2D, native-tiled ops only:
 
-        acc += x_block @ (codes * s - zs)
+    - unpack as 8 stacked shift-copies: out row t = j*R + p (R = gpb*slab
+      packed rows per K-step) holds logical row (P//slab)*G + j*slab +
+      P%slab — a STATIC permutation, applied to x's columns outside the
+      kernel (``_small_g_perm``) so the dot contracts correctly;
+    - per-group scales/zeros expanded to per-row [R, bn] via a one-hot
+      MXU dot (E [R, gpb] @ s [gpb, bn]) — ``jnp.repeat`` along sublanes
+      lowers to a relayout that costs ~30 us per pass at 7B shapes
+      (measured v5e, tools/smallg_sweep.py: repeat-based 86 us vs
+      E-dot 25 us vs scale-free floor 22 us);
+    - dequantize in-registers, one big [bm, 8R] x [8R, bn] dot.
 
-    Costs ~2 extra VPU ops/weight vs the factored form, but weights stay
-    INT4-packed in HBM — at decode that is ~4x less traffic than the XLA
-    fallback, which materializes dequantized bf16 weights through HBM."""
+    Weights stay INT4-packed in HBM — at decode that is ~4x less traffic
+    than the XLA fallback, which materializes dequantized bf16 weights
+    through HBM."""
     G = slab * PACK
+    # XLA:CPU (interpret mode) lacks a bf16 x bf16 -> f32 dot thunk for
+    # this shape family; run the interpreted dot in f32 (same tolerance)
+    wdt = jnp.float32 if _impl_mode() == "interpret" else jnp.bfloat16
 
     def kernel(x_ref, qw_ref, s_ref, zs_ref, o_ref, acc):
         k = pl.program_id(2)
@@ -339,17 +350,20 @@ def _make_kernel_dequant(gpb: int, slab: int, bn: int):
         def _():
             acc[:] = jnp.zeros_like(acc)
 
-        qg = qw_ref[...]  # [gpb*slab, bn] int32 — whole block, no slices
-        nib = [(qg >> (4 * j)) & 0xF for j in range(PACK)]
-        # j-major order: nibble j of slab-row r is logical row
-        # (g, j*slab + r) — rebuild [gpb, G, bn] by leading-dim reshapes
-        w = jnp.concatenate(
-            [n.reshape(gpb, slab, bn) for n in nib], axis=1
-        ).astype(jnp.float32)  # [gpb, G, bn]
-        w = w * s_ref[:, :, :] - zs_ref[:, :, :]  # broadcast [gpb, 1, bn]
-        wg = w.reshape(gpb * G, bn).astype(jnp.bfloat16)
+        qg = qw_ref[...]  # [R, bn] int32 — whole block, no slices
+        R = gpb * slab
+        r_i = jax.lax.broadcasted_iota(jnp.int32, (R, gpb), 0)
+        c_i = jax.lax.broadcasted_iota(jnp.int32, (R, gpb), 1)
+        E = (r_i // slab == c_i).astype(jnp.float32)  # one-hot row->group
+        s_rep = jnp.dot(E, s_ref[...], preferred_element_type=jnp.float32)
+        zs_rep = jnp.dot(E, zs_ref[...], preferred_element_type=jnp.float32)
+        ws = []
+        for j in range(PACK):
+            cj = ((qg >> (4 * j)) & 0xF).astype(jnp.float32)
+            ws.append((cj * s_rep - zs_rep).astype(wdt))
+        w = jnp.concatenate(ws, axis=0)  # [8R, bn], copy-major row order
         acc[:] += jnp.dot(
-            x_ref[...], wg, preferred_element_type=jnp.float32
+            x_ref[...].astype(wdt), w, preferred_element_type=jnp.float32
         )
 
         @pl.when(k == pl.num_programs(2) - 1)
@@ -357,6 +371,22 @@ def _make_kernel_dequant(gpb: int, slab: int, bn: int):
             o_ref[:] = acc[:].astype(o_ref.dtype)
 
     return kernel
+
+
+def _small_g_perm(K: int, G: int, gpb: int) -> np.ndarray:
+    """x-column order matching ``_make_kernel_dequant``'s copy-major unpack.
+
+    Within each K-step (R = gpb*slab packed rows), dequantized row
+    t = j*R + p holds logical k = (P//slab)*G + j*slab + P%slab, with P
+    the global packed row index. Returns perm with x_perm[:, t] =
+    x[:, perm[t]]."""
+    slab = G // PACK
+    R = gpb * slab
+    T = np.arange(K)
+    blk, t = T // (gpb * G), T % (gpb * G)
+    j, p = t // R, t % R
+    P = blk * R + p
+    return (P // slab) * G + j * slab + P % slab
 
 
 def _pick_bn(N: int) -> int:
@@ -371,7 +401,9 @@ def _pick_bn(N: int) -> int:
     return N
 
 
-def _pick_gpb(ng: int, G: int, bn: int, slab: int, bm: int = 128) -> int:
+def _pick_gpb(
+    ng: int, G: int, bn: int, slab: int, bm: int = 128, wbytes: int = 2
+) -> int:
     # deepest K-step whose unpacked bf16 tile stays within ~4MB of VMEM and
     # whose int32 block keeps sublane alignment. Decode (bm<=8) tolerates
     # 2x deeper steps — the x/acc tiles are tiny and the factored kernel
@@ -384,7 +416,7 @@ def _pick_gpb(ng: int, G: int, bn: int, slab: int, bm: int = 128) -> int:
     for cand in (64, 32, 28, 16, 14, 8, 7, 4, 2, 1):
         if ng % cand:
             continue
-        if cand * G * bn * 2 > cap:
+        if cand * G * bn * wbytes > cap:
             continue
         if (cand * slab) % 8 and cand * slab != ng * slab:
             continue
@@ -439,12 +471,11 @@ def _quantized_matmul_2d(
     if bn is None:
         bn = _pick_bn(N) if bm <= 128 else min(512, _pick_bn(N))
     if gpb is None:
-        gpb = _pick_gpb(ng, G, bn, slab, bm)
-    if small_g and (gpb * slab) % 8 != 0:
-        # the packed block must stay 8-sublane aligned for the dequant
-        # kernel's whole-block read; bump gpb to the alignment multiple
-        mult = 8 // math.gcd(slab, 8) if slab < 8 else 1
-        gpb = mult if ng % mult == 0 else None
+        gpb = _pick_gpb(ng, G, bn, slab, bm, wbytes=4 if small_g else 2)
+    if small_g and (gpb % 8 != 0 and gpb != ng):
+        # the scale block [gpb, bn] and packed block [gpb*slab, bn] must
+        # stay 8-sublane aligned for the dequant kernel's whole-block reads
+        gpb = 8 if ng % 8 == 0 else None
         if gpb is None:
             return _quantized_matmul_jnp(
                 x, qweight, scales, zeros_x_scales, G, out_dtype
@@ -454,12 +485,31 @@ def _quantized_matmul_2d(
     if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
 
-    s3 = scales.reshape(ng, 1, N)
-    zs3 = zeros_x_scales.reshape(ng, 1, N)
-
-    # small groups (GGUF g=32) use the dequant-in-kernel variant — the
-    # factored kernel's per-group slices are sub-native-tile at slab < 8
-    kern = _make_kernel_dequant if small_g else _make_kernel
+    if small_g:
+        # dequant-in-kernel variant (the factored kernel's per-group
+        # slices are sub-native-tile at slab < 8): 2D scale blocks,
+        # x columns pre-permuted to the kernel's copy-major row order.
+        # The permutation is a pure dim-transpose (logical k =
+        # blk*gpb*G + g*G + j*slab + r -> kernel order blk, j, g, r),
+        # expressed as reshape/transpose so XLA emits a relayout copy
+        # instead of a lane gather.
+        x = (
+            x.reshape(Mp, ng // gpb, gpb, PACK, slab)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(Mp, K)
+        )
+        kern = _make_kernel_dequant
+        scale_spec = pl.BlockSpec(
+            (gpb, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
+        )
+        s_in, zs_in = scales, zeros_x_scales
+    else:
+        kern = _make_kernel
+        scale_spec = pl.BlockSpec(
+            (gpb, 1, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM
+        )
+        s_in = scales.reshape(ng, 1, N)
+        zs_in = zeros_x_scales.reshape(ng, 1, N)
 
     out = pl.pallas_call(
         kern(gpb, slab, bn),
@@ -467,8 +517,8 @@ def _quantized_matmul_2d(
         in_specs=[
             pl.BlockSpec((bm, gpb * G), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((gpb * slab, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((gpb, 1, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((gpb, 1, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
+            scale_spec,
+            scale_spec,
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
@@ -482,7 +532,7 @@ def _quantized_matmul_2d(
             transcendentals=0,
         ),
         interpret=_impl_mode() == "interpret",
-    )(x, qweight, s3, zs3)
+    )(x, qweight, s_in, zs_in)
     return out[:M] if Mp != M else out
 
 

@@ -73,10 +73,15 @@ def quantize_tensor(
     )
 
 
-def dequantize_tensor(qt: QuantizedTensor, group_size: int = 128) -> jax.Array:
-    """Golden dequantization: w = (q - z) * s, float32 [K, N]."""
+def dequantize_tensor(qt: QuantizedTensor, group_size: int = 0) -> jax.Array:
+    """Golden dequantization: w = (q - z) * s, float32 [K, N].
+
+    ``group_size`` defaults to the one implied by ``qt.scales``' shape —
+    passing it explicitly is only needed for disagreement checks.
+    """
     K, N = qt.q.shape
-    ng = K // group_size
+    ng = qt.scales.shape[0] if not group_size else K // group_size
+    group_size = K // ng
     q = qt.q.astype(jnp.float32).reshape(ng, group_size, N)
     w = (q - qt.zeros[:, None, :]) * qt.scales[:, None, :]
     return w.reshape(K, N)
