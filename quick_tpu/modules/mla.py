@@ -77,6 +77,20 @@ def mla_softmax_scale(cfg: ModelConfig) -> float:
     return scale
 
 
+def _use_expanded(S: int, T: int) -> bool:
+    """Prefill-shape heuristic: expand the latent to per-head K/V (rides the
+    flash kernel, O(S*D) memory) when the query span is a sizable fraction
+    of the cache extent; otherwise use the absorbed MQA form, whose score
+    block is tiny for short S. QUICK_TPU_MLA_EXPANDED=0/1 forces a path
+    (benchmarks: tools/mla_prefill_bench.py)."""
+    import os
+
+    env = os.environ.get("QUICK_TPU_MLA_EXPANDED", "")
+    if env in ("0", "1"):
+        return env == "1"
+    return S >= 32 and 8 * S >= T
+
+
 def mla_attention_forward(
     p: MLAParams,
     cfg: ModelConfig,
@@ -161,7 +175,7 @@ def mla_attention_forward(
         q_offset = jnp.zeros((), jnp.int32)
     T = c_all.shape[1]
 
-    if S >= 32 and 8 * S >= T:
+    if _use_expanded(S, T):
         # -- expanded prefill: k = [c@W_UK | k_pe], v = c@W_UV ------------------
         # The absorbed form materializes [B, hq, S, T] f32 scores — 2GB+ at
         # S=T=2048 with 128 heads. Long queries instead expand the latent to
