@@ -115,7 +115,11 @@ class AutoQuickModel:
         qcfg: Optional[QuantConfig] = None,
         model_dir: Optional[str] = None,
     ):
-        self.params = params
+        from quick_tpu.modules.linear import cast_scales, scales_dtype_env
+
+        # single choke point for every load path (from_quantized /
+        # from_gguf / from_random / quantize): opt-in bf16 scale streaming
+        self.params = cast_scales(params, scales_dtype_env())
         self.cfg = cfg
         self.qcfg = qcfg
         self.model_dir = model_dir

@@ -382,7 +382,9 @@ def init_quant_params(
     )
     lcos, lsin = local_rope_tables(cfg)
     embed = jax.random.normal(keys[-1], (cfg.vocab_size, D), dtype) * 0.02
-    return ModelParams(
+    from quick_tpu.modules.linear import cast_scales, scales_dtype_env
+
+    return cast_scales(ModelParams(
         embed=embed,
         blocks=blocks,
         final_norm=jnp.ones(D, dtype),
@@ -398,7 +400,7 @@ def init_quant_params(
         ),
         embed_norm=jnp.ones(D, dtype) if cfg.embed_norm else None,
         embed_norm_bias=jnp.zeros(D, dtype) if cfg.embed_norm else None,
-    )
+    ), scales_dtype_env())
 
 
 #: user-facing / HF-style layer names -> this framework's fused linears

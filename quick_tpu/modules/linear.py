@@ -111,6 +111,38 @@ class QuantLinear:
         return cls.from_float(lin.weight, lin.bias, group_size)
 
 
+def scales_dtype_env():
+    """QUICK_TPU_BF16_SCALES=1 streams per-group scales/zeros in bf16
+    (halves the non-weight HBM stream at decode: ~13.6 -> 6.8 MB/layer at
+    7B — measured bound is the weight+scale stream). Error added: one
+    bf16 rounding of s and z*s (~0.4% of a quant step's scale) — small
+    next to the int4 rounding itself; validated by KL test
+    (tests/test_quantized_matmul.py)."""
+    import os
+
+    return jnp.bfloat16 if os.environ.get("QUICK_TPU_BF16_SCALES") == "1" else None
+
+
+def cast_scales(tree, dtype):
+    """Cast every QuantLinear's scales/zeros_x_scales in a params pytree
+    to ``dtype`` (None = no-op). Weight codes and biases are untouched."""
+    if dtype is None:
+        return tree
+
+    def f(x):
+        if isinstance(x, QuantLinear):
+            return dataclasses.replace(
+                x,
+                scales=x.scales.astype(dtype),
+                zeros_x_scales=x.zeros_x_scales.astype(dtype),
+            )
+        return x
+
+    return jax.tree_util.tree_map(
+        f, tree, is_leaf=lambda x: isinstance(x, QuantLinear)
+    )
+
+
 def concat_linears(*lins: "QuantLinear | Linear") -> "QuantLinear | Linear":
     """Fuse linears sharing an input into one wide linear (offline QKV /
     gate-up fusion — the analog of fuse_qkv_quick,

@@ -355,8 +355,14 @@ def _make_kernel_dequant(gpb: int, slab: int, bn: int):
         r_i = jax.lax.broadcasted_iota(jnp.int32, (R, gpb), 0)
         c_i = jax.lax.broadcasted_iota(jnp.int32, (R, gpb), 1)
         E = (r_i // slab == c_i).astype(jnp.float32)  # one-hot row->group
-        s_rep = jnp.dot(E, s_ref[...], preferred_element_type=jnp.float32)
-        zs_rep = jnp.dot(E, zs_ref[...], preferred_element_type=jnp.float32)
+        s_rep = jnp.dot(
+            E, s_ref[...].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        zs_rep = jnp.dot(
+            E, zs_ref[...].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
         ws = []
         for j in range(PACK):
             cj = ((qg >> (4 * j)) & 0xF).astype(jnp.float32)
@@ -560,6 +566,53 @@ def quantized_matmul_reference(
     return jnp.dot(x.astype(jnp.float32), w.reshape(K, N))
 
 
+def _dense_m_threshold() -> int:
+    """Row count at/above which the dense-dequant route engages.
+
+    DISABLED by default (QUICK_TPU_DENSE_M=<M> opts in): measured on v5e
+    (tools/dense_m_sweep.py, 8192^2) the fused kernel already runs at MXU
+    peak (210-218 TFLOPS at M>=1024) and XLA's dequant materializes the
+    int32 unpack through HBM (~1.9 ms at 8192^2), so the dense route
+    LOSES at every M — unlike the reference's GPU, where cuBLAS fp16
+    beats its fused kernel at large M (linear/gemm.py:156-172)."""
+    import os
+
+    v = os.environ.get("QUICK_TPU_DENSE_M", "")
+    if v and int(v) > 0:
+        return int(v)
+    return 1 << 62
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "out_dtype")
+)
+def _quantized_matmul_dense(
+    x: jax.Array,
+    qweight: jax.Array,
+    scales: jax.Array,
+    zeros_x_scales: jax.Array,
+    group_size: int = 128,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Dequantize-then-dense-matmul for compute-bound M (prefill).
+
+    All reshapes split/merge LEADING dims only (ng*G = K is k-major), so
+    the dequant is pure elementwise + broadcast — XLA fuses it into one
+    pass writing the bf16 weight, then runs the dense bf16 MXU dot."""
+    K = x.shape[-1]
+    N = qweight.shape[1]
+    ng = K // group_size
+    codes = unpack_qtpu_jax(qweight, group_size)  # int32 [K, N]
+    w = (
+        codes.reshape(ng, group_size, N).astype(jnp.float32)
+        * scales.astype(jnp.float32)[:, None, :]
+        - zeros_x_scales.astype(jnp.float32)[:, None, :]
+    ).astype(jnp.bfloat16).reshape(K, N)
+    return jnp.dot(
+        x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    ).astype(out_dtype)
+
+
 def quantized_matmul(
     x: jax.Array,
     qweight: jax.Array,
@@ -588,7 +641,18 @@ def quantized_matmul(
     # int8 weight stream is HBM-bound at ~750 GB/s); but M<=64 REGRESSES
     # (126 vs 158 TF — quantize_activations overhead dominates), so the
     # int8 path only engages where it wins: rows that pad to >=128.
-    if a8 and x2.shape[0] > 96:
+    if x2.shape[0] >= _dense_m_threshold():
+        # large-prefill route (the reference's tokens>=1024 heuristic,
+        # linear/gemm.py:156-172, re-derived for TPU): materialize the
+        # dequantized bf16 weight once and ride the dense MXU matmul —
+        # compute-bound at these M, the dense bf16 dot sustains a higher
+        # MXU rate than the fused unpack kernel, and the one-time
+        # dequant (K*N VPU ops + 2*K*N HBM bytes) amortizes over M rows
+        y = _quantized_matmul_dense(
+            x2, qweight, scales, zeros_x_scales,
+            group_size=group_size, out_dtype=out_dtype,
+        )
+    elif a8 and x2.shape[0] > 96:
         y = _quantized_matmul_2d_a8(
             x2, qweight, scales, zeros_x_scales,
             group_size=group_size, out_dtype=out_dtype,

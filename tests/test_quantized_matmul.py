@@ -158,3 +158,64 @@ def test_small_group_kernel_vs_jnp_fallback(rng, monkeypatch):
     monkeypatch.setenv("QUICK_TPU_PALLAS_INTERPRET", "0")
     j = np.asarray(quantized_matmul(*args, group_size=32)).astype(np.float32)
     np.testing.assert_allclose(k, j, atol=2e-2, rtol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# bf16 scale streaming (QUICK_TPU_BF16_SCALES=1)
+# ---------------------------------------------------------------------------
+
+def test_bf16_scales_close_to_f32(rng):
+    """Casting scales/zeros_x_scales to bf16 (the decode HBM-stream
+    optimization, modules/linear.py::cast_scales) must stay within bf16
+    rounding of the f32-scale result — the added error is one rounding of
+    s and z*s, small next to the int4 step itself."""
+    for M, G in ((1, 128), (16, 128), (8, 32)):
+        x, qw, s, zs, ref = _make_case(rng, M, 512, 256, G=G)
+        xb = jnp.asarray(x, jnp.bfloat16)
+        y32 = np.asarray(
+            quantized_matmul(xb, jnp.asarray(qw), jnp.asarray(s),
+                             jnp.asarray(zs), group_size=G)
+        ).astype(np.float32)
+        y16 = np.asarray(
+            quantized_matmul(xb, jnp.asarray(qw),
+                             jnp.asarray(s, np.float32).astype(jnp.bfloat16),
+                             jnp.asarray(zs, np.float32).astype(jnp.bfloat16),
+                             group_size=G)
+        ).astype(np.float32)
+        scale = np.abs(ref).max() + 1e-6
+        # bf16 scales track the f32-scale output to well under a percent
+        assert np.abs(y16 - y32).max() / scale < 1e-2
+        # and both still match the golden dequant
+        assert np.abs(y16 - ref).max() / scale < 3e-2
+
+
+def test_cast_scales_env_roundtrip(rng, monkeypatch):
+    from quick_tpu.modules.linear import (QuantLinear, cast_scales,
+                                          scales_dtype_env)
+    w = jnp.asarray(rng.standard_normal((256, 128)) * 0.05, jnp.float32)
+    ql = QuantLinear.from_float(w)
+    monkeypatch.setenv("QUICK_TPU_BF16_SCALES", "1")
+    ql16 = cast_scales(ql, scales_dtype_env())
+    assert ql16.scales.dtype == jnp.bfloat16
+    assert ql16.zeros_x_scales.dtype == jnp.bfloat16
+    assert ql16.qweight.dtype == jnp.int32
+    monkeypatch.delenv("QUICK_TPU_BF16_SCALES")
+    assert scales_dtype_env() is None
+    x = jnp.asarray(rng.standard_normal((4, 256)), jnp.bfloat16)
+    a = np.asarray(ql(x), np.float32)
+    b = np.asarray(ql16(x), np.float32)
+    assert np.abs(a - b).max() / (np.abs(a).max() + 1e-6) < 1e-2
+
+
+def test_dense_route_matches_reference(rng, monkeypatch):
+    """QUICK_TPU_DENSE_M routes large-M calls through dequant + dense dot
+    (off by default — v5e measurement in _dense_m_threshold's docstring);
+    numerics must match the golden dequant like every other route."""
+    x, qw, s, zs, ref = _make_case(rng, 16, 512, 256)
+    monkeypatch.setenv("QUICK_TPU_DENSE_M", "16")
+    out = np.asarray(
+        quantized_matmul(jnp.asarray(x, jnp.bfloat16), jnp.asarray(qw),
+                         jnp.asarray(s), jnp.asarray(zs))
+    ).astype(np.float32)
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(out - ref).max() / scale < 2e-2
