@@ -124,6 +124,7 @@ class AutoQuickModel:
         self.qcfg = qcfg
         self.model_dir = model_dir
         self._tokenizer = None
+        self._vision = None  # lazy (VisionParams, VisionConfig) — see .vision
 
     @property
     def tokenizer(self):
@@ -248,11 +249,52 @@ class AutoQuickModel:
             export_autoawq(self.params, self.cfg, self.qcfg, save_dir)
         else:
             save_quantized(self.params, self.cfg, self.qcfg, save_dir)
+        if self.cfg.model_type == "llava" and self.model_dir is not None:
+            # carry the float vision tower along (reference keeps it as
+            # the unquantized HF submodule; here it's a safetensors
+            # side-car read back by load_vision_tower)
+            from quick_tpu.utils.checkpoint import save_vision_tower
+
+            save_vision_tower(self.model_dir, save_dir)
 
     # -- inference -----------------------------------------------------------
-    def generate(self, tokens, max_new_tokens: int = 128, **kw):
+    @property
+    def vision(self):
+        """Lazy (VisionParams, VisionConfig) for multimodal checkpoints
+        (llava) — the TPU-native replacement for the reference's float HF
+        vision submodule (models/llava.py:13-129). None for text-only
+        models."""
+        if self._vision is None and self.model_dir is not None:
+            from quick_tpu.utils.checkpoint import load_vision_tower
+
+            self._vision = load_vision_tower(self.model_dir)
+        return self._vision if self._vision is not None else (None, None)
+
+    def embed_multimodal(self, tokens, pixel_values):
+        """Text embeddings with image features spliced at <image> tokens
+        (tokens must carry the HF-processor-expanded image token runs)."""
+        from quick_tpu.modules.vision import (
+            splice_image_features, vision_forward,
+        )
+
+        vp, vcfg = self.vision
+        if vp is None:
+            raise ValueError(
+                "no vision tower: not a multimodal checkpoint "
+                f"(model_type={self.cfg.model_type})"
+            )
+        feats = vision_forward(vp, vcfg, pixel_values)
+        text = self.params.embed[tokens]
+        return splice_image_features(
+            text, feats, tokens, vcfg.image_token_index
+        )
+
+    def generate(self, tokens, max_new_tokens: int = 128,
+                 pixel_values=None, **kw):
         from quick_tpu.runtime.generate import generate
 
+        if pixel_values is not None:
+            kw["inputs_embeds"] = self.embed_multimodal(tokens, pixel_values)
         return generate(self.params, self.cfg, tokens, max_new_tokens, **kw)
 
     def generate_text(

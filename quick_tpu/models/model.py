@@ -65,6 +65,9 @@ def model_forward(
     last_token_only: bool = False,  # lm_head on the final position only —
     # prefill needs one next-token distribution, not [B, S, V] f32 logits
     # (at 7B/bs=64 that tensor alone is ~1GB)
+    inputs_embeds: Optional[jax.Array] = None,  # [B, S, D] — overrides the
+    # embedding lookup (multimodal splice, modules/vision.py; the
+    # reference reaches this via HF Vision2Seq generate, models/llava.py)
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Returns (logits [B, S, V] or [B, 1, V], updated cache).
 
@@ -83,7 +86,11 @@ def model_forward(
     token_mask = None
     if advance is not None:
         token_mask = jnp.arange(S)[None, :] < jnp.reshape(advance, (-1, 1))
-    x = params.embed[tokens].astype(jnp.bfloat16)
+    x = (
+        inputs_embeds.astype(jnp.bfloat16)
+        if inputs_embeds is not None
+        else params.embed[tokens].astype(jnp.bfloat16)
+    )
     if cfg.embed_scale:
         # gemma: hidden = embed * sqrt(D), with the normalizer rounded to
         # the activation dtype first (HF casts the scalar before the mul)

@@ -153,10 +153,17 @@ def make_cache(cfg: ModelConfig, batch: int, max_seq: int, dtype=jnp.bfloat16) -
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def prefill(
-    params: ModelParams, cfg: ModelConfig, tokens: jax.Array, cache: KVCache
+    params: ModelParams, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
+    inputs_embeds=None,
 ) -> Tuple[jax.Array, KVCache]:
-    """Process the prompt; returns (last-position logits [B, V], cache)."""
-    logits, cache = model_forward(params, cfg, tokens, cache, last_token_only=True)
+    """Process the prompt; returns (last-position logits [B, V], cache).
+
+    ``inputs_embeds`` overrides the embedding lookup (multimodal prompts,
+    modules/vision.py)."""
+    logits, cache = model_forward(
+        params, cfg, tokens, cache, last_token_only=True,
+        inputs_embeds=inputs_embeds,
+    )
     return logits[:, -1], cache
 
 
@@ -337,19 +344,23 @@ def generate(
     max_seq: Optional[int] = None,
     key: Optional[jax.Array] = None,
     eos_token_id: Optional[int] = None,
+    inputs_embeds: Optional[jax.Array] = None,
 ) -> jax.Array:
     """End-to-end generation (prefill + jitted decode loop).
 
     Returns [B, S + max_new_tokens] tokens (prompt included). EOS handling
     masks tokens after the first EOS with the EOS id (generation itself runs
-    the full static length — XLA-friendly)."""
+    the full static length — XLA-friendly). ``inputs_embeds`` feeds a
+    multimodal prompt (image features already spliced)."""
     B, S = prompt_tokens.shape
     if max_seq is None:
         max_seq = S + max_new_tokens
     cache = make_cache(cfg, B, max_seq)
     if key is None:
         key = jax.random.PRNGKey(0)
-    logits, cache = prefill(params, cfg, prompt_tokens, cache)
+    logits, cache = prefill(
+        params, cfg, prompt_tokens, cache, inputs_embeds=inputs_embeds
+    )
     key, sub = jax.random.split(key)
     prompt_seen = None
     if sampling.has_penalties:

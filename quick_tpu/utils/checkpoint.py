@@ -446,6 +446,112 @@ def _load_flat(model_dir: str) -> Tuple[Dict[str, np.ndarray], dict]:
     return flat, raw_cfg
 
 
+def load_vision_tower(model_dir: str, dtype=jnp.bfloat16):
+    """Load the LLaVA CLIP vision tower + projector into VisionParams.
+
+    The reference leaves these as the float HF submodules
+    (quick/awq/models/llava.py — only the language tower is quantized);
+    here they become a functional JAX tree (modules/vision.py) so the
+    whole image+text forward jits on TPU. Returns (VisionParams,
+    VisionConfig) or (None, None) when the checkpoint has no
+    vision_tower.* tensors (e.g. a language-only re-save)."""
+    from quick_tpu.modules.vision import (
+        VisionBlockParams, VisionConfig, VisionParams,
+    )
+    from quick_tpu.modules.linear import Linear
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    vcfg = VisionConfig.from_hf_config(hf)
+    raw = _LazyRaw(model_dir, include_all=True)
+    pre = "vision_tower.vision_model."
+    if pre + "embeddings.class_embedding" not in raw:
+        return None, None
+
+    def W(key):  # HF [out, in] -> [in, out]
+        t = raw.pop(key)
+        return jnp.asarray(np.ascontiguousarray(np.swapaxes(t, -1, -2))).astype(dtype)
+
+    def V(key, vdtype=jnp.float32):
+        return jnp.asarray(raw.pop(key)).astype(vdtype)
+
+    def lin(base):
+        return Linear(W(base + ".weight"), V(base + ".bias", dtype))
+
+    blocks = []
+    for i in range(vcfg.num_hidden_layers):
+        b = pre + f"encoder.layers.{i}."
+        qkv = Linear(
+            jnp.concatenate(
+                [W(b + f"self_attn.{n}_proj.weight") for n in "qkv"], axis=1
+            ),
+            jnp.concatenate(
+                [V(b + f"self_attn.{n}_proj.bias", dtype) for n in "qkv"]
+            ),
+        )
+        blocks.append(VisionBlockParams(
+            ln1=V(b + "layer_norm1.weight"),
+            ln1_bias=V(b + "layer_norm1.bias"),
+            qkv=qkv,
+            o=lin(b + "self_attn.out_proj"),
+            ln2=V(b + "layer_norm2.weight"),
+            ln2_bias=V(b + "layer_norm2.bias"),
+            fc1=lin(b + "mlp.fc1"),
+            fc2=lin(b + "mlp.fc2"),
+        ))
+    # conv kernel [D, 3, p, p] -> matmul [3*p*p, D], flatten order (c,ph,pw)
+    # matching vision_forward's patch extraction
+    ck = raw.pop(pre + "embeddings.patch_embedding.weight")
+    D = ck.shape[0]
+    patch = jnp.asarray(
+        np.ascontiguousarray(ck.reshape(D, -1).T)
+    ).astype(dtype)
+    return VisionParams(
+        patch_embed=patch,
+        class_embed=V(pre + "embeddings.class_embedding", dtype),
+        pos_embed=V(pre + "embeddings.position_embedding.weight", dtype),
+        pre_ln=V(pre + "pre_layrnorm.weight"),       # HF's spelling
+        pre_ln_bias=V(pre + "pre_layrnorm.bias"),
+        blocks=blocks,
+        proj1=lin("multi_modal_projector.linear_1"),
+        proj2=lin("multi_modal_projector.linear_2"),
+    ), vcfg
+
+
+def save_vision_tower(src_dir: str, save_dir: str) -> bool:
+    """Copy a multimodal checkpoint's float vision tensors (vision_tower.*,
+    multi_modal_projector.*) into ``save_dir/vision.safetensors`` and merge
+    the vision fields into its config.json, so ``from_quantized`` round-trips
+    image support. Returns False when the source has no vision tower."""
+    from safetensors.numpy import save_file
+
+    raw = _LazyRaw(src_dir, include_all=True)
+    keys = [
+        k for k in raw.keys()
+        if k.startswith(("vision_tower.", "multi_modal_projector."))
+    ]
+    if not keys:
+        return False
+    save_file(
+        {k: np.ascontiguousarray(raw[k]) for k in keys},
+        os.path.join(save_dir, "vision.safetensors"),
+    )
+    with open(os.path.join(src_dir, "config.json")) as f:
+        src_cfg = json.load(f)
+    cfg_path = os.path.join(save_dir, "config.json")
+    with open(cfg_path) as f:
+        out_cfg = json.load(f)
+    for field in (
+        "vision_config", "image_token_index", "vision_feature_layer",
+        "vision_feature_select_strategy",
+    ):
+        if field in src_cfg:
+            out_cfg[field] = src_cfg[field]
+    with open(cfg_path, "w") as f:
+        json.dump(out_cfg, f, indent=2)
+    return True
+
+
 def load_quantized(model_dir: str) -> Tuple[ModelParams, ModelConfig, QuantConfig]:
     """Load a native quick_tpu checkpoint (analog of from_quantized,
     reference models/base.py:241-335)."""
@@ -486,17 +592,19 @@ class _LazyRaw:
     Supports the subset of the dict API the importers use: ``in``,
     ``pop``, ``[]``, ``get``, ``items``/``keys``."""
 
-    def __init__(self, model_dir: str):
+    def __init__(self, model_dir: str, include_all: bool = False):
         from safetensors import safe_open
 
         self._dir = model_dir
         self._safe_open = safe_open
         self._where: Dict[str, str] = {}
         index_path = os.path.join(model_dir, "model.safetensors.index.json")
-        if os.path.exists(index_path):
+        if os.path.exists(index_path) and not include_all:
             with open(index_path) as f:
                 files = sorted(set(json.load(f)["weight_map"].values()))
         else:
+            # include_all: side-car files (e.g. vision.safetensors) live
+            # outside the LM weight index
             files = sorted(
                 f for f in os.listdir(model_dir)
                 if f.endswith(".safetensors")
