@@ -219,3 +219,21 @@ def test_dense_route_matches_reference(rng, monkeypatch):
     ).astype(np.float32)
     scale = np.abs(ref).max() + 1e-6
     assert np.abs(out - ref).max() / scale < 2e-2
+
+
+def test_small_g_perm_matches_transpose():
+    """The caller's reshape/transpose x-permutation must equal the
+    documented _small_g_perm mapping (kept as the ground-truth spec of
+    the copy-major unpack order)."""
+    from quick_tpu.ops.quantized_matmul import PACK, _small_g_perm
+    K, G, gpb = 512, 32, 8
+    slab = G // PACK
+    ng = K // G
+    x = np.arange(K, dtype=np.int32)[None, :]
+    via_transpose = (
+        x.reshape(1, ng // gpb, gpb, PACK, slab)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(1, K)
+    )
+    perm = _small_g_perm(K, G, gpb)
+    np.testing.assert_array_equal(via_transpose[0], x[0][perm])
