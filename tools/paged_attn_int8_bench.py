@@ -1,0 +1,74 @@
+"""Isolated paged decode attention: bf16 vs INT8 KV (7B shapes).
+
+Quantifies the INT8 kernel's overhead vs its byte count (engine-level
+gap: 32.4 ms/step int8 vs 22.9 bf16 at 128 slots despite half the KV
+bytes). Run from repo root on TPU:
+
+    python tools/paged_attn_int8_bench.py [--slots 128] [--ctx 192] [--page 64]
+"""
+import argparse, functools, sys, time
+import numpy as np, jax, jax.numpy as jnp
+
+sys.path.insert(0, ".")
+from quick_tpu.ops.paged_attention import paged_decode_attention
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--slots", type=int, default=128)
+ap.add_argument("--ctx", type=int, default=192)
+ap.add_argument("--page", type=int, default=64)
+ap.add_argument("--layers", type=int, default=4)
+args = ap.parse_args()
+
+B, page, L = args.slots, args.page, args.layers
+Hq, Hkv, D = 32, 8, 128
+npt = -(-args.ctx // page) + 1
+P = B * npt + 8
+rng = np.random.default_rng(0)
+
+bt = jnp.asarray(
+    rng.permutation(B * npt).reshape(B, npt) + 1, jnp.int32)
+lengths = jnp.asarray(
+    rng.integers(args.ctx - 32, args.ctx + 32, (B,)), jnp.int32)
+q = jnp.asarray(rng.standard_normal((B, Hq, D)) * 0.1, jnp.bfloat16)
+
+kf = rng.standard_normal((L, P, Hkv, page, D)).astype(np.float32) * 0.1
+vf = rng.standard_normal((L, P, Hkv, page, D)).astype(np.float32) * 0.1
+
+
+def bench(tag, k_pages, v_pages, ks, vs):
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(q, n):
+        def body(i, qq):
+            out = paged_decode_attention(
+                qq, k_pages, v_pages, bt, lengths, layer=0,
+                k_scales=ks, v_scales=vs,
+                interpret=jax.default_backend() == "cpu")
+            return (qq + out * jnp.bfloat16(1e-3)).astype(qq.dtype)
+        return jax.lax.fori_loop(0, n, body, q)
+
+    for n in (10, 210):
+        np.asarray(loop(q, n))
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter(); np.asarray(loop(q, 210)); t1 = time.perf_counter()
+        np.asarray(loop(q, 10)); t2 = time.perf_counter()
+        best = min(best, ((t1 - t0) - (t2 - t1)) / 200)
+    ctx_pages = np.ceil(np.asarray(lengths) / page).sum()
+    bytes_kv = 2 * ctx_pages * Hkv * page * D * k_pages.dtype.itemsize
+    if ks is not None:
+        bytes_kv += 2 * ctx_pages * Hkv * page * 4
+    print(f"{tag}: {best*1e6:7.1f} us/step  KV {bytes_kv/best/1e9:5.0f} GB/s "
+          f"({bytes_kv/1e6:.0f} MB live)", flush=True)
+
+
+bench("bf16 KV",
+      jnp.asarray(kf, jnp.bfloat16), jnp.asarray(vf, jnp.bfloat16),
+      None, None)
+
+amax_k = np.abs(kf).max(-1, keepdims=True) + 1e-8  # per row (L,P,Hkv,page,1)
+amax_v = np.abs(vf).max(-1, keepdims=True) + 1e-8
+k8 = jnp.asarray(np.clip(np.round(kf / amax_k * 127), -127, 127), jnp.int8)
+v8 = jnp.asarray(np.clip(np.round(vf / amax_v * 127), -127, 127), jnp.int8)
+ks = jnp.asarray((amax_k / 127).reshape(L, P, Hkv * page), jnp.float32)
+vs = jnp.asarray((amax_v / 127).reshape(L, P, Hkv * page), jnp.float32)
+bench("int8 KV", k8, v8, ks, vs)
