@@ -27,7 +27,6 @@ Design (TPU-first, not a translation):
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax
@@ -320,9 +319,10 @@ def _make_kernel_dequant(gpb: int, slab: int, bn: int):
     The output-side-scaling kernel slices qw_ref/x_ref per group — at
     slab < 8 those slices sit at sub-native-tile offsets (illegal/slow
     Mosaic layouts). An earlier variant rebuilt logical row order with 3D
-    reshape/concat over a sub-native middle dim ([gpb, slab, bn]) — that
-    MISCOMPILES on real Mosaic (correct only in interpret mode; measured
-    rel err ~1.4 on v5e). This version is pure 2D, native-tiled ops only:
+    reshape/concat over a sub-native middle dim ([gpb, slab, bn]) — legal
+    but slow (sub-native relayouts; same class of cost as the measured
+    ~30 us/pass ``jnp.repeat`` below). This version is pure 2D,
+    native-tiled ops only:
 
     - unpack as 8 stacked shift-copies: out row t = j*R + p (R = gpb*slab
       packed rows per K-step) holds logical row (P//slab)*G + j*slab +
