@@ -45,9 +45,11 @@ def _paged_kernel(
     rest = rest[2 * ppb :]
     if quantized:
         sc_refs = rest[: 2 * ppb]
-        rest = rest[2 * ppb :]
+        sq_ref = rest[2 * ppb]            # [1, Hq, 1] f32 per-head q scale
+        rest = rest[2 * ppb + 1 :]
     else:
         sc_refs = (None,) * (2 * ppb)
+        sq_ref = None
     o_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -72,23 +74,24 @@ def _paged_kernel(
                      vs_ref=vs_ref, j=j, base=base):
             hq = hkv * gq
             T = hkv * page
-            # storage-dtype (bf16) operands: MXU accumulates bf16 products
-            # exactly in f32; casting first would pay f32 MXU passes. INT8
-            # codes convert exactly to bf16 (|code| <= 127); their per-row
-            # scales fold into the score/prob side AFTER the dot — [Hq, T]
-            # multiplies instead of [T, D] (the W4A16 kernel's output-side
-            # scaling idea applied to the KV cache)
             q = q_ref[0]                                 # [Hq, D]
             k = k_ref[0, 0].reshape(T, -1)               # [Hkv*page, D]
-            if quantized:
-                k = k.astype(jnp.bfloat16)
             # ONE MXU-shaped dot for all heads; cross-head products are
             # removed by a static block-diagonal mask (rows h*gq..(h+1)*gq
-            # attend only to columns h*page..(h+1)*page)
+            # attend only to columns h*page..(h+1)*page).
+            # INT8 KV: q arrives pre-quantized (int8 codes + per-head
+            # scale in sq_ref) and the score dot runs int8 x int8 -> int32
+            # on the MXU — converting k to bf16 in-kernel costs a [T, D]
+            # VPU pass + relayout per page, which made INT8 SLOWER than
+            # bf16 (339 vs 282 us/step at 128 slots) despite half the
+            # bytes; int8 dots remove both converts (the A8 GEMM kernel's
+            # approach applied to attention)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale                                    # [Hq, Hkv*page]
+                preferred_element_type=(
+                    jnp.int32 if quantized else jnp.float32
+                ),
+            )                                            # [Hq, Hkv*page]
             if quantized:
                 # the [1, 8, T] scale block holds the page's aligned 8-row
                 # group (a single [1, T] row is not a legal Mosaic block;
@@ -98,9 +101,12 @@ def _paged_kernel(
                 sel = jax.lax.broadcasted_iota(
                     jnp.int32, ks_ref[0].shape, 0
                 ) == pid % 8
-                s = s * jnp.sum(
+                ks_row = jnp.sum(
                     jnp.where(sel, ks_ref[0], 0.0), axis=0, keepdims=True
-                )                                        # [1, T] row
+                )                                        # [1, T]
+                s = s.astype(jnp.float32) * (sq_ref[0] * scale) * ks_row
+            else:
+                s = s * scale
             head_q = jax.lax.broadcasted_iota(jnp.int32, (hq, T), 0) // gq
             head_k = jax.lax.broadcasted_iota(jnp.int32, (hq, T), 1) // page
             pos_k = base + (
@@ -119,15 +125,31 @@ def _paged_kernel(
             l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
             v = v_ref[0, 0].reshape(T, -1)               # [Hkv*page, D]
             if quantized:
-                # fold v's per-row scales into the probabilities
+                # fold v's per-row scales into the probabilities, then
+                # dynamically quantize the scaled probabilities per head
+                # row so the context dot also runs int8 x int8 (adds one
+                # ~0.8%-of-rowmax rounding on attention weights — same
+                # order as the KV codes' own rounding)
                 p = p * jnp.sum(
                     jnp.where(sel, vs_ref[0], 0.0), axis=0, keepdims=True
                 )
-                v = v.astype(jnp.bfloat16)
-            acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+                pmax = jnp.maximum(
+                    jnp.max(jnp.abs(p), axis=-1, keepdims=True), 1e-30
+                )
+                ps = pmax / 127.0                        # [Hq, 1]
+                p8 = jnp.clip(
+                    jnp.round(p / ps), -127, 127
+                ).astype(jnp.int8)
+                ctx = jax.lax.dot_general(
+                    p8, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * ps
+            else:
+                ctx = jax.lax.dot_general(
+                    p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            acc_scr[:] = acc_scr[:] * alpha + ctx
             m_scr[:] = m_new
 
     @pl.when(i == pl.num_programs(1) - 1)
@@ -187,10 +209,30 @@ def paged_decode_attention(
     )
 
     # pages per grid step: fewer, fatter steps amortize the per-step
-    # overhead (step-overhead bound at short contexts; 2 is ~the page=128
-    # benefit without coarsening the allocator). Falls back to 1 when the
-    # table width doesn't divide.
-    ppb = 2 if n_pt % 2 == 0 and n_pt > 1 else 1
+    # overhead — the kernel is step-overhead bound at serving contexts
+    # (128 slots x 4 pages: 282 us/step at ppb=2 vs the 74-143 us the
+    # byte count implies). Largest divisor of the table width whose
+    # per-step KV block stays within ~2MB of VMEM; QUICK_TPU_PPB forces.
+    import os
+
+    env_ppb = int(os.environ.get("QUICK_TPU_PPB", "0"))
+    if env_ppb > 0 and n_pt % env_ppb == 0:
+        ppb = env_ppb
+    elif quantized:
+        # measured (v5e, 128 slots x ctx~192, page 64): int8 KV runs BEST
+        # at ppb=1 (249 us vs 346/310 at ppb=2/4 — the per-page scale
+        # blocks serialize fatter steps), and at ppb=1 it finally beats
+        # bf16 (282-308 us)
+        ppb = 1
+    else:
+        # float KV: fatter steps amortize per-step overhead
+        # (308/281/263 us at ppb=1/2/4)
+        kv_step_bytes = 2 * Hkv * page * D * k_pages.dtype.itemsize
+        ppb = 1
+        for cand in (8, 4, 2):
+            if n_pt % cand == 0 and cand * kv_step_bytes <= 2 * 1024 * 1024:
+                ppb = cand
+                break
 
     def kv_index_j(j):
         def kv_index(b, i, bt, ln):
@@ -200,11 +242,22 @@ def paged_decode_attention(
             return (layer, bt[b, jnp.minimum(i * ppb + j, last)], 0, 0, 0)
         return kv_index
 
+    if quantized:
+        # pre-quantize the queries per head (int8 codes + scale): the
+        # in-kernel score dot then runs int8 x int8 -> int32 on the MXU
+        # with no per-page [T, D] k convert (see _paged_kernel)
+        qf = q.astype(jnp.float32)
+        sq = jnp.maximum(
+            jnp.max(jnp.abs(qf), axis=-1, keepdims=True), 1e-30
+        ) / 127.0                                        # [B, Hq, 1]
+        q_in = jnp.clip(jnp.round(qf / sq), -127, 127).astype(jnp.int8)
+    else:
+        q_in, sq = q, jnp.zeros((B, Hq, 1), jnp.float32)
     in_specs = [
         pl.BlockSpec((1, Hq, D), lambda b, i, bt, ln: (b, 0, 0)),
         pl.BlockSpec((Hq, 1), lambda b, i, bt, ln: (0, 0)),
     ]
-    inputs = [q, slopes]
+    inputs = [q_in, slopes]
     for j in range(ppb):
         in_specs += [
             pl.BlockSpec((1, 1, Hkv, page, D), kv_index_j(j)),
@@ -234,6 +287,10 @@ def paged_decode_attention(
                 pl.BlockSpec((1, 8, T), scale_index_j(j)),
             ]
             inputs += [k_scales, v_scales]
+        in_specs.append(
+            pl.BlockSpec((1, Hq, 1), lambda b, i, bt, ln: (b, 0, 0))
+        )
+        inputs.append(sq)
 
     scratch_shapes = [
         pltpu.VMEM((Hq, 1), jnp.float32),

@@ -97,7 +97,10 @@ def test_paged_int8_kernel_matches_dequant(rng):
     kd = kq.astype(jnp.float32) * ks[..., None]
     vd = vq.astype(jnp.float32) * vs[..., None]
     ref = paged_decode_attention(q, kd, vd, bt, ln, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
+    # the int8 fast path also quantizes q and the attention probabilities
+    # to int8 (int8 x int8 MXU dots — ops/paged_attention.py), adding two
+    # ~0.8%-of-rowmax roundings on top of the KV codes' own rounding
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2.5e-2)
 
 
 def test_engine_with_paged_kernel(rng):

@@ -17,11 +17,12 @@ ap.add_argument("--slots", type=int, default=128)
 ap.add_argument("--ctx", type=int, default=192)
 ap.add_argument("--page", type=int, default=64)
 ap.add_argument("--layers", type=int, default=4)
+ap.add_argument("--npt", type=int, default=0, help="force table width (pages)")
 args = ap.parse_args()
 
 B, page, L = args.slots, args.page, args.layers
 Hq, Hkv, D = 32, 8, 128
-npt = -(-args.ctx // page) + 1
+npt = args.npt or (-(-args.ctx // page) + 1)
 P = B * npt + 8
 rng = np.random.default_rng(0)
 
@@ -36,22 +37,29 @@ vf = rng.standard_normal((L, P, Hkv, page, D)).astype(np.float32) * 0.1
 
 
 def bench(tag, k_pages, v_pages, ks, vs):
-    @functools.partial(jax.jit, static_argnames="n")
-    def loop(q, n):
+    quant = ks is not None
+
+    # page stacks ride as jit ARGUMENTS (closure constants >100s MB hit
+    # the axon remote-compile body limit, HTTP 413 — see CLAUDE.md)
+    @functools.partial(jax.jit, static_argnames=("n", "quant"))
+    def loop(q, k_pages, v_pages, ks, vs, n, quant=True):
         def body(i, qq):
             out = paged_decode_attention(
                 qq, k_pages, v_pages, bt, lengths, layer=0,
-                k_scales=ks, v_scales=vs,
+                k_scales=ks if quant else None,
+                v_scales=vs if quant else None,
                 interpret=jax.default_backend() == "cpu")
             return (qq + out * jnp.bfloat16(1e-3)).astype(qq.dtype)
         return jax.lax.fori_loop(0, n, body, q)
 
+    z = jnp.zeros((1,), jnp.float32)
+    args = (k_pages, v_pages, ks if quant else z, vs if quant else z)
     for n in (10, 210):
-        np.asarray(loop(q, n))
+        np.asarray(loop(q, *args, n, quant=quant))
     best = np.inf
     for _ in range(3):
-        t0 = time.perf_counter(); np.asarray(loop(q, 210)); t1 = time.perf_counter()
-        np.asarray(loop(q, 10)); t2 = time.perf_counter()
+        t0 = time.perf_counter(); np.asarray(loop(q, *args, 210, quant=quant)); t1 = time.perf_counter()
+        np.asarray(loop(q, *args, 10, quant=quant)); t2 = time.perf_counter()
         best = min(best, ((t1 - t0) - (t2 - t1)) / 200)
     ctx_pages = np.ceil(np.asarray(lengths) / page).sum()
     bytes_kv = 2 * ctx_pages * Hkv * page * D * k_pages.dtype.itemsize
