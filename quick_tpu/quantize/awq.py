@@ -80,10 +80,11 @@ def search_scale(
     fp_out = loss_forward(ws).astype(jnp.float32)
 
     def candidate(ratio):
+        # reference-exact candidate (quantizer.py:249-253): clamp the
+        # QUOTIENT at 1e-4 (not an epsilon in the denominator) so the two
+        # implementations pick identical grid points on identical inputs
         if duo_scaling:
-            s = jnp.power(x_mean, ratio) / (
-                jnp.power(w_mean, 1 - ratio) + 1e-4
-            )
+            s = jnp.power(x_mean, ratio) / jnp.power(w_mean, 1 - ratio)
         else:
             s = jnp.power(x_mean, ratio)
         s = jnp.clip(s, 1e-4, None)

@@ -55,8 +55,11 @@ def quantize_tensor(
     if zero_point:
         mx = jnp.max(wg, axis=1)
         mn = jnp.min(wg, axis=1)
-        scales = jnp.clip((mx - mn), 1e-10, None) / qmax
-        zeros = jnp.round(-mn / scales)
+        # clamp values match the reference exactly (quantizer.py:57-59):
+        # range floor 1e-5, zero point clamped into the code grid (an
+        # all-positive group gets z=0, all-negative gets z=qmax)
+        scales = jnp.clip((mx - mn), 1e-5, None) / qmax
+        zeros = jnp.clip(jnp.round(-mn / scales), 0, qmax)
         q = jnp.clip(jnp.round(wg / scales[:, None, :]) + zeros[:, None, :], 0, qmax)
     else:
         # symmetric: grid [-2^(b-1), 2^(b-1)-1] shifted into unsigned storage

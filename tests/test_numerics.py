@@ -57,8 +57,14 @@ def test_pseudo_quantize_idempotent(rng):
 
 
 def test_constant_group_does_not_nan():
+    # Reference-exact degenerate behavior (quantizer.py:57-59): a constant
+    # group has range 0, so scale clamps to 1e-5/15 and the zero point
+    # clamps into [0, 15] — the group dequantizes to ~1e-5, NOT back to 1.0.
+    # That quirk is AutoAWQ's; parity (tests/test_reference_parity.py)
+    # matters more than round-tripping a degenerate input that real
+    # weights never contain.
     w = jnp.ones((128, 8), jnp.float32)
     qt = quantize_tensor(w)
     wq = np.asarray(dequantize_tensor(qt))
     assert np.isfinite(wq).all()
-    np.testing.assert_allclose(wq, 1.0, atol=1e-3)
+    np.testing.assert_allclose(wq, 15.0 * 1e-5 / 15.0, atol=1e-7)
