@@ -348,18 +348,20 @@ def paged_cache_spec(
     )
 
 
-def sharded_engine_step_fn(
+def sharded_row_forward_fn(
     cfg: ModelConfig, mesh: Mesh, params_template, kv_quantized: bool = False
 ):
-    """shard_map-wrapped continuous-batching step for TP serving:
+    """shard_map-wrapped paged forward for TP serving:
 
         fn(params_sharded, cache, tokens [B, C], valid [B])
-            -> (sampled [B] int32, cache)
+            -> (row_logits [B, V] f32-replicated, cache)
 
-    The serving Engine uses this instead of its plain jit step when given a
-    mesh — per-shard attention heads, psum'd projections, replicated
-    sampling. (The reference has no distributed serving at all,
-    SURVEY.md section 2.3.)"""
+    Returns each row's LAST-valid-position logits (not [B, C, V]) so only a
+    [B, V] plane leaves the shard_map. The serving Engine plugs this in as
+    its forward and layers the SAME sampling / logprob / penalty code it
+    uses single-chip on top — replicated compute on identical inputs, so
+    every shard samples the same token. (The reference has no distributed
+    serving at all, SURVEY.md section 2.3.)"""
     import jax.numpy as jnp
 
     from quick_tpu.models.model import model_forward
@@ -376,52 +378,7 @@ def sharded_engine_step_fn(
         )
         last = jnp.maximum(valid - 1, 0)
         row = jnp.take_along_axis(logits, last[:, None, None], axis=1)[:, 0]
-        return jnp.argmax(row, axis=-1).astype(jnp.int32), cache
-
-    return jax.shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(specs, cspec, P(), P()),
-        out_specs=(P(), cspec),
-        check_vma=False,
-    )
-
-
-def sharded_engine_window_fn(
-    cfg: ModelConfig, mesh: Mesh, params_template, kv_quantized: bool = False,
-    window: int = 8,
-):
-    """TP analog of the Engine's fused decode window (serving.py): ``window``
-    S=1 steps in one shard_map program with on-device greedy token feedback.
-
-        fn(params_sharded, cache, tokens [B, 1], valid [B])
-            -> (sampled [B, window] int32, cache)
-    """
-    import jax.numpy as jnp
-
-    from quick_tpu.models.model import model_forward
-
-    tp = mesh.shape[MODEL_AXIS]
-    lcfg = local_config(cfg, tp)
-    ctx = ParallelContext(model_axis=MODEL_AXIS, expert_axis=MODEL_AXIS)
-    specs = param_specs(params_template, cfg)
-    cspec = paged_cache_spec(quantized=kv_quantized, cfg=cfg)
-
-    def local_fn(params, cache, tokens, valid):
-        def body(i, carry):
-            tokens, cache, out = carry
-            logits, cache = model_forward(
-                params, lcfg, tokens, cache, advance=valid, ctx=ctx
-            )
-            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
-            out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, i))
-            return nxt[:, None], cache, out
-
-        out0 = jnp.zeros((tokens.shape[0], window), jnp.int32)
-        _, cache, out = jax.lax.fori_loop(
-            0, window, body, (tokens, cache, out0)
-        )
-        return out, cache
+        return row, cache
 
     return jax.shard_map(
         local_fn,

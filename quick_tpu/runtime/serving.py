@@ -148,7 +148,7 @@ class Engine:
         # the window's remainder. 1 restores step-at-a-time behavior.
         # Greedy outputs are identical either way (tests/test_serving.py).
         prefill_rows: int = 8,  # sub-batch width of the decoupled prefill
-        # program (non-TP): admissions prefill through a
+        # program: admissions prefill through a
         # [prefill_rows, chunk] program over gathered slot metadata while
         # decode windows keep running — see step()
         prefix_cache: bool = True,  # automatic prefix caching: requests
@@ -211,18 +211,12 @@ class Engine:
             raise ValueError(f"reserve must be 'full'|'optimistic': {reserve}")
         self.optimistic = reserve == "optimistic"
         self.topk = int(logprobs_topk)
-        if self.topk and mesh is not None:
-            raise NotImplementedError("TP serving has no logprobs yet")
         self.penalties = enable_penalties
         if getattr(self.sampling, "has_penalties", False) and not enable_penalties:
             raise ValueError(
                 "history penalties need Engine(enable_penalties=True)"
             )
         if enable_penalties:
-            if mesh is not None:
-                raise NotImplementedError(
-                    "TP serving currently samples greedily (no penalties)"
-                )
             self.counts = jnp.zeros((max_slots, cfg.vocab_size), jnp.int32)
             self.pseen = jnp.zeros((max_slots, cfg.vocab_size), jnp.int8)
             # per-slot additive logit bias (OpenAI logit_bias; zero = off)
@@ -268,16 +262,15 @@ class Engine:
 
         self._tp = mesh is not None
         if mesh is not None:
-            if self.sampling.temperature != 0.0:
-                raise NotImplementedError(
-                    "TP serving currently samples greedily; "
-                    "pass sampling=None"
-                )
+            # TP serving: the SAME step/window/prefill programs as
+            # single-chip — only the forward is swapped for a shard_map'd
+            # one (per-shard heads, psum'd projections). Sampling, logprobs,
+            # top-k and penalties run replicated on the [B, V] row logits
+            # every shard returns, so all shards sample identical tokens.
             from jax.sharding import NamedSharding
             from quick_tpu.parallel.sharding import (
                 paged_cache_spec,
-                sharded_engine_step_fn,
-                sharded_engine_window_fn,
+                sharded_row_forward_fn,
             )
 
             self.cache = jax.tree_util.tree_map(
@@ -285,214 +278,192 @@ class Engine:
                 self.cache,
                 paged_cache_spec(quantized=self.cache.quantized, cfg=cfg),
             )
-            step_fn = sharded_engine_step_fn(
+            fwd_row = sharded_row_forward_fn(
                 cfg, mesh, params, kv_quantized=self.cache.quantized
             )
-            if self.decode_window > 1:
-                self._tp_window_fn = jax.jit(
-                    sharded_engine_window_fn(
-                        cfg, mesh, params, kv_quantized=self.cache.quantized,
-                        window=self.decode_window,
-                    ),
-                    donate_argnums=(1,),
-                )
         else:
-            from quick_tpu.runtime.generate import (
-                apply_penalties,
-                sample_token_rows,
-            )
-            PEN, K = self.penalties, self.topk
-            bits = jax.lax.bitcast_convert_type
 
-            def _draw(row, temps, tks, tps, key, minps):
-                """Sample one token per row and account its logprob under
-                the (post-penalty) distribution. Returns {"tl": [B, 2] i32
-                (token, bitcast-f32 logprob)} plus, when K > 0,
-                {"tk": [B, K, 2] i32 (id, bitcast-f32 logprob)} — packed
-                int32 planes so the host fetches ONE array per result
-                (every fetch is a full tunnel round-trip)."""
-                s = sample_token_rows(row, temps, tks, tps, key, minps)
-                rf = row.astype(jnp.float32)
-                lse = jax.nn.logsumexp(rf, axis=-1)
-                lp = jnp.take_along_axis(rf, s[:, None], axis=-1)[:, 0] - lse
-                out = {"tl": jnp.stack([s, bits(lp, jnp.int32)], axis=-1)}
-                if K:
-                    tv, ti = jax.lax.top_k(rf, K)
-                    out["tk"] = jnp.stack(
-                        [ti, bits(tv - lse[:, None], jnp.int32)], axis=-1
-                    )
-                return out
-
-            def _last_row(logits, valid):
+            def fwd_row(params, cache, tokens, valid):
+                """(row logits [B, V] at each row's last valid token, cache)."""
+                logits, cache = model_forward(
+                    params, cfg, tokens, cache, advance=valid
+                )
                 last = jnp.maximum(valid - 1, 0)
-                return jnp.take_along_axis(
+                row = jnp.take_along_axis(
                     logits, last[:, None, None], axis=1
-                )[:, 0]  # [B, V] logits at each row's last valid token
+                )[:, 0]
+                return row, cache
 
-            if PEN:
+        from quick_tpu.runtime.generate import (
+            apply_penalties,
+            sample_token_rows,
+        )
+        PEN, K = self.penalties, self.topk
+        bits = jax.lax.bitcast_convert_type
 
-                def step_fn(params, cache, tokens, valid, key, temps, tks,
-                            tps, minps, reps, freqs, press, emit, counts,
-                            pseen, lbias):
-                    logits, cache = model_forward(
-                        params, cfg, tokens, cache, advance=valid
-                    )
-                    row = apply_penalties(
-                        _last_row(logits, valid), counts, pseen, reps,
-                        freqs, press,
-                    ) + lbias
-                    d = _draw(row, temps, tks, tps, key, minps)
-                    # count only samples the host will DELIVER (decode rows
-                    # and prefill completions — junk/padding rows add 0)
-                    counts = counts.at[
-                        jnp.arange(valid.shape[0]), d["tl"][:, 0]
-                    ].add(emit)
-                    return d, cache, counts
-            else:
+        def _draw(row, temps, tks, tps, key, minps):
+            """Sample one token per row and account its logprob under
+            the (post-penalty) distribution. Returns {"tl": [B, 2] i32
+            (token, bitcast-f32 logprob)} plus, when K > 0,
+            {"tk": [B, K, 2] i32 (id, bitcast-f32 logprob)} — packed
+            int32 planes so the host fetches ONE array per result
+            (every fetch is a full tunnel round-trip)."""
+            s = sample_token_rows(row, temps, tks, tps, key, minps)
+            rf = row.astype(jnp.float32)
+            lse = jax.nn.logsumexp(rf, axis=-1)
+            lp = jnp.take_along_axis(rf, s[:, None], axis=-1)[:, 0] - lse
+            out = {"tl": jnp.stack([s, bits(lp, jnp.int32)], axis=-1)}
+            if K:
+                tv, ti = jax.lax.top_k(rf, K)
+                out["tk"] = jnp.stack(
+                    [ti, bits(tv - lse[:, None], jnp.int32)], axis=-1
+                )
+            return out
 
-                def step_fn(params, cache, tokens, valid, key, temps, tks,
-                            tps, minps):
-                    logits, cache = model_forward(
-                        params, cfg, tokens, cache, advance=valid
-                    )
-                    d = _draw(
-                        _last_row(logits, valid), temps, tks, tps, key, minps
-                    )
-                    return d, cache
+        if PEN:
+
+            def step_fn(params, cache, tokens, valid, key, temps, tks,
+                        tps, minps, reps, freqs, press, emit, counts,
+                        pseen, lbias):
+                row, cache = fwd_row(params, cache, tokens, valid)
+                row = apply_penalties(
+                    row, counts, pseen, reps, freqs, press,
+                ) + lbias
+                d = _draw(row, temps, tks, tps, key, minps)
+                # count only samples the host will DELIVER (decode rows
+                # and prefill completions — junk/padding rows add 0)
+                counts = counts.at[
+                    jnp.arange(valid.shape[0]), d["tl"][:, 0]
+                ].add(emit)
+                return d, cache, counts
+        else:
+
+            def step_fn(params, cache, tokens, valid, key, temps, tks,
+                        tps, minps):
+                row, cache = fwd_row(params, cache, tokens, valid)
+                d = _draw(row, temps, tks, tps, key, minps)
+                return d, cache
 
         # donate the cache so XLA aliases k_pages/v_pages in place instead of
         # copying GBs of cache every step (and the counts plane likewise)
         self._step_fn = jax.jit(
             step_fn,
-            donate_argnums=(1, 13) if (self.penalties and not self._tp)
-            else (1,),
+            donate_argnums=(1, 13) if self.penalties else (1,),
         )
 
-        if not self._tp:
+        if PEN:
 
-            if PEN:
+            def window_fn(params, cache, tokens, valid, key,
+                          temps, tks, tps, d, minps, reps, freqs,
+                          press, counts, pseen, lbias):
+                B = tokens.shape[0]
 
-                def window_fn(params, cache, tokens, valid, key,
-                              temps, tks, tps, d, minps, reps, freqs,
-                              press, counts, pseen, lbias):
-                    B = tokens.shape[0]
-
-                    def body(i, carry):
-                        tokens, cache, tl, tk, key, counts = carry
-                        key, sub = jax.random.split(key)
-                        logits, cache = model_forward(
-                            params, cfg, tokens, cache, advance=valid
-                        )
-                        row = apply_penalties(
-                            logits[:, 0], counts, pseen, reps, freqs, press
-                        ) + lbias
-                        dr = _draw(row, temps, tks, tps, sub, minps)
-                        nxt = dr["tl"][:, 0]
-                        # every valid row's sample is deliverable (junk
-                        # past done is cleaned up at the next admission)
-                        counts = counts.at[jnp.arange(B), nxt].add(valid)
-                        tl = jax.lax.dynamic_update_slice(
-                            tl, dr["tl"][:, None, :], (0, i, 0)
-                        )
-                        if K:
-                            tk = jax.lax.dynamic_update_slice(
-                                tk, dr["tk"][:, None], (0, i, 0, 0)
-                            )
-                        return (nxt[:, None].astype(jnp.int32), cache, tl,
-                                tk, key, counts)
-
-                    tl0 = jnp.zeros((B, d, 2), jnp.int32)
-                    tk0 = (jnp.zeros((B, d, K, 2), jnp.int32) if K
-                           else jnp.zeros((0,), jnp.int32))
-                    _, cache, tl, tk, _, counts = jax.lax.fori_loop(
-                        0, d, body, (tokens, cache, tl0, tk0, key, counts)
-                    )
-                    out = {"tl": tl}
-                    if K:
-                        out["tk"] = tk
-                    return out, cache, counts
-
-                self._window_fn = jax.jit(
-                    window_fn, static_argnums=(8,), donate_argnums=(1, 13)
-                )
-
-                def prefill_fn(params, cache, tokens, slot_ids, valid, key,
-                               temps, tks, tps, minps, reps, freqs, press,
-                               emit, counts, pseen, lbias):
-                    row_valid = valid > 0
-                    sub = cache.select(slot_ids, row_valid)
-                    logits, sub = model_forward(
-                        params, cfg, tokens, sub, advance=valid
-                    )
+                def body(i, carry):
+                    tokens, cache, tl, tk, key, counts = carry
+                    key, sub = jax.random.split(key)
+                    row, cache = fwd_row(params, cache, tokens, valid)
                     row = apply_penalties(
-                        _last_row(logits, valid), counts[slot_ids],
-                        pseen[slot_ids], reps, freqs, press,
-                    ) + lbias[slot_ids]
-                    d = _draw(row, temps, tks, tps, key, minps)
-                    counts = counts.at[slot_ids, d["tl"][:, 0]].add(emit)
-                    return d, cache.merge(sub, slot_ids, row_valid), counts
-
-                self._prefill_fn = jax.jit(
-                    prefill_fn, donate_argnums=(1, 14)
-                )
-            else:
-
-                def window_fn(params, cache, tokens, valid, key,
-                              temps, tks, tps, d, minps):
-                    # d decode steps fused into one program: the sampled
-                    # token feeds the next step ON DEVICE, so the host syncs
-                    # once per window instead of once per token
-                    B = tokens.shape[0]
-
-                    def body(i, carry):
-                        tokens, cache, tl, tk, key = carry
-                        key, sub = jax.random.split(key)
-                        logits, cache = model_forward(
-                            params, cfg, tokens, cache, advance=valid
-                        )
-                        dr = _draw(logits[:, 0], temps, tks, tps, sub, minps)
-                        nxt = dr["tl"][:, 0]
-                        tl = jax.lax.dynamic_update_slice(
-                            tl, dr["tl"][:, None, :], (0, i, 0)
-                        )
-                        if K:
-                            tk = jax.lax.dynamic_update_slice(
-                                tk, dr["tk"][:, None], (0, i, 0, 0)
-                            )
-                        return (nxt[:, None].astype(jnp.int32), cache, tl,
-                                tk, key)
-
-                    tl0 = jnp.zeros((B, d, 2), jnp.int32)
-                    tk0 = (jnp.zeros((B, d, K, 2), jnp.int32) if K
-                           else jnp.zeros((0,), jnp.int32))
-                    _, cache, tl, tk, _ = jax.lax.fori_loop(
-                        0, d, body, (tokens, cache, tl0, tk0, key)
+                        row, counts, pseen, reps, freqs, press
+                    ) + lbias
+                    dr = _draw(row, temps, tks, tps, sub, minps)
+                    nxt = dr["tl"][:, 0]
+                    # every valid row's sample is deliverable (junk
+                    # past done is cleaned up at the next admission)
+                    counts = counts.at[jnp.arange(B), nxt].add(valid)
+                    tl = jax.lax.dynamic_update_slice(
+                        tl, dr["tl"][:, None, :], (0, i, 0)
                     )
-                    out = {"tl": tl}
                     if K:
-                        out["tk"] = tk
-                    return out, cache
+                        tk = jax.lax.dynamic_update_slice(
+                            tk, dr["tk"][:, None], (0, i, 0, 0)
+                        )
+                    return (nxt[:, None].astype(jnp.int32), cache, tl,
+                            tk, key, counts)
 
-                self._window_fn = jax.jit(
-                    window_fn, static_argnums=(8,), donate_argnums=(1,)
+                tl0 = jnp.zeros((B, d, 2), jnp.int32)
+                tk0 = (jnp.zeros((B, d, K, 2), jnp.int32) if K
+                       else jnp.zeros((0,), jnp.int32))
+                _, cache, tl, tk, _, counts = jax.lax.fori_loop(
+                    0, d, body, (tokens, cache, tl0, tk0, key, counts)
                 )
+                out = {"tl": tl}
+                if K:
+                    out["tk"] = tk
+                return out, cache, counts
 
-                def prefill_fn(params, cache, tokens, slot_ids, valid, key,
-                               temps, tks, tps, minps):
-                    # decoupled prefill: [P, C] chunk over a gathered
-                    # sub-batch view of the shared page pool
-                    # (paged_cache.select/merge)
-                    row_valid = valid > 0
-                    sub = cache.select(slot_ids, row_valid)
-                    logits, sub = model_forward(
-                        params, cfg, tokens, sub, advance=valid
-                    )
-                    d = _draw(
-                        _last_row(logits, valid), temps, tks, tps, key, minps
-                    )
-                    return d, cache.merge(sub, slot_ids, row_valid)
+            self._window_fn = jax.jit(
+                window_fn, static_argnums=(8,), donate_argnums=(1, 13)
+            )
 
-                self._prefill_fn = jax.jit(prefill_fn, donate_argnums=(1,))
+            def prefill_fn(params, cache, tokens, slot_ids, valid, key,
+                           temps, tks, tps, minps, reps, freqs, press,
+                           emit, counts, pseen, lbias):
+                row_valid = valid > 0
+                sub = cache.select(slot_ids, row_valid)
+                row, sub = fwd_row(params, sub, tokens, valid)
+                row = apply_penalties(
+                    row, counts[slot_ids],
+                    pseen[slot_ids], reps, freqs, press,
+                ) + lbias[slot_ids]
+                d = _draw(row, temps, tks, tps, key, minps)
+                counts = counts.at[slot_ids, d["tl"][:, 0]].add(emit)
+                return d, cache.merge(sub, slot_ids, row_valid), counts
+
+            self._prefill_fn = jax.jit(
+                prefill_fn, donate_argnums=(1, 14)
+            )
+        else:
+
+            def window_fn(params, cache, tokens, valid, key,
+                          temps, tks, tps, d, minps):
+                # d decode steps fused into one program: the sampled
+                # token feeds the next step ON DEVICE, so the host syncs
+                # once per window instead of once per token
+                B = tokens.shape[0]
+
+                def body(i, carry):
+                    tokens, cache, tl, tk, key = carry
+                    key, sub = jax.random.split(key)
+                    row, cache = fwd_row(params, cache, tokens, valid)
+                    dr = _draw(row, temps, tks, tps, sub, minps)
+                    nxt = dr["tl"][:, 0]
+                    tl = jax.lax.dynamic_update_slice(
+                        tl, dr["tl"][:, None, :], (0, i, 0)
+                    )
+                    if K:
+                        tk = jax.lax.dynamic_update_slice(
+                            tk, dr["tk"][:, None], (0, i, 0, 0)
+                        )
+                    return (nxt[:, None].astype(jnp.int32), cache, tl,
+                            tk, key)
+
+                tl0 = jnp.zeros((B, d, 2), jnp.int32)
+                tk0 = (jnp.zeros((B, d, K, 2), jnp.int32) if K
+                       else jnp.zeros((0,), jnp.int32))
+                _, cache, tl, tk, _ = jax.lax.fori_loop(
+                    0, d, body, (tokens, cache, tl0, tk0, key)
+                )
+                out = {"tl": tl}
+                if K:
+                    out["tk"] = tk
+                return out, cache
+
+            self._window_fn = jax.jit(
+                window_fn, static_argnums=(8,), donate_argnums=(1,)
+            )
+
+            def prefill_fn(params, cache, tokens, slot_ids, valid, key,
+                           temps, tks, tps, minps):
+                # decoupled prefill: [P, C] chunk over a gathered
+                # sub-batch view of the shared page pool
+                # (paged_cache.select/merge)
+                row_valid = valid > 0
+                sub = cache.select(slot_ids, row_valid)
+                row, sub = fwd_row(params, sub, tokens, valid)
+                d = _draw(row, temps, tks, tps, key, minps)
+                return d, cache.merge(sub, slot_ids, row_valid)
+
+            self._prefill_fn = jax.jit(prefill_fn, donate_argnums=(1,))
 
     # -- submission -------------------------------------------------------------
     def submit(
@@ -506,10 +477,6 @@ class Engine:
         logit_bias: Optional[dict] = None,  # {token_id: additive bias}
         priority: int = 0,  # higher admits first; preempted last
     ) -> int:
-        if sampling is not None and self._tp and sampling.temperature != 0.0:
-            raise NotImplementedError(
-                "TP serving currently samples greedily"
-            )
         if (
             sampling is not None
             and getattr(sampling, "has_penalties", False)
@@ -916,7 +883,7 @@ class Engine:
             if r is not None and r.prefill_done and not r.done
             and len(r.output) > r.resume_out  # post-resume sample landed
         ]
-        if W > 1 and not self._tp:
+        if W > 1:
             # decoupled mode pays off when decode dominates (steady churn:
             # a few admissions against a mostly-decoding batch). While
             # prefill dominates (cold start), the bulk padded [B, chunk]
@@ -949,20 +916,7 @@ class Engine:
                     self._flush_window()  # stale in-flight, no new window
                 self._drain_pending(pending_prev)
                 return
-        elif self._tp and W > 1:
-            active = [r for r in self.slots if r is not None]
-            if (
-                active
-                and all(r.prefill_done and r.output for r in active)
-                and self._cap_ok(active)
-            ):
-                prev = self._dispatch_window(
-                    [s for s, r in enumerate(self.slots) if r is not None]
-                )
-                if prev is not None:
-                    self._drain_window(prev)
-                return
-        # ---- padded mixed path (cold start / TP prefill / tight tails) ----
+        # ---- padded mixed path (cold start / tight tails) ----
         self._drain_pending()
         self._flush_window()
         if all(r is None for r in self.slots):
@@ -992,13 +946,7 @@ class Engine:
                 )
                 valid[slot] = 1
         lps = tk = None
-        if self._tp:
-            sampled, self.cache = self._step_fn(
-                self.params, self.cache, jnp.asarray(tokens),
-                jnp.asarray(valid),
-            )
-            sampled = np.asarray(sampled)
-        elif self.penalties:
+        if self.penalties:
             self._key, sub = jax.random.split(self._key)
             samp = self._samp_rows(self.slots)
             emit = np.zeros((B,), np.int32)
@@ -1068,37 +1016,28 @@ class Engine:
             # joining (first window after prefill) start from their host
             # token (fetched by _drain_pending)
             cont = (prev["valid"] > 0) & (valid > 0)
-            last_tok = (
-                prev["out"][:, -1:] if self._tp
-                else prev["out"][:, -1, 0][:, None]
-            )
+            last_tok = prev["out"][:, -1, 0][:, None]
             tok_in = jnp.where(
                 jnp.asarray(cont)[:, None], last_tok, jnp.asarray(host_tok)
             )
         else:
             tok_in = jnp.asarray(host_tok)
-        if self._tp:
-            toks, self.cache = self._tp_window_fn(
-                self.params, self.cache, tok_in, jnp.asarray(valid)
+        self._key, sub = jax.random.split(self._key)
+        samp = self._samp_rows(
+            [r if valid[s] else None for s, r in enumerate(self.slots)]
+        )
+        if self.penalties:
+            d, self.cache, self.counts = self._window_fn(
+                self.params, self.cache, tok_in, jnp.asarray(valid),
+                sub, samp[0], samp[1], samp[2], W, samp[3], samp[4],
+                samp[5], samp[6], self.counts, self.pseen, self.lbias,
             )
-            out = {"out": toks}
         else:
-            self._key, sub = jax.random.split(self._key)
-            samp = self._samp_rows(
-                [r if valid[s] else None for s, r in enumerate(self.slots)]
+            d, self.cache = self._window_fn(
+                self.params, self.cache, tok_in, jnp.asarray(valid),
+                sub, samp[0], samp[1], samp[2], W, samp[3],
             )
-            if self.penalties:
-                d, self.cache, self.counts = self._window_fn(
-                    self.params, self.cache, tok_in, jnp.asarray(valid),
-                    sub, samp[0], samp[1], samp[2], W, samp[3], samp[4],
-                    samp[5], samp[6], self.counts, self.pseen, self.lbias,
-                )
-            else:
-                d, self.cache = self._window_fn(
-                    self.params, self.cache, tok_in, jnp.asarray(valid),
-                    sub, samp[0], samp[1], samp[2], W, samp[3],
-                )
-            out = {"out": d["tl"], "tk": d.get("tk")}
+        out = {"out": d["tl"], "tk": d.get("tk")}
         out["slots"] = list(self.slots)
         out["valid"] = valid
         self._inflight = out
@@ -1114,10 +1053,7 @@ class Engine:
     def _drain_window(self, inflight) -> None:
         snapshot, valid = inflight["slots"], inflight["valid"]
         arr = np.asarray(inflight["out"])  # ONE host sync for W tokens
-        if self._tp:
-            toks, lps = arr, None
-        else:
-            toks, lps = self._unpack_tl(arr)  # [B, W] each
+        toks, lps = self._unpack_tl(arr)  # [B, W] each
         tk = inflight.get("tk")
         tk = np.asarray(tk) if tk is not None else None  # [B, W, K, 2]
         for slot, req in enumerate(snapshot):
@@ -1134,7 +1070,7 @@ class Engine:
             if req.done and self.slots[slot] is req:
                 self._retire(slot)
 
-    # -- decoupled prefill (non-TP) ---------------------------------------------
+    # -- decoupled prefill --------------------------------------------------------
     def _prefill_substep(self, prefilling) -> None:
         """Advance up to ``prefill_rows`` prefilling slots by one chunk
         through the gathered sub-batch program — decoding slots never pay

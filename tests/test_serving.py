@@ -318,6 +318,81 @@ def test_engine_tensor_parallel(cpu_mesh_devices):
     assert out == ref
 
 
+def test_engine_tp_sampling_logprobs_penalties(cpu_mesh_devices):
+    """TP serving feature parity: temperature sampling, per-request
+    sampling params, logprobs (+top-K) and history penalties all run under
+    a mesh through the SAME programs as single-chip (the forward is the
+    only swapped piece — parallel/sharding.py::sharded_row_forward_fn), so
+    with the same seed the sampled streams match exactly."""
+    from quick_tpu.parallel import create_mesh, shard_params
+
+    cfg = ModelConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128,
+    )
+    params = init_float_params(cfg, jax.random.PRNGKey(0))
+    prompts = [list(range(9, 21)), list(range(40, 47))]
+    sps = [
+        SamplingParams(temperature=0.8, top_k=20, repetition_penalty=1.2),
+        SamplingParams(temperature=0.0, frequency_penalty=0.5),
+    ]
+
+    def run(mesh, p):
+        eng = Engine(p, cfg, max_slots=2, max_seq=64, page_size=4, chunk=8,
+                     dtype=jnp.float32, mesh=mesh, seed=11, decode_window=2,
+                     logprobs_topk=2, enable_penalties=True)
+        uids = [eng.submit(pr, max_new_tokens=8, sampling=sp)
+                for pr, sp in zip(prompts, sps)]
+        outs = eng.run()
+        return [(outs[u], eng.requests[u].logprobs,
+                 eng.requests[u].top_logprobs) for u in uids]
+
+    ref = run(None, params)
+    mesh = create_mesh(tp=4, dp=1, devices=cpu_mesh_devices[:4])
+    got = run(mesh, shard_params(params, cfg, mesh))
+    for (rt, rl, rk), (gt, gl, gk) in zip(ref, got):
+        assert gt == rt
+        # bf16 block activations + TP psum reassociation: same ~0.05 noise
+        # floor as the TP logit-equivalence tests (test_parallel.py)
+        np.testing.assert_allclose(gl, rl, rtol=0.05, atol=0.05)
+        assert [[t for t, _ in row] for row in gk] == [
+            [t for t, _ in row] for row in rk
+        ]
+
+
+def test_engine_tp_decoupled_prefill_churn(cpu_mesh_devices):
+    """TP engine under churn (staggered submissions against decoding
+    slots) exercises the decoupled prefill program — cache.select/merge
+    around the shard_map'd forward — and must match single-chip greedy."""
+    from quick_tpu.parallel import create_mesh, shard_params
+
+    cfg = ModelConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128,
+    )
+    params = init_float_params(cfg, jax.random.PRNGKey(0))
+    reqs = [(list(range(5 + i, 20 + 2 * i)), 4 + i) for i in range(4)]
+
+    def run(mesh, p):
+        eng = Engine(p, cfg, max_slots=3, max_seq=64, page_size=4, chunk=4,
+                     dtype=jnp.float32, mesh=mesh, decode_window=3,
+                     prefill_rows=2)
+        uids = []
+        it = iter(reqs)
+        for prompt, glen in it:
+            uids.append(eng.submit(prompt, max_new_tokens=glen))
+            eng.step()  # stagger: decode underway while the next admits
+        outs = eng.run()
+        assert eng.stats["prefill_substeps"] > 0  # decoupled path engaged
+        return [outs[u] for u in uids]
+
+    ref = run(None, params)
+    mesh = create_mesh(tp=4, dp=1, devices=cpu_mesh_devices[:4])
+    assert run(mesh, shard_params(params, cfg, mesh)) == ref
+
+
 def test_engine_fuzz_schedule(params):
     """Randomized scheduler fuzz: random prompt lengths, generation lengths
     and arrival times over a small pool — every output must match its
