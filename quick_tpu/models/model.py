@@ -105,6 +105,25 @@ def model_forward(
         x = layer_norm(
             x, params.embed_norm, params.embed_norm_bias, cfg.rms_norm_eps
         )
+    # Megatron sequence-parallel TP (ctx.tp_seq): shard the residual stream
+    # along S for the whole block stack — row-parallel projections
+    # reduce_scatter over tokens and the pre-GEMM norms all_gather back
+    # (parallel/context.py). Eligible shapes only: the standard pre-norm
+    # dense block (the flagship llama/mistral path); decode steps (S=1) and
+    # exotic block variants keep the plain psum.
+    seq_scatter = bool(
+        ctx.tp_seq and ctx.tp_seq > 1 and S % ctx.tp_seq == 0
+        and cfg.pre_norms and not cfg.parallel_residual and not cfg.is_mla
+        and cfg.residual_multiplier is None
+        and not any(cfg.layer_is_moe(i) for i in range(cfg.num_hidden_layers))
+        and params.blocks[0].attn_post_norm is None
+        and params.blocks[0].mlp_post_norm is None
+    )
+    if seq_scatter:
+        Sl = S // ctx.tp_seq
+        x = jax.lax.dynamic_slice_in_dim(
+            x, jax.lax.axis_index(ctx.model_axis) * Sl, Sl, axis=1
+        )
     use_local = params.rope_cos_local is not None
     for i, blk in enumerate(params.blocks):
         local = use_local and cfg.layer_is_sliding(i)
@@ -113,7 +132,10 @@ def model_forward(
             params.rope_cos_local if local else params.rope_cos,
             params.rope_sin_local if local else params.rope_sin,
             cache, i, positions, ctx, token_mask=token_mask,
+            seq_scatter=seq_scatter,
         )
+    if seq_scatter:
+        x = ctx.all_gather_seq_model(x)
     if cache is not None:
         cache = cache.with_length(
             cache.length + (S if advance is None else advance)

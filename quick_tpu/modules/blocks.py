@@ -480,7 +480,23 @@ def block_forward(
     positions: jax.Array,
     ctx: ParallelContext = ParallelContext(),
     token_mask: Optional[jax.Array] = None,  # [B, S] valid-token mask
+    seq_scatter: bool = False,  # sequence-parallel TP: x is the residual
+    # shard [B, S/tp, D]; norms run on the shard, all_gather feeds the
+    # column-parallel GEMMs, and o/down outputs reduce_scatter back
+    # (model_forward gates eligibility — SURVEY.md section 2.3 overlap)
 ) -> Tuple[jax.Array, Optional[KVCache]]:
+    if seq_scatter:
+        sctx = ctx._replace(tp_seq_scatter=True)
+        h = _norm(x, p.attn_norm, p.attn_norm_bias, cfg)
+        h = ctx.all_gather_seq_model(h)  # [B, S, D] for qkv + cache write
+        attn_out, cache = attention_forward(
+            p.attn, cfg, h, rope_cos, rope_sin, cache, layer_idx,
+            positions, sctx,
+        )  # reduce_scattered back to [B, S/tp, D]
+        x = x + attn_out
+        h2 = _norm(x, p.mlp_norm, p.mlp_norm_bias, cfg)
+        h2 = ctx.all_gather_seq_model(h2)
+        return x + mlp_forward(p.mlp, cfg, h2, sctx), cache
     rmul = cfg.residual_multiplier  # granite / minicpm scale_depth
     # olmo2 (pre_norms=False): sub-layers read the raw residual stream;
     # the post-norms are the only norms

@@ -31,6 +31,19 @@ class ParallelContext(NamedTuple):
     #: the reference is single-device, SURVEY.md section 5 "long-context /
     #: sequence parallelism: none")
     seq_axis: Optional[str] = None
+    #: Megatron-style sequence-parallel TP (Korthikanti et al. 2022): set to
+    #: the TP degree to let eligible blocks shard their residual stream
+    #: along S — row-parallel o/down outputs REDUCE_SCATTER over tokens
+    #: instead of psum, and the pre-GEMM norms all_gather back. Same ring
+    #: bytes as psum (RS+AG), but norms/residuals do 1/tp of the work and
+    #: XLA's collective scheduler can overlap the gather with the following
+    #: quantized GEMM (SURVEY.md section 2.3 "collectives overlapped with
+    #: the quantized GEMM"). model_forward engages it per call when
+    #: S % tp_seq == 0 and the block shape is eligible.
+    tp_seq: Optional[int] = None
+    #: internal: set by block_forward for its sub-calls — row-parallel
+    #: outputs scatter along tokens instead of psum-ing
+    tp_seq_scatter: bool = False
 
     @property
     def tp(self) -> bool:
@@ -50,7 +63,18 @@ class ParallelContext(NamedTuple):
     def psum_model(self, x: jax.Array) -> jax.Array:
         if self.model_axis is None:
             return x
+        if self.tp_seq_scatter:
+            # sequence-parallel TP: shard i keeps (the sum of) token block i
+            return jax.lax.psum_scatter(
+                x, self.model_axis, scatter_dimension=1, tiled=True
+            )
         return jax.lax.psum(x, self.model_axis)
+
+    def all_gather_seq_model(self, x: jax.Array) -> jax.Array:
+        """Inverse of the psum_scatter: [B, S/tp, D] -> [B, S, D]."""
+        if self.model_axis is None:
+            return x
+        return jax.lax.all_gather(x, self.model_axis, axis=1, tiled=True)
 
     def model_axis_index(self) -> jax.Array:
         if self.model_axis is None:

@@ -368,7 +368,9 @@ def sharded_row_forward_fn(
 
     tp = mesh.shape[MODEL_AXIS]
     lcfg = local_config(cfg, tp)
-    ctx = ParallelContext(model_axis=MODEL_AXIS, expert_axis=MODEL_AXIS)
+    ctx = ParallelContext(
+        model_axis=MODEL_AXIS, expert_axis=MODEL_AXIS, tp_seq=tp
+    )
     specs = param_specs(params_template, cfg)
     cspec = paged_cache_spec(quantized=kv_quantized, cfg=cfg)
 
@@ -402,7 +404,8 @@ def sharded_forward_fn(cfg: ModelConfig, mesh: Mesh):
     tp = mesh.shape[MODEL_AXIS]
     lcfg = local_config(cfg, tp)
     ctx = ParallelContext(
-        model_axis=MODEL_AXIS, data_axis=DATA_AXIS, expert_axis=MODEL_AXIS
+        model_axis=MODEL_AXIS, data_axis=DATA_AXIS, expert_axis=MODEL_AXIS,
+        tp_seq=mesh.shape[MODEL_AXIS],
     )
 
     def make(params_template: ModelParams):

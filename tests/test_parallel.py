@@ -62,6 +62,31 @@ def test_float_tp_matches_single(fparams, tp, dp):
     np.testing.assert_allclose(par, ref, atol=0.05, rtol=0.05)
 
 
+def test_tp_sequence_scatter_collective_schedule(fparams):
+    """SURVEY section 2.3 mandate: row-parallel o/down outputs must
+    REDUCE_SCATTER (not plain psum) with the pre-GEMM norms all_gather-ing
+    back (Megatron sequence-parallel TP, parallel/context.py::tp_seq) so
+    XLA can overlap the gather with the following quantized GEMM. Asserts
+    (a) the compiled HLO actually contains reduce-scatter + all-gather ops
+    and (b) numerics still match single-chip."""
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 128)
+    mesh = create_mesh(tp=4, dp=1)
+    sharded = shard_params(fparams, CFG, mesh)
+    fn = jax.jit(sharded_forward_fn(CFG, mesh)(fparams))
+    cache = make_cache(CFG, 2, 32)
+    txt = fn.lower(sharded, tokens, cache).compile().as_text()
+    assert "reduce-scatter" in txt, "o/down outputs should psum_scatter"
+    assert "all-gather" in txt, "pre-GEMM norms should all_gather"
+    par, _ = fn(sharded, tokens, cache)
+    ref = _reference_logits(fparams, tokens)
+    np.testing.assert_allclose(np.asarray(par), ref, atol=0.05, rtol=0.05)
+    # decode (S=1 < tp) must fall back to plain psum — no scatter possible
+    txt1 = fn.lower(
+        sharded, tokens[:, :1], make_cache(CFG, 2, 32).with_length(16)
+    ).compile().as_text()
+    assert "reduce-scatter" not in txt1
+
+
 def test_tp_with_row_parallel_biases(fparams):
     """o_proj/down_proj biases are added per-shard BEFORE the model-axis
     psum: prepare_params_for_tp must pre-divide them by tp or the output
