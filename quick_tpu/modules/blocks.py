@@ -259,16 +259,34 @@ def attention_forward(
                 window=window, logit_softcap=softcap,
             )
     elif ctx.seq_axis is not None:
-        # context parallel: q stays sequence-sharded, K/V gather over ICI
-        k_all = ctx.all_gather_seq(k)
-        v_all = ctx.all_gather_seq(v)
-        out = causal_attention(
-            q, k_all, v_all, q_offset=ctx.seq_index() * S,
-            alibi_slopes=slopes,
-            window=cfg.sliding_window if cfg.layer_is_sliding(layer_idx)
-            else None,  # CP shards see the full gathered context
-            logit_softcap=softcap,
+        cp_window = (
+            cfg.sliding_window if cfg.layer_is_sliding(layer_idx) else None
         )
+        if (
+            ctx.seq_size is not None and slopes is None
+            and cp_window is None and softcap is None
+        ):
+            # ring attention: K/V stay sequence-sharded and rotate via
+            # ppermute — per-device KV footprint is S/n for the whole
+            # pass (parallel/ring_attention.py)
+            from quick_tpu.parallel.ring_attention import (
+                ring_causal_attention,
+            )
+
+            out = ring_causal_attention(
+                q, k, v, ctx.seq_axis, ctx.seq_size
+            )
+        else:
+            # gather fallback: alibi/window/softcap layers attend over the
+            # fully gathered K/V (q stays sequence-sharded)
+            k_all = ctx.all_gather_seq(k)
+            v_all = ctx.all_gather_seq(v)
+            out = causal_attention(
+                q, k_all, v_all, q_offset=ctx.seq_index() * S,
+                alibi_slopes=slopes,
+                window=cp_window,
+                logit_softcap=softcap,
+            )
     else:
         out = causal_attention(
             q, k, v, alibi_slopes=slopes, window=window, logit_softcap=softcap

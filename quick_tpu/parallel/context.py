@@ -31,6 +31,12 @@ class ParallelContext(NamedTuple):
     #: the reference is single-device, SURVEY.md section 5 "long-context /
     #: sequence parallelism: none")
     seq_axis: Optional[str] = None
+    #: static size of seq_axis. When set, plain causal attention uses RING
+    #: attention (parallel/ring_attention.py): K/V stay sequence-sharded and
+    #: rotate via ppermute, so per-device KV memory is S/n — the actual
+    #: long-context scaling story. None (or alibi/window/softcap layers)
+    #: falls back to the K/V all-gather.
+    seq_size: Optional[int] = None
     #: Megatron-style sequence-parallel TP (Korthikanti et al. 2022): set to
     #: the TP degree to let eligible blocks shard their residual stream
     #: along S — row-parallel o/down outputs REDUCE_SCATTER over tokens

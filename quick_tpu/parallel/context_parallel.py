@@ -1,15 +1,18 @@
 """Context (sequence) parallelism for long prefill.
 
 Shards prefill activations along the SEQUENCE dimension over a ``seq`` mesh
-axis: every device runs norms/MLPs/projections on its S/n token slice, and
-attention all-gathers K/V over ICI so each query shard attends to the full
-(causal) prefix. Positions stay global, so RoPE/ALiBi are exact.
+axis: every device runs norms/MLPs/projections on its S/n token slice.
+Attention keeps K/V sequence-sharded too — blocks rotate around the ring
+via ppermute with online-softmax accumulation (parallel/ring_attention.py),
+so the per-device K/V footprint is S/n and context length scales linearly
+with chips. Layers the ring cannot express (ALiBi bias, sliding window,
+logit softcap) fall back to a K/V all-gather for that layer. Positions stay
+global, so RoPE/ALiBi are exact.
 
 The reference has nothing like this — its long-context story is a
 single-device rolling window that DISCARDS old context
 (quick/awq/modules/fused/cache.py:32-45; SURVEY.md section 5). Here a
-prompt n times longer than one chip's activation memory fits by adding
-chips.
+prompt n times longer than one chip's memory fits by adding chips.
 """
 from __future__ import annotations
 
@@ -42,7 +45,7 @@ def context_parallel_forward_fn(cfg: ModelConfig, mesh: Mesh):
     from quick_tpu.models.model import model_forward
 
     n = mesh.shape[SEQ_AXIS]
-    ctx = ParallelContext(seq_axis=SEQ_AXIS)
+    ctx = ParallelContext(seq_axis=SEQ_AXIS, seq_size=n)
 
     def local_fwd(params, tokens_local):
         B, S_local = tokens_local.shape

@@ -58,3 +58,58 @@ def test_cp_quantized(cpu_mesh_devices):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=6e-2, rtol=6e-2
     )
+
+
+def test_ring_attention_matches_dense(cpu_mesh_devices):
+    """ring_causal_attention (sharded K/V + ppermute rotation) must equal
+    dense causal attention exactly (up to f32 reassociation), incl. GQA."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from quick_tpu.parallel.ring_attention import ring_causal_attention
+
+    B, S, Hq, Hkv, D, n = 2, 32, 4, 2, 16, 4
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, S, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+
+    # dense reference (explicit, no framework code)
+    kr = np.repeat(np.asarray(k), Hq // Hkv, axis=2)
+    vr = np.repeat(np.asarray(v), Hq // Hkv, axis=2)
+    s = np.einsum("bqhd,bkhd->bhqk", np.asarray(q), kr) * D ** -0.5
+    mask = np.tril(np.ones((S, S), bool))
+    s = np.where(mask[None, None], s, -np.inf)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bkhd->bqhd", p, vr)
+
+    mesh = Mesh(np.asarray(cpu_mesh_devices[:n]), ("seq",))
+    ring = jax.jit(jax.shard_map(
+        lambda q, k, v: ring_causal_attention(q, k, v, "seq", n),
+        mesh=mesh,
+        in_specs=(P(None, "seq"), P(None, "seq"), P(None, "seq")),
+        out_specs=P(None, "seq"),
+        check_vma=False,
+    ))
+    out = ring(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+
+
+def test_cp_ring_shards_kv_memory(cpu_mesh_devices):
+    """The CP forward's compiled program must rotate K/V via
+    collective-permute and NEVER materialize the full-S K/V (no all-gather
+    at KV shape) — per-device KV footprint stays S/n, the property the
+    reference's rolling window (fused/cache.py:32-45) fundamentally lacks."""
+    params = init_float_params(TINY, jax.random.PRNGKey(0))
+    n = 4
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 32), 0, 128)
+    fn = context_parallel_forward_fn(TINY, create_seq_mesh(n, cpu_mesh_devices))
+    txt = fn.lower(params, toks).compile().as_text()
+    assert "collective-permute" in txt  # the ppermute ring
+    # S=32, Hkv=2, D=16: a gathered K/V would be an all-gather producing a
+    # ...x32x2x16 (or transposed) f32 operand; the ring must not have one.
+    import re
+
+    for ag in re.finditer(r"all-gather[^\n]*", txt):
+        line = ag.group(0)
+        assert "32,2,16" not in line and "2,32,16" not in line, line
