@@ -101,6 +101,9 @@ def mla_attention_forward(
     layer_idx: int,
     positions: jax.Array,  # [B, S]
     ctx: ParallelContext = ParallelContext(),
+    return_pre_o: bool = False,  # return the [B, S, hq*dv] activation
+    # BEFORE o_proj (the AWQ o-group calibration input, quantize/awq.py);
+    # prefill paths only — the paged decode path never calibrates
 ) -> Tuple[jax.Array, Optional[object]]:
     from quick_tpu.ops.rope import apply_rope
 
@@ -210,6 +213,8 @@ def mla_attention_forward(
             scale=mla_softmax_scale(cfg),
         )
         out = out.reshape(B, S, hq * dv)
+        if return_pre_o:
+            return out, cache
         return ctx.psum_model(p.o_proj(out)), cache
 
     # -- absorbed MQA over the latent -------------------------------------------
@@ -249,6 +254,8 @@ def mla_attention_forward(
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)  # [B,S,hq,dv]
     out = out.reshape(B, S, hq * dv)
+    if return_pre_o:
+        return out, cache
     return ctx.psum_model(p.o_proj(out)), cache
 
 

@@ -652,11 +652,22 @@ def awq_quantize_mla_block(
     apply_clips: bool = True,
     skip: frozenset = frozenset(),
 ) -> AwqBlockResult:
-    """AWQ for a deepseek MLA block. The attention projections quantize
-    RTN with clip search only: the absorbed einsum path (modules/mla.py)
-    gives q/kv_a no single downstream consumer to fold a per-channel scale
-    out of, and kv_b stays float by design. The MLP (dense or MoE) gets the
-    full AWQ scale+clip search, exactly like awq_quantize_block."""
+    """AWQ for a deepseek MLA block. The attention projections get every
+    scale fold the absorbed path (modules/mla.py) exposes — each measured
+    material on a v2-lite-shaped outlier model (tools/mla_rtn_kl.py):
+
+    - attn_norm -> (q(_a), kv_a): the standard ln->fcs rule (reference
+      scale.py:71-98) — both consume the same normed input.
+    - q_a_norm -> q_b (q-LoRA models): ln->fc again.
+    - kv_b's W_UV columns -> o: the v->o fc->fc rule (reference
+      scale.py:100-117) — kv_b stays FLOAT (absorbed einsum operand), so
+      dividing its v-section output channels costs nothing numerically.
+
+    Clip search stays off for q/kv projections (the reference's
+    avoid-clipping rule for q/k, quantizer.py:287: per-group output MSE
+    misses rope phase error) but ON for o (its pre-projection input is
+    exposed via return_pre_o). The MLP (dense or MoE) gets the full AWQ
+    scale+clip search, exactly like awq_quantize_block."""
     from quick_tpu.modules.mla import MLAParams, mla_attention_forward
 
     G, zp = qcfg.q_group_size, qcfg.zero_point
@@ -669,35 +680,119 @@ def awq_quantize_mla_block(
 
     attn_in = norm_fwd(x, blk.attn_norm, blk.attn_norm_bias)
     a = blk.attn
+    hq, dn, dv = cfg.num_attention_heads, cfg.qk_nope_head_dim, cfg.v_head_dim
 
-    def rtn(lin, name, inp):
-        if lin is None or name in skip:
-            return lin
-        w = lin.weight
-        if apply_clips and inp is not None:
-            w = apply_clip(w, search_clip(w, flat(inp), G, zp), G)
-        return QuantLinear.from_float(w, lin.bias, G, zp)
-
-    # q_proj/q_b_proj/kv_a_proj carry the rope'd q_pe/k_pe channels —
-    # never clipped (the reference's avoid-clipping rule for q/k,
-    # quantizer.py:287: per-group output MSE misses rope phase error);
-    # o_proj's pre-projection input isn't exposed by the absorbed forward,
-    # so MLA attention quantizes pure RTN
     # attention output for the residual stream comes from the FLOAT weights
-    # (the packed weights' error is what PPL measures downstream)
+    # (the packed weights' error is what PPL measures downstream); the scale
+    # folds below are exact rewrites of the same function
     attn_out, _ = mla_attention_forward(
         a, cfg, attn_in, rope_cos, rope_sin, None, 0, positions
     )
     x_mid = x + attn_out
 
+    attn_norm = blk.attn_norm.astype(jnp.float32)
+    attn_norm_bias = (
+        None if blk.attn_norm_bias is None
+        else blk.attn_norm_bias.astype(jnp.float32)
+    )
+    q_w = a.q_proj.weight.astype(jnp.float32)
+    kva_w = a.kv_a_proj.weight.astype(jnp.float32)
+    qb_w = None if a.q_b_proj is None else a.q_b_proj.weight.astype(jnp.float32)
+    kvb_w = a.kv_b_proj.weight.astype(jnp.float32)
+    o_w = a.o_proj.weight.astype(jnp.float32)
+    q_a_norm = None if a.q_a_norm is None else a.q_a_norm.astype(jnp.float32)
+
+    def attn_fwd(qw, kvaw, qbw, kvbw, h, pre_o):
+        a2 = dataclasses.replace(
+            a,
+            q_proj=dataclasses.replace(a.q_proj, weight=qw.astype(x.dtype)),
+            kv_a_proj=dataclasses.replace(
+                a.kv_a_proj, weight=kvaw.astype(x.dtype)
+            ),
+            q_b_proj=(
+                None if qbw is None
+                else dataclasses.replace(a.q_b_proj, weight=qbw.astype(x.dtype))
+            ),
+            kv_b_proj=dataclasses.replace(
+                a.kv_b_proj, weight=kvbw.astype(a.kv_b_proj.weight.dtype)
+            ),
+        )
+        return mla_attention_forward(
+            a2, cfg, h, rope_cos, rope_sin, None, 0, positions,
+            return_pre_o=pre_o,
+        )[0]
+
+    if "qkv" not in skip:
+        # -- attn_norm -> (q(_a), kv_a) fold --------------------------------
+        s1 = search_scale(
+            flat(attn_in), [q_w, kva_w],
+            loss_forward=lambda ws: attn_fwd(
+                ws[0], ws[1], qb_w, kvb_w, attn_in, False
+            ),
+            group_size=G, zero_point=zp,
+        )
+        attn_norm = attn_norm / s1
+        if attn_norm_bias is not None:
+            attn_norm_bias = attn_norm_bias / s1
+        q_w = q_w * s1[:, None]
+        kva_w = kva_w * s1[:, None]
+        attn_in = attn_in / s1.astype(attn_in.dtype)
+
+        if qb_w is not None:
+            # -- q_a_norm -> q_b fold ---------------------------------------
+            qb_in = rms_norm(
+                (attn_in.astype(jnp.float32) @ q_w).astype(attn_in.dtype),
+                q_a_norm, cfg.rms_norm_eps,
+            )
+            s2 = search_scale(
+                flat(qb_in), [qb_w],
+                loss_forward=lambda ws: attn_fwd(
+                    q_w, kva_w, ws[0], kvb_w, attn_in, False
+                ),
+                group_size=G, zero_point=zp,
+            )
+            q_a_norm = q_a_norm / s2
+            qb_w = qb_w * s2[:, None]
+
+    if "o" not in skip:
+        # -- kv_b W_UV columns -> o fold + o clip ---------------------------
+        pre_o = attn_fwd(q_w, kva_w, qb_w, kvb_w, attn_in, True)
+        s3 = search_scale(
+            flat(pre_o), [o_w],
+            loss_forward=lambda ws: flat(pre_o) @ ws[0].astype(pre_o.dtype),
+            group_size=G, zero_point=zp,
+        )
+        # kv_b columns are head-major [dn | dv] sections; divide the v
+        # section of head h by s3[h*dv:(h+1)*dv]
+        kvb3 = kvb_w.reshape(-1, hq, dn + dv)
+        kvb3 = kvb3.at[:, :, dn:].divide(s3.reshape(hq, dv)[None])
+        kvb_w = kvb3.reshape(kvb_w.shape)
+        o_w = o_w * s3[:, None]
+        if apply_clips:
+            pre_o = pre_o / s3.astype(pre_o.dtype)
+            o_w = apply_clip(o_w, search_clip(o_w, flat(pre_o), G, zp), G)
+
+    def pack_lin(w, lin, name):
+        if lin is None:
+            return None
+        if name in skip:
+            return lin
+        return QuantLinear.from_float(w.astype(lin.weight.dtype), lin.bias, G, zp)
+
     new_attn = MLAParams(
-        q_proj=rtn(a.q_proj, "qkv", None),
-        kv_a_proj=rtn(a.kv_a_proj, "qkv", None),
+        q_proj=pack_lin(q_w, a.q_proj, "qkv"),
+        kv_a_proj=pack_lin(kva_w, a.kv_a_proj, "qkv"),
         kv_a_norm=a.kv_a_norm,
-        kv_b_proj=a.kv_b_proj,  # float: absorbed einsum operand
-        o_proj=rtn(a.o_proj, "o", None),
-        q_b_proj=rtn(a.q_b_proj, "qkv", None),
-        q_a_norm=a.q_a_norm,
+        kv_b_proj=dataclasses.replace(
+            a.kv_b_proj, weight=kvb_w.astype(a.kv_b_proj.weight.dtype)
+        ),  # float: absorbed einsum operand (holds the 1/s3 fold)
+        o_proj=pack_lin(o_w, a.o_proj, "o"),
+        q_b_proj=pack_lin(qb_w, a.q_b_proj, "qkv") if qb_w is not None
+        else a.q_b_proj,
+        q_a_norm=(
+            None if q_a_norm is None
+            else q_a_norm.astype(blk.attn.q_a_norm.dtype)
+        ),
     )
 
     mlp_norm = blk.mlp_norm.astype(jnp.float32)
@@ -723,11 +818,14 @@ def awq_quantize_mla_block(
         )
     x_next = x_mid + mlp_out
     new_block = BlockParams(
-        attn_norm=blk.attn_norm,
+        attn_norm=attn_norm.astype(blk.attn_norm.dtype),  # holds the 1/s1 fold
         attn=new_attn,
         mlp_norm=mlp_norm.astype(blk.mlp_norm.dtype),
         mlp=new_mlp,
-        attn_norm_bias=blk.attn_norm_bias,
+        attn_norm_bias=(
+            None if attn_norm_bias is None
+            else attn_norm_bias.astype(blk.attn_norm_bias.dtype)
+        ),
         mlp_norm_bias=blk.mlp_norm_bias,
     )
     return AwqBlockResult(block=new_block, x_next=x_next)
