@@ -64,14 +64,19 @@ def main():
 
     n1, n2 = 4, 54
     trials = []
-    for _ in range(3):
+    for _ in range(6):  # >=5 loop-pairs: tunnel noise is +-15-20% run to
+        # run, so the headline carries the spread, not just the median
         t1, t2 = run(n1), run(n2)
         trials.append((t2 - t1) / (n2 - n1))
     per_iter = float(np.median(trials))
+    tf = sorted(2 * M * K * N / t / 1e12 for t in trials)
     tflops = 2 * M * K * N / per_iter / 1e12
+    spread = (tf[-1] - tf[0]) / 2
     weight_gbs = (K * N / 2 + 2 * (K // GROUP) * N * 4) / per_iter / 1e9
     log(f"fused W4A16 GEMM M={M} K={K} N={N}: {per_iter*1e6:.1f} us/iter, "
-        f"{tflops:.1f} TFLOPS, weight stream {weight_gbs:.0f} GB/s")
+        f"{tflops:.1f} +- {spread:.1f} TFLOPS "
+        f"(range {tf[0]:.1f}-{tf[-1]:.1f} over {len(trials)} loop-pairs), "
+        f"weight stream {weight_gbs:.0f} GB/s")
     try:
         from quick_tpu.utils.profiling import roofline, w4a16_gemm_counters
 
@@ -86,6 +91,9 @@ def main():
         "value": round(tflops, 2),
         "unit": "TFLOPS",
         "vs_baseline": round(tflops / BASELINE_TFLOPS, 3),
+        "spread": round(spread, 2),  # half the min-max range over the
+        # loop-pair trials (tunnel variance qualifier, VERDICT r2 item 9)
+        "trials": [round(t, 2) for t in tf],
     }))
 
 
