@@ -40,14 +40,18 @@ class PagedKVCache:
     (ops/paged_attention.py).
     block_table:     [max_slots, max_pages_per_seq] int32 physical page ids
     length:          [max_slots] int32 valid tokens per slot
-    k_scales/v_scales: [L, n_pages, H_kv * page_size] f32 per-token-per-head
-    absmax scales when the pages are INT8-quantized (``dtype=jnp.int8`` at
-    create — halves KV HBM bytes and doubles KV capacity per chip; no
-    reference analog, the reference cache is fp16-only). None for float KV.
-    The (head, token) plane is stored FLAT in the minor dim: a [.., H, page]
-    layout with page < 128 pads the lane dim 2x physically (wasting ~130MB
-    HBM at 7B serving scale and doubling every scale-scatter temp), and the
-    paged-attention kernel wants the flat (head, token) lane order anyway.
+    k_scales/v_scales: [L, n_pages, H_kv, 8, page_size//8] f32
+    per-token-per-head absmax scales when the pages are INT8-quantized
+    (``dtype=jnp.int8`` at create — halves KV HBM bytes and doubles KV
+    capacity per chip; no reference analog, the reference cache is
+    fp16-only). None for float KV. Element order is flat (head, token) —
+    entry (h, r, c) is token ``r*(page//8)+c`` of head h — but the SHAPE
+    gives every page its own (8, page//8) tile: a legal Mosaic block per
+    page, so (a) the paged-attention kernel DMAs exactly one page's scales
+    (the earlier flat [.., H*page] plane forced an aligned 8-ROW group
+    block — 8x the bytes — plus a masked sublane reduction to pick the
+    row), and (b) the decode write is a collision-free aliased Pallas RMW
+    instead of an XLA scatter (ops/paged_write.py).
     """
 
     k_pages: jax.Array
@@ -76,6 +80,12 @@ class PagedKVCache:
         shape = (n_layers, n_pages, n_kv, page_size, head_dim)
         vshape = (n_layers, n_pages, n_kv, page_size, v_head_dim or head_dim)
         quant = dtype == jnp.int8
+        if quant and page_size % 8:
+            raise ValueError(
+                f"INT8 KV needs page_size % 8 == 0 (got {page_size}): each "
+                "page's scales are an (8, page//8) tile"
+            )
+        sshape = (n_layers, n_pages, n_kv, 8, page_size // 8)
         return cls(
             k_pages=jnp.zeros(shape, dtype),
             v_pages=jnp.zeros(vshape, dtype),
@@ -83,14 +93,8 @@ class PagedKVCache:
                 (max_slots, max_pages_per_seq), TRASH_PAGE, jnp.int32
             ),
             length=jnp.zeros((max_slots,), jnp.int32),
-            k_scales=(
-                jnp.zeros((n_layers, n_pages, n_kv * page_size), jnp.float32)
-                if quant else None
-            ),
-            v_scales=(
-                jnp.zeros((n_layers, n_pages, n_kv * page_size), jnp.float32)
-                if quant else None
-            ),
+            k_scales=jnp.zeros(sshape, jnp.float32) if quant else None,
+            v_scales=jnp.zeros(sshape, jnp.float32) if quant else None,
         )
 
     @property
@@ -140,39 +144,57 @@ class PagedKVCache:
         ):
             # Pallas RMW: output-aliased per-token group writes (the XLA
             # scatter this replaces costs ~128us/call at 7B decode shapes —
-            # see ops/paged_write.py). Chunked prefill (S>1) keeps the
-            # scatter: one scatter amortizes over the whole chunk.
-            kp, vp = paged_write_decode(
+            # see ops/paged_write.py). INT8 scale planes ride the SAME
+            # kernel (each page's (8, page//8) scale tile is its own
+            # aliased block) — an XLA scale scatter here sits between the
+            # attention custom calls that consume the whole plane, where
+            # lost aliasing copies the plane per layer per step. Chunked
+            # prefill (S>1) keeps the scatter: one scatter amortizes over
+            # the whole chunk.
+            written = paged_write_decode(
                 self.k_pages, self.v_pages, kn[:, 0], vn[:, 0],
                 page[:, 0], off[:, 0], layer,
+                k_scales=self.k_scales, v_scales=self.v_scales,
+                ks_new=ks[:, 0] if self.quantized else None,
+                vs_new=vs[:, 0] if self.quantized else None,
                 interpret=jax.default_backend() == "cpu",
             )
-        else:
-            # layout [L, P, H, page, D]: advanced indices (page, off)
-            # straddle the ':' head axis, so the result axes are
-            # [B, S, H, D] — matching k_new directly
-            kp = self.k_pages.at[layer, page, :, off].set(
-                kn.astype(self.k_pages.dtype)
-            )
-            vp = self.v_pages.at[layer, page, :, off].set(
-                vn.astype(self.v_pages.dtype)
-            )
+            if self.quantized:
+                kp, vp, ksp, vsp = written
+                return dataclasses.replace(
+                    self, k_pages=kp, v_pages=vp,
+                    k_scales=ksp, v_scales=vsp,
+                )
+            kp, vp = written
+            return dataclasses.replace(self, k_pages=kp, v_pages=vp)
+        # layout [L, P, H, page, D]: advanced indices (page, off)
+        # straddle the ':' head axis, so the result axes are
+        # [B, S, H, D] — matching k_new directly
+        kp = self.k_pages.at[layer, page, :, off].set(
+            kn.astype(self.k_pages.dtype)
+        )
+        vp = self.v_pages.at[layer, page, :, off].set(
+            vn.astype(self.v_pages.dtype)
+        )
         if not self.quantized:
             return dataclasses.replace(self, k_pages=kp, v_pages=vp)
-        # scales layout [L, P, H*page] (flat, see class docstring): scatter
-        # per-head entries at flat positions h*page + off (small plane; the
-        # XLA scatter is cheap here)
+        # scale tiles [L, P, H, 8, page//8]: token t of head h lives at
+        # (h, t // (page//8), t % (page//8)) — see class docstring
         H = k_new.shape[2]
-        sidx = (
-            jnp.arange(H, dtype=jnp.int32)[None, None, :] * self.page_size
-            + off[:, :, None]
-        )  # [B, S, H]
+        w8 = self.page_size // 8
+        h_idx = jnp.arange(H, dtype=jnp.int32)[None, None, :]
+        r = (off // w8)[:, :, None]
+        c = (off % w8)[:, :, None]
         return dataclasses.replace(
             self,
             k_pages=kp,
             v_pages=vp,
-            k_scales=self.k_scales.at[layer, page[:, :, None], sidx].set(ks),
-            v_scales=self.v_scales.at[layer, page[:, :, None], sidx].set(vs),
+            k_scales=self.k_scales.at[
+                layer, page[:, :, None], h_idx, r, c
+            ].set(ks),
+            v_scales=self.v_scales.at[
+                layer, page[:, :, None], h_idx, r, c
+            ].set(vs),
         )
 
     def layer(self, i: int) -> Tuple[jax.Array, jax.Array]:
@@ -192,8 +214,9 @@ class PagedKVCache:
         if not self.quantized:
             return k, v
         n_pt = self.block_table.shape[1]
-        ks = self.k_scales[i][self.block_table]  # [B, P_seq, H*page] flat
+        ks = self.k_scales[i][self.block_table]  # [B, P_seq, H, 8, page//8]
         vs = self.v_scales[i][self.block_table]
+        # tile order (r, c) -> token r*(page//8)+c: a plain reshape
         ks = ks.reshape(B, n_pt, H, self.page_size)
         vs = vs.reshape(B, n_pt, H, self.page_size)
         ks = jnp.moveaxis(ks, 2, 1).reshape(B, H, -1, 1)

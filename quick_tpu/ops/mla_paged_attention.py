@@ -43,7 +43,8 @@ def _mla_paged_kernel(
     qc_ref, qpe_ref,            # VMEM: [1, Hq, R], [1, Hq, dr]
     *rest,                      # ppb x (kpe_ref [1,1,1,page,dr],
                                 #        c_ref   [1,1,1,page,R]),
-                                # then ppb x (ks_ref, cs_ref [1,8,page] f32)
+                                # then ppb x (ks_ref, cs_ref
+                                # [1,1,1,8,page//8] f32 page scale tiles)
                                 # if quantized, then o_ref, m/l/acc scratch
     page: int, scale: float, quantized: bool, ppb: int,
 ):
@@ -90,18 +91,10 @@ def _mla_paged_kernel(
                 preferred_element_type=jnp.float32,
             )
             if quantized:
-                # per-token column scales (flat [8, page] group; pick the
-                # page's row — see the standard kernel's BlockSpec note)
-                pid = bt_ref[b, i * ppb + j]
-                sel = jax.lax.broadcasted_iota(
-                    jnp.int32, cs_ref[0].shape, 0
-                ) == pid % 8
-                cs = jnp.sum(
-                    jnp.where(sel, cs_ref[0], 0.0), axis=0, keepdims=True
-                )                               # [1, page]
-                ks = jnp.sum(
-                    jnp.where(sel, ks_ref[0], 0.0), axis=0, keepdims=True
-                )
+                # per-token column scales: the page's own [1, 8, page//8]
+                # tile (modules/paged_cache.py), flattened to token order
+                cs = cs_ref[0, 0, 0].reshape(1, page)
+                ks = ks_ref[0, 0, 0].reshape(1, page)
                 s = (s_c * cs + s_pe * ks) * scale
             else:
                 s = (s_c + s_pe) * scale
@@ -143,7 +136,8 @@ def mla_paged_decode_attention(
     layer: int,
     scale: float,             # mla_softmax_scale(cfg) — includes the
                               # deepseek-yarn mscale^2 correction
-    kpe_scales: Optional[jax.Array] = None,  # [L, P, page] f32 when INT8
+    kpe_scales: Optional[jax.Array] = None,  # [L, P, 1, 8, page//8] f32
+                              # scale tiles when INT8 (flat forms reshape)
     c_scales: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -177,17 +171,15 @@ def mla_paged_decode_attention(
         ]
         inputs += [kpe_pages, c_pages]
     if quantized:
-        def scale_index_j(j):
-            def scale_index(b, i, bt, ln):
-                last = jnp.maximum(ln[b] - 1, 0) // page
-                pid = bt[b, jnp.minimum(i * ppb + j, last)]
-                return (layer, pid // 8, 0)
-            return scale_index
+        # canonical per-page tile layout [L, P, 1, 8, page//8]
+        # (modules/paged_cache.py); flat convenience forms reshape in
+        kpe_scales = kpe_scales.reshape(-1, P, 1, 8, page // 8)
+        c_scales = c_scales.reshape(-1, P, 1, 8, page // 8)
 
         for j in range(ppb):
             in_specs += [
-                pl.BlockSpec((1, 8, page), scale_index_j(j)),
-                pl.BlockSpec((1, 8, page), scale_index_j(j)),
+                pl.BlockSpec((1, 1, 1, 8, page // 8), kv_index_j(j)),
+                pl.BlockSpec((1, 1, 1, 8, page // 8), kv_index_j(j)),
             ]
             inputs += [kpe_scales, c_scales]
 

@@ -34,8 +34,8 @@ def _paged_kernel(
     q_ref, slope_ref,                 # VMEM: [1,Hq,D], [Hq,1]
     *rest,                            # ppb x (k_ref, v_ref [1,1,Hkv,page,D]),
                                       # then ppb x (ks_ref, vs_ref
-                                      # [1,8,Hkv*page] f32 — the page's
-                                      # aligned 8-row scale group) if
+                                      # [1,1,Hkv,8,page//8] f32 — the
+                                      # page's own scale tile) if
                                       # quantized, then o_ref, m/l/acc
                                       # scratch
     page: int, gq: int, hkv: int, scale: float, use_alibi: bool,
@@ -93,17 +93,10 @@ def _paged_kernel(
                 ),
             )                                            # [Hq, Hkv*page]
             if quantized:
-                # the [1, 8, T] scale block holds the page's aligned 8-row
-                # group (a single [1, T] row is not a legal Mosaic block;
-                # see the BlockSpec note in paged_decode_attention): pick
-                # the page's row with a masked sublane reduction
-                pid = bt_ref[b, i * ppb + j]
-                sel = jax.lax.broadcasted_iota(
-                    jnp.int32, ks_ref[0].shape, 0
-                ) == pid % 8
-                ks_row = jnp.sum(
-                    jnp.where(sel, ks_ref[0], 0.0), axis=0, keepdims=True
-                )                                        # [1, T]
+                # the scale block IS the page's own [Hkv, 8, page//8] tile
+                # (modules/paged_cache.py layout) — flatten to the k rows'
+                # (head, token) order; no masked row-select, no 8x group DMA
+                ks_row = ks_ref[0, 0].reshape(1, T)
                 s = s.astype(jnp.float32) * (sq_ref[0] * scale) * ks_row
             else:
                 s = s * scale
@@ -130,9 +123,7 @@ def _paged_kernel(
                 # row so the context dot also runs int8 x int8 (adds one
                 # ~0.8%-of-rowmax rounding on attention weights — same
                 # order as the KV codes' own rounding)
-                p = p * jnp.sum(
-                    jnp.where(sel, vs_ref[0], 0.0), axis=0, keepdims=True
-                )
+                p = p * vs_ref[0, 0].reshape(1, T)
                 pmax = jnp.maximum(
                     jnp.max(jnp.abs(p), axis=-1, keepdims=True), 1e-30
                 )
@@ -196,11 +187,16 @@ def paged_decode_attention(
         scale = D ** -0.5
     use_alibi = alibi_slopes is not None
     quantized = k_scales is not None
-    if quantized and single_layer:
-        # single-layer convenience forms ([P, Hkv, page] or [P, Hkv*page])
-        # -> stacked flat [1, P, Hkv*page]
-        k_scales = k_scales.reshape(1, P, Hkv * page)
-        v_scales = v_scales.reshape(1, P, Hkv * page)
+    if quantized:
+        # canonical scale layout: per-page [L, P, Hkv, 8, page//8] tiles
+        # (modules/paged_cache.py). Convenience forms — single-layer and/or
+        # flat (head, token) planes — reshape in (element order matches).
+        k_scales = k_scales.reshape(
+            1 if single_layer else -1, P, Hkv, 8, page // 8
+        )
+        v_scales = v_scales.reshape(
+            1 if single_layer else -1, P, Hkv, 8, page // 8
+        )
     # slopes ride in VMEM as [Hq, 1] (read whole once per step, broadcast
     # along lanes) — not reassembled from SMEM scalars in the hot loop
     slopes = (
@@ -266,25 +262,23 @@ def paged_decode_attention(
         inputs += [k_pages, v_pages]
     T = Hkv * page
     if quantized:
-        # a single [1, T] scale row is not a legal Mosaic block over the
-        # [L, P, T] stack (second-minor block dim 1), and host-side
-        # reshapes to a legal [P, 1, T] pad every row 8x (a 16MB padded
-        # copy per layer per step, measured ~8% of the INT8 serving step).
-        # Instead each block is the page's aligned [8, T] row GROUP —
-        # legal, Mosaic-pipelined like the kv blocks — and the kernel
-        # selects the row. Boundary blocks read padding rows, never
-        # selected (pid's own row is always real).
+        # each scale block is the page's OWN [Hkv, 8, page//8] tile (legal
+        # Mosaic block, same index map as the kv blocks) — exactly one
+        # page's scales per DMA. The earlier flat [L, P, T] plane forced
+        # the aligned 8-row GROUP block (8x bytes) plus an in-kernel
+        # masked row select.
         def scale_index_j(j):
             def scale_index(b, i, bt, ln):
                 last = jnp.maximum(ln[b] - 1, 0) // page
-                pid = bt[b, jnp.minimum(i * ppb + j, last)]
-                return (layer, pid // 8, 0)
+                return (
+                    layer, bt[b, jnp.minimum(i * ppb + j, last)], 0, 0, 0
+                )
             return scale_index
 
         for j in range(ppb):
             in_specs += [
-                pl.BlockSpec((1, 8, T), scale_index_j(j)),
-                pl.BlockSpec((1, 8, T), scale_index_j(j)),
+                pl.BlockSpec((1, 1, Hkv, 8, page // 8), scale_index_j(j)),
+                pl.BlockSpec((1, 1, Hkv, 8, page // 8), scale_index_j(j)),
             ]
             inputs += [k_scales, v_scales]
         in_specs.append(

@@ -52,6 +52,31 @@ def _write_kernel(pg_ref, off_ref, kn_ref, vn_ref, kp_in, vp_in,
     vo_ref[...] = jnp.where(sel, vn, vp_in[...])
 
 
+def _write_kernel_quant(pg_ref, off_ref, kn_ref, vn_ref, ksn_ref, vsn_ref,
+                        kp_in, vp_in, ks_in, vs_in,
+                        ko_ref, vo_ref, kso_ref, vso_ref,
+                        *, group: int, w8: int):
+    """KV write + per-page scale-tile write (INT8 KV). The scale block is
+    the page's own [1, 1, Hkv, 8, page//8] tile — no cross-page block
+    sharing, so RMW steps never collide (unlike an aligned row GROUP over a
+    flat plane, where neighboring pages share the group)."""
+    _write_kernel(pg_ref, off_ref, kn_ref, vn_ref, kp_in, vp_in,
+                  ko_ref, vo_ref, group=group)
+    b = pl.program_id(0)
+    off = off_ref[b]
+    rsel = jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, 1, 8, 1), 3
+    ) == off // w8
+    csel = jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, 1, 1, w8), 4
+    ) == off % w8
+    sel = jnp.logical_and(rsel, csel)
+    ksn = ksn_ref[...][:, None, :, :, None]  # [1,H,1] -> [1,1,H,1,1]
+    vsn = vsn_ref[...][:, None, :, :, None]
+    kso_ref[...] = jnp.where(sel, ksn, ks_in[...])
+    vso_ref[...] = jnp.where(sel, vsn, vs_in[...])
+
+
 @functools.partial(jax.jit, static_argnames=("layer", "interpret"))
 def paged_write_decode(
     k_pages: jax.Array,   # [L, P, Hkv, page, D]
@@ -61,17 +86,22 @@ def paged_write_decode(
     page_ids: jax.Array,  # [B] int32 physical page per token
     offs: jax.Array,      # [B] int32 in-page offset per token
     layer: int,
+    k_scales: jax.Array | None = None,  # [L, P, Hkv, 8, page//8] f32 scale
+    v_scales: jax.Array | None = None,  # tiles (INT8 KV; see paged_cache)
+    ks_new: jax.Array | None = None,    # [B, Hkv] f32 per-token scales
+    vs_new: jax.Array | None = None,
     interpret: bool = False,
 ):
-    """Returns (k_pages, v_pages) with the tokens written into ``layer``.
+    """Returns (k_pages, v_pages[, k_scales, v_scales]) with the tokens
+    (and, for INT8 KV, their scale entries) written into ``layer``.
 
-    Donation-friendly: the page arrays are aliased input->output, so under
-    jit the write is in-place. PRECONDITION: ``page_size`` must be a
-    multiple of the dtype's RMW group (f32 8 / bf16 16 / int8 32 — see
-    _group_for), or the aligned group block spans past the page boundary
-    into the NEIGHBORING page through the aliased buffer. Validated here
-    because the kernel is also called directly by tests/benches
-    (PagedKVCache.update has its own guard)."""
+    Donation-friendly: the page (and scale) arrays are aliased
+    input->output, so under jit the write is in-place. PRECONDITION:
+    ``page_size`` must be a multiple of the dtype's RMW group (f32 8 /
+    bf16 16 / int8 32 — see _group_for), or the aligned group block spans
+    past the page boundary into the NEIGHBORING page through the aliased
+    buffer. Validated here because the kernel is also called directly by
+    tests/benches (PagedKVCache.update has its own guard)."""
     page_sz = k_pages.shape[3]
     grp = _group_for(k_pages.dtype)
     if page_sz % grp != 0:
@@ -83,39 +113,82 @@ def paged_write_decode(
     B, Hkv, Dk = k_new.shape
     Dv = v_new.shape[-1]  # deepseek MLA pages: k_pe/latent widths differ
     group = _group_for(k_pages.dtype)
+    quant = k_scales is not None
+    w8 = page_sz // 8
 
     def blk_index(b, pg, off):
         return (layer, pg[b], 0, off[b] // group, 0)
 
+    def scale_index(b, pg, off):
+        return (layer, pg[b], 0, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, Hkv, Dk), lambda b, pg, off: (b, 0, 0)),
+        pl.BlockSpec((1, Hkv, Dv), lambda b, pg, off: (b, 0, 0)),
+    ]
+    inputs = [k_new.astype(k_pages.dtype), v_new.astype(v_pages.dtype)]
+    if quant:
+        # [B, Hkv, 1]: a bare [B, Hkv] would need a (1, Hkv) block whose
+        # sublane dim 1 is not a legal Mosaic tile; trailing the lane dim
+        # with 1 (== array dim) makes (Hkv, 1) legal
+        in_specs += [
+            pl.BlockSpec((1, Hkv, 1), lambda b, pg, off: (b, 0, 0)),
+            pl.BlockSpec((1, Hkv, 1), lambda b, pg, off: (b, 0, 0)),
+        ]
+        inputs += [
+            ks_new.astype(jnp.float32)[..., None],
+            vs_new.astype(jnp.float32)[..., None],
+        ]
+    # aliased page (and scale-tile) buffers, also read as the RMW source
+    in_specs += [
+        pl.BlockSpec((1, 1, Hkv, group, Dk), blk_index),
+        pl.BlockSpec((1, 1, Hkv, group, Dv), blk_index),
+    ]
+    inputs += [k_pages, v_pages]
+    out_specs = [
+        pl.BlockSpec((1, 1, Hkv, group, Dk), blk_index),
+        pl.BlockSpec((1, 1, Hkv, group, Dv), blk_index),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+        jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+    ]
+    if quant:
+        in_specs += [
+            pl.BlockSpec((1, 1, Hkv, 8, w8), scale_index),
+            pl.BlockSpec((1, 1, Hkv, 8, w8), scale_index),
+        ]
+        inputs += [k_scales, v_scales]
+        out_specs += [
+            pl.BlockSpec((1, 1, Hkv, 8, w8), scale_index),
+            pl.BlockSpec((1, 1, Hkv, 8, w8), scale_index),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct(k_scales.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v_scales.shape, jnp.float32),
+        ]
+        # operand indices count the 2 prefetched scalars first: (pg, off,
+        # kn, vn, ksn, vsn, k_pages, v_pages, k_scales, v_scales)
+        aliases = {6: 0, 7: 1, 8: 2, 9: 3}
+        kernel = functools.partial(_write_kernel_quant, group=group, w8=w8)
+    else:
+        # (pg, off, kn, vn, k_pages, v_pages) -> k_pages input 4, v input 5
+        aliases = {4: 0, 5: 1}
+        kernel = functools.partial(_write_kernel, group=group)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, Hkv, Dk), lambda b, pg, off: (b, 0, 0)),
-            pl.BlockSpec((1, Hkv, Dv), lambda b, pg, off: (b, 0, 0)),
-            # aliased page buffers, also read as the RMW source
-            pl.BlockSpec((1, 1, Hkv, group, Dk), blk_index),
-            pl.BlockSpec((1, 1, Hkv, group, Dv), blk_index),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, Hkv, group, Dk), blk_index),
-            pl.BlockSpec((1, 1, Hkv, group, Dv), blk_index),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
     return pl.pallas_call(
-        functools.partial(_write_kernel, group=group),
+        kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
-            jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
-        ],
-        # operand indices count the prefetched scalars: (pg, off, kn, vn,
-        # k_pages, v_pages) -> k_pages is input 4, v_pages input 5
-        input_output_aliases={4: 0, 5: 1},
+        out_shape=out_shape,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
         interpret=interpret,
-    )(page_ids.astype(jnp.int32), offs.astype(jnp.int32),
-      k_new.astype(k_pages.dtype), v_new.astype(v_pages.dtype),
-      k_pages, v_pages)
+    )(page_ids.astype(jnp.int32), offs.astype(jnp.int32), *inputs)

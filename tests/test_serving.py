@@ -98,12 +98,13 @@ def test_paged_write_kernel_matches_scatter(rng, dtype, monkeypatch):
 def test_paged_int8_roundtrip(rng):
     """INT8 update/gather: dequantized layer view must match the float
     inputs within int8 quantization error."""
-    L, P, page, H, D = 2, 9, 4, 2, 8
+    L, P, page, H, D = 2, 9, 8, 2, 8  # page % 8 == 0: scale tiles are
+    # per-page (8, page//8) blocks (modules/paged_cache.py)
     cache = PagedKVCache.create(L, P, page, max_slots=2, max_seq=16,
                                 n_kv=H, head_dim=D, dtype=jnp.int8)
     assert cache.quantized
     import dataclasses
-    bt = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 8]], jnp.int32)
+    bt = jnp.asarray([[1, 2], [5, 6]], jnp.int32)
     cache = dataclasses.replace(cache, block_table=bt)
     k = jnp.asarray(rng.standard_normal((2, 6, H, D)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((2, 6, H, D)), jnp.float32)
@@ -126,11 +127,11 @@ def test_paged_int8_forward_close_to_float_kv(params, rng):
     forward (per-token absmax int8: ~0.4% weight error on K/V)."""
     import dataclasses
     toks = jax.random.randint(jax.random.PRNGKey(3), (1, 10), 0, 256)
-    bt = jnp.asarray([[1, 2, 3, 4, 5, 6, 7, 8]], jnp.int32)
+    bt = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
 
     def run(dtype):
         cache = PagedKVCache.create(
-            2, 9, 4, max_slots=1, max_seq=32,
+            2, 9, 8, max_slots=1, max_seq=32,
             n_kv=TINY.num_key_value_heads, head_dim=TINY.head_dim,
             dtype=dtype,
         )
@@ -391,6 +392,28 @@ def test_engine_tp_decoupled_prefill_churn(cpu_mesh_devices):
     ref = run(None, params)
     mesh = create_mesh(tp=4, dp=1, devices=cpu_mesh_devices[:4])
     assert run(mesh, shard_params(params, cfg, mesh)) == ref
+
+
+def test_engine_tp_int8_kv(cpu_mesh_devices):
+    """INT8 KV under TP: the per-page scale tiles shard over the head axis
+    with the pages (parallel/sharding.py::paged_cache_spec) and the engine
+    completes; tokens may legitimately differ from bf16 KV on random
+    weights, so assert liveness + count."""
+    from quick_tpu.parallel import create_mesh, shard_params
+
+    cfg = ModelConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128,
+    )
+    params = init_float_params(cfg, jax.random.PRNGKey(0))
+    mesh = create_mesh(tp=4, dp=1, devices=cpu_mesh_devices[:4])
+    eng = Engine(shard_params(params, cfg, mesh), cfg, max_slots=2,
+                 max_seq=64, page_size=8, chunk=8, dtype=jnp.int8, mesh=mesh)
+    uid = eng.submit(list(range(9, 21)), max_new_tokens=5)
+    outs = eng.run()
+    assert len(outs[uid]) == 5
+    assert all(0 <= t < cfg.vocab_size for t in outs[uid])
 
 
 def test_engine_fuzz_schedule(params):

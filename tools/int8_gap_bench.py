@@ -78,9 +78,43 @@ def bench_write(tag, dtype):
     return per
 
 
+# ---- stage 3: combined update+attention per layer (engine-step shape) ----
+# The isolated stages can both be fast while the ENGINE regresses: inside
+# one program the scale planes are scatter targets AND whole-stack operands
+# of the attention custom call — XLA may lose in-place aliasing and copy
+# the plane per layer. This mirrors blocks.py's per-layer order.
+def bench_combined(tag, dtype):
+    cache = PagedKVCache.create(L, n_pages, page, B, n_pt * page, Hkv, D,
+                                dtype)
+    cache = dataclasses.replace(cache, block_table=bt, length=lens)
+    kn = jnp.asarray(rng.standard_normal((B, 1, Hkv, D)) * 0.3, jnp.bfloat16)
+    start = lens
+
+    @functools.partial(jax.jit, static_argnames="n", donate_argnums=0)
+    def loop(cache, n):
+        def body(i, carry):
+            c, acc = carry
+            for layer in range(4):  # 4 layers/iter: amortize loop overhead
+                c = c.update(layer, kn, kn, start)
+                o = paged_decode_attention(
+                    q, c.k_pages, c.v_pages, c.block_table, start + 1,
+                    layer=layer,
+                    k_scales=c.k_scales if c.quantized else None,
+                    v_scales=c.v_scales if c.quantized else None,
+                )
+                acc = acc + jnp.sum(o.astype(jnp.float32))
+            return c, acc
+        return jax.lax.fori_loop(0, n, body, (cache, jnp.zeros(())))
+    per = diff_time(lambda n: np.asarray(loop(cache, n)[1]), n1=5, n2=55)
+    per_layer = per / 4
+    print(f"combined {tag}: {per_layer*1e6:7.1f} us/layer  (x{L} per step = "
+          f"{per_layer*L*1e3:.2f} ms)", flush=True)
+    return per_layer
+
+
 if __name__ == "__main__":
     stages = sys.argv[1:] or ["attn_bf16", "attn_int8", "write_bf16",
-                              "write_int8"]
+                              "write_int8", "combined_bf16", "combined_int8"]
     kp = jnp.asarray(rng.standard_normal((n_pages, Hkv, page, D)) * 0.3,
                      jnp.bfloat16)
     vp = jnp.asarray(rng.standard_normal((n_pages, Hkv, page, D)) * 0.3,
@@ -97,4 +131,8 @@ if __name__ == "__main__":
             bench_write("bf16", jnp.bfloat16)
         elif st == "write_int8":
             bench_write("int8", jnp.int8)
+        elif st == "combined_bf16":
+            bench_combined("bf16", jnp.bfloat16)
+        elif st == "combined_int8":
+            bench_combined("int8", jnp.int8)
         print(f"  [{st}: {time.time()-t0:.0f}s total]", flush=True)
