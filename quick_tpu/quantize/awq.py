@@ -901,4 +901,12 @@ def awq_quantize_model(
         new_blocks.append(new_blk)
         if verbose:
             print(f"[awq] block {i + 1}/{len(params.blocks)} quantized", flush=True)
-    return dataclasses.replace(params, blocks=new_blocks)
+    lm_head = params.lm_head
+    if qcfg.quantize_lm_head and not isinstance(lm_head, QuantLinear):
+        # RTN pack (no scale search: the head has no downstream op to fold
+        # a scale out of, and its input is the final-norm output). Measured
+        # dNLL ~ +0.006 (see QuantConfig.quantize_lm_head).
+        lm_head = QuantLinear.from_float(
+            lm_head.weight, lm_head.bias, qcfg.q_group_size, qcfg.zero_point
+        )
+    return dataclasses.replace(params, blocks=new_blocks, lm_head=lm_head)

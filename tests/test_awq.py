@@ -251,3 +251,26 @@ def test_awq_olmo2_block():
     lq, _ = model_forward(qp, cfg, toks)
     assert bool(jnp.isfinite(lq).all())
     assert float(jnp.abs(lf - lq).mean()) < 0.5
+
+
+def test_quantize_lm_head_option():
+    """QuantConfig.quantize_lm_head packs the head W4A16 (RTN) and the
+    setting round-trips through quant_config persistence."""
+    import dataclasses
+
+    from quick_tpu.modules.linear import QuantLinear
+
+    cfg = ModelConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    p = init_float_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    calib = jnp.asarray(np.arange(64)[None] % 256, jnp.int32)
+    qcfg = QuantConfig(q_group_size=32, quantize_lm_head=True)
+    qp = awq_quantize_model(p, cfg, calib, qcfg, verbose=False)
+    assert isinstance(qp.lm_head, QuantLinear)
+    logits, _ = model_forward(qp, cfg, calib[:, :8])
+    assert bool(jnp.isfinite(logits).all())
+    rt = QuantConfig.from_dict(qcfg.to_dict())
+    assert rt.quantize_lm_head is True
