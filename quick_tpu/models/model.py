@@ -142,11 +142,24 @@ def model_forward(
         )
     if last_token_only:
         x = x[:, -1:]
-    if cfg.layernorm == "rmsnorm":
-        x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
+    from quick_tpu.modules.blocks import _fuse_decode_norm_ok
+
+    if _fuse_decode_norm_ok(
+        params.lm_head, x, cfg, params.final_norm_bias
+    ):
+        # decode: final RMSNorm rides in the quantized lm_head's kernel
+        # prologue (int4 head, QuantConfig.quantize_lm_head)
+        logits = params.lm_head(
+            x, fuse_norm=(params.final_norm, cfg.rms_norm_eps)
+        )
     else:
-        x = layer_norm(x, params.final_norm, params.final_norm_bias, cfg.rms_norm_eps)
-    logits = params.lm_head(x)
+        if cfg.layernorm == "rmsnorm":
+            x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
+        else:
+            x = layer_norm(
+                x, params.final_norm, params.final_norm_bias, cfg.rms_norm_eps
+            )
+        logits = params.lm_head(x)
     logits = logits.astype(jnp.float32)
     if cfg.logit_scale is not None:
         # cohere logit_scale / granite 1/logits_scaling / minicpm

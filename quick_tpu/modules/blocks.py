@@ -138,6 +138,23 @@ def _use_dense_decode_kernel(B, Hq, Hkv, cache, D) -> bool:
     return 2 * B * cache.max_seq * Hkv * D * 2 >= 8 << 20
 
 
+def _fuse_decode_norm_ok(lin, x, cfg, norm_bias) -> bool:
+    """Fold the pre-GEMM RMSNorm into the quantized decode kernel's
+    prologue (ops/quantized_matmul.py::_make_kernel_fused_norm)? Decode
+    shapes only — the separate norm dispatch is ~1/3 of the measured
+    35 us/layer non-GEMM bs=1 cost. QUICK_TPU_FUSED_NORM=0 disables."""
+    import os
+
+    if os.environ.get("QUICK_TPU_FUSED_NORM", "1") == "0":
+        return False
+    if not isinstance(lin, QuantLinear) or lin.group_size != 128:
+        return False
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    return rows <= 8 and norm_bias is None and cfg.layernorm == "rmsnorm"
+
+
 def attention_forward(
     p: AttentionParams,
     cfg: ModelConfig,
@@ -148,6 +165,8 @@ def attention_forward(
     layer_idx: int,
     positions: jax.Array,  # [B, S]
     ctx: ParallelContext = ParallelContext(),
+    pre_norm: Optional[tuple] = None,  # (rms_weight, eps): x is the RAW
+    # residual; the norm fuses into the qkv GEMM (decode glue fusion)
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     from quick_tpu.ops.rope import apply_rope
 
@@ -166,7 +185,10 @@ def attention_forward(
                 full, ctx.model_axis_index() * hq, hq
             )
         slopes = full
-    qkv = p.qkv_proj(x)  # [B, S, (hq+2hkv)*hd]
+    if pre_norm is not None:
+        qkv = p.qkv_proj(x, fuse_norm=pre_norm)  # [B, S, (hq+2hkv)*hd]
+    else:
+        qkv = p.qkv_proj(x)  # [B, S, (hq+2hkv)*hd]
     if cfg.qkv_clip is not None:
         # MPT clip_qkv: HF clamps the qkv activations every call
         qkv = jnp.clip(qkv, -cfg.qkv_clip, cfg.qkv_clip)
@@ -308,12 +330,22 @@ def _act(x, cfg: ModelConfig):
 def mlp_forward(
     p: MLPParams, cfg: ModelConfig, x: jax.Array,
     ctx: ParallelContext = ParallelContext(),
+    pre_norm: Optional[tuple] = None,  # (rms_weight, eps): x is RAW, the
+    # norm fuses into the gate_up GEMM (decode glue fusion)
 ) -> jax.Array:
     """SwiGLU (or plain) MLP with fused gate+up (reference fused/mlp.py:52-76)."""
     if cfg.gated_mlp:
-        gu = p.gate_up_proj(x)
+        gu = (
+            p.gate_up_proj(x, fuse_norm=pre_norm) if pre_norm is not None
+            else p.gate_up_proj(x)
+        )
         gate, up = jnp.split(gu, 2, axis=-1)
         return ctx.psum_model(p.down_proj(_act(gate, cfg) * up))
+    if pre_norm is not None:
+        z = _act(p.gate_up_proj(x, fuse_norm=pre_norm), cfg)
+        if p.act_scale is not None:
+            z = z / p.act_scale.astype(z.dtype)
+        return ctx.psum_model(p.down_proj(z))
     z = _act(p.gate_up_proj(x), cfg)
     if p.act_scale is not None:
         z = z / p.act_scale.astype(z.dtype)
@@ -518,7 +550,16 @@ def block_forward(
     rmul = cfg.residual_multiplier  # granite / minicpm scale_depth
     # olmo2 (pre_norms=False): sub-layers read the raw residual stream;
     # the post-norms are the only norms
-    h = _norm(x, p.attn_norm, p.attn_norm_bias, cfg) if cfg.pre_norms else x
+    fuse_attn_norm = (
+        cfg.pre_norms and not cfg.is_mla and p.attn_norm is not None
+        and _fuse_decode_norm_ok(
+            getattr(p.attn, "qkv_proj", None), x, cfg, p.attn_norm_bias
+        )
+    )
+    if fuse_attn_norm:
+        h = x  # norm rides inside the qkv GEMM prologue
+    else:
+        h = _norm(x, p.attn_norm, p.attn_norm_bias, cfg) if cfg.pre_norms else x
     if cfg.is_mla:
         from quick_tpu.modules.mla import mla_attention_forward
 
@@ -530,6 +571,9 @@ def block_forward(
         attn_out, cache = attention_forward(
             p.attn, cfg, h, rope_cos, rope_sin, cache, layer_idx, positions,
             ctx,
+            pre_norm=(
+                (p.attn_norm, cfg.rms_norm_eps) if fuse_attn_norm else None
+            ),
         )
     if p.attn_post_norm is not None:
         attn_out = _norm(attn_out, p.attn_post_norm, None, cfg)
@@ -547,12 +591,24 @@ def block_forward(
             mlp_out = mlp_out * jnp.asarray(rmul, mlp_out.dtype)
         return x + attn_out + mlp_out, cache
     x = x + attn_out
-    h2 = _norm(x, p.mlp_norm, p.mlp_norm_bias, cfg) if cfg.pre_norms else x
-    mlp_out = (
-        moe_forward(p.mlp, cfg, h2, ctx, token_mask)
-        if isinstance(p.mlp, MoEParams)
-        else mlp_forward(p.mlp, cfg, h2, ctx)
+    fuse_mlp_norm = (
+        cfg.pre_norms and not isinstance(p.mlp, MoEParams)
+        and p.mlp_norm is not None
+        and _fuse_decode_norm_ok(
+            p.mlp.gate_up_proj, x, cfg, p.mlp_norm_bias
+        )
     )
+    if fuse_mlp_norm:
+        mlp_out = mlp_forward(
+            p.mlp, cfg, x, ctx, pre_norm=(p.mlp_norm, cfg.rms_norm_eps)
+        )
+    else:
+        h2 = _norm(x, p.mlp_norm, p.mlp_norm_bias, cfg) if cfg.pre_norms else x
+        mlp_out = (
+            moe_forward(p.mlp, cfg, h2, ctx, token_mask)
+            if isinstance(p.mlp, MoEParams)
+            else mlp_forward(p.mlp, cfg, h2, ctx)
+        )
     if p.mlp_post_norm is not None:
         mlp_out = _norm(mlp_out, p.mlp_post_norm, None, cfg)
     if rmul is not None:

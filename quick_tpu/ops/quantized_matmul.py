@@ -157,6 +157,50 @@ def _make_kernel(gpb: int, slab: int, bn: int):
     return kernel
 
 
+def _make_kernel_fused_norm(gpb: int, slab: int, bn: int, eps: float):
+    """_make_kernel with an RMSNorm PROLOGUE: the raw activation row rides
+    in whole ([bm, K], constant over the j/k grid so Mosaic elides the
+    re-DMA), is normalized ONCE per (i, j) tile into VMEM scratch, and the
+    K-steps slice the normed copy. Removes the separate norm dispatch that
+    precedes every decode-shape GEMM (norms were ~1/3 of the measured
+    35 us/layer non-GEMM decode cost) — XLA cannot fuse elementwise
+    producers into a custom call, so the fusion must live inside the
+    kernel. Numerics match ops/norms.rms_norm (f32 statistics, bf16 cast)."""
+    G = slab * PACK
+
+    def kernel(x_ref, nw_ref, qw_ref, s_ref, zs_ref, o_ref, acc, xn_scr):
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+            xf = x_ref[...].astype(jnp.float32)  # [bm, K]
+            ms = jnp.mean(xf * xf, axis=1, keepdims=True)
+            xn = xf * jax.lax.rsqrt(ms + eps) * nw_ref[0:1, :].astype(
+                jnp.float32
+            )
+            xn_scr[...] = xn.astype(xn_scr.dtype)
+
+        part = jnp.zeros_like(acc)
+        for g in range(gpb):  # static unroll over groups in this K-step
+            qg = qw_ref[g * slab : (g + 1) * slab, :]  # [slab, bn] int32
+            nib = [(qg >> (4 * j)) & 0xF for j in range(PACK)]
+            wg = jnp.concatenate(nib, axis=0).astype(jnp.bfloat16)  # [G, bn]
+            xg = xn_scr[:, pl.ds(k * (gpb * G) + g * G, G)]
+            y = jnp.dot(xg, wg, preferred_element_type=jnp.float32)
+            xsum = jnp.sum(
+                xg.astype(jnp.float32), axis=1, keepdims=True
+            )  # [bm, 1]
+            part += y * s_ref[g, :, :] - xsum * zs_ref[g, :, :]
+        acc[:] += part
+
+        @pl.when(k == pl.num_programs(2) - 1)
+        def _():
+            o_ref[:] = acc[:].astype(o_ref.dtype)
+
+    return kernel
+
+
 def quantize_activations(x: jax.Array):
     """Per-token (row) symmetric INT8 activation quantization:
     x [M, K] -> (codes int8 [M, K], scales f32 [M, 1]). The W8 half of the
@@ -432,7 +476,8 @@ def _pick_gpb(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group_size", "out_dtype", "bm", "bn", "gpb")
+    jax.jit,
+    static_argnames=("group_size", "out_dtype", "bm", "bn", "gpb", "norm_eps"),
 )
 def _quantized_matmul_2d(
     x: jax.Array,
@@ -444,6 +489,10 @@ def _quantized_matmul_2d(
     bm: Optional[int] = None,
     bn: Optional[int] = None,
     gpb: Optional[int] = None,
+    norm_weight: Optional[jax.Array] = None,  # rms weight [K]: apply
+    # RMSNorm to x inside the kernel prologue (decode shapes M <= 8 only;
+    # see _make_kernel_fused_norm). Ineligible paths pre-norm and proceed.
+    norm_eps: float = 1e-6,  # static (baked into the kernel)
 ) -> jax.Array:
     """x [M, K] @ dequant(qweight) [K, N] -> [M, N].
 
@@ -456,7 +505,17 @@ def _quantized_matmul_2d(
     slab = G // PACK
 
     small_g = group_size != 128
+    fuse = norm_weight is not None and not small_g and M <= 8
+    if norm_weight is not None and not fuse:
+        from quick_tpu.ops.norms import rms_norm
+
+        x = rms_norm(x, norm_weight, norm_eps)
+        norm_weight = None
     if _impl_mode() == "jnp" or (small_g and (ng * slab) % 8 != 0):
+        if fuse:
+            from quick_tpu.ops.norms import rms_norm
+
+            x = rms_norm(x, norm_weight, norm_eps)
         return _quantized_matmul_jnp(
             x, qweight, scales, zeros_x_scales, G, out_dtype
         )
@@ -516,6 +575,44 @@ def _quantized_matmul_2d(
         )
         s_in = scales.reshape(ng, 1, N)
         zs_in = zeros_x_scales.reshape(ng, 1, N)
+
+    if fuse and ng % gpb == 0:
+        nw = jnp.broadcast_to(
+            norm_weight.reshape(1, K).astype(jnp.bfloat16), (8, K)
+        )  # 8-row tile: a [1, K] block has no legal sublane dim
+        in_specs = [
+            # whole raw row, constant over j/k: Mosaic elides the re-DMA
+            pl.BlockSpec((bm, K), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, K), lambda i, j, k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb * slab, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            scale_spec,
+            scale_spec,
+        ]
+        out = pl.pallas_call(
+            _make_kernel_fused_norm(gpb, slab, bn, float(norm_eps)),
+            grid=(Mp // bm, N // bn, ng // gpb),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((bm, bn), jnp.float32),
+                pltpu.VMEM((bm, K), jnp.bfloat16),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Mp * K * N,
+                bytes_accessed=K * N // 2 + Mp * K * 2 + Mp * N * 2 + ng * N * 8,
+                transcendentals=0,
+            ),
+            interpret=_impl_mode() == "interpret",
+        )(x, nw, qweight, s_in, zs_in)
+        return out[:M] if Mp != M else out
+    if fuse:
+        from quick_tpu.ops.norms import rms_norm
+
+        x = rms_norm(x, norm_weight, norm_eps)
 
     out = pl.pallas_call(
         kern(gpb, slab, bn),
@@ -625,6 +722,9 @@ def quantized_matmul(
     # dots at 2x the bf16 rate (prefill compute ceiling doubles); adds
     # per-row activation rounding error (~0.4%/value). Decode-shaped M
     # still routes to the W4A16 kernel (bandwidth-bound there).
+    fuse_norm: Optional[tuple] = None,  # (rms_weight [K], eps): RMSNorm x
+    # inside the decode kernel's prologue (see _make_kernel_fused_norm);
+    # routes that cannot fuse apply the norm first — numerics identical.
 ) -> jax.Array:
     """Public fused W4A16 (or W4A8 with ``a8=True``) matmul over arbitrary
     leading dims.
@@ -637,6 +737,11 @@ def quantized_matmul(
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
+    if fuse_norm is not None and (x2.shape[0] > 8 or a8):
+        from quick_tpu.ops.norms import rms_norm
+
+        x2 = rms_norm(x2, fuse_norm[0], fuse_norm[1])
+        fuse_norm = None
     # a8 measured (v5e, 8192^2): Mp=128 340 TOPS vs 155 a16 (2.2x — the
     # int8 weight stream is HBM-bound at ~750 GB/s); but M<=64 REGRESSES
     # (126 vs 158 TF — quantize_activations overhead dominates), so the
@@ -661,6 +766,8 @@ def quantized_matmul(
         y = _quantized_matmul_2d(
             x2, qweight, scales, zeros_x_scales,
             group_size=group_size, out_dtype=out_dtype,
+            norm_weight=None if fuse_norm is None else fuse_norm[0],
+            norm_eps=1e-6 if fuse_norm is None else float(fuse_norm[1]),
         )
     y = y.reshape(*lead, y.shape[-1])
     if bias is not None:

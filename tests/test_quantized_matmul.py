@@ -237,3 +237,44 @@ def test_small_g_perm_matches_transpose():
     )
     perm = _small_g_perm(K, G, gpb)
     np.testing.assert_array_equal(via_transpose[0], x[0][perm])
+
+
+@pytest.mark.parametrize("M", [1, 8])
+def test_fused_norm_matches_separate(rng, M):
+    """fuse_norm=(w, eps) inside the decode kernel prologue must equal
+    rms_norm -> quantized_matmul (the decode glue fusion)."""
+    from quick_tpu.ops.norms import rms_norm
+
+    x, qw, s, zs, _ = _make_case(rng, M, 512, 256)
+    nw = (rng.standard_normal(512) * 0.1 + 1.0).astype(np.float32)
+    xb = jnp.asarray(x, jnp.bfloat16)
+    sep = np.asarray(
+        quantized_matmul(
+            rms_norm(xb, jnp.asarray(nw), 1e-6),
+            jnp.asarray(qw), jnp.asarray(s), jnp.asarray(zs),
+        )
+    ).astype(np.float32)
+    fused = np.asarray(
+        quantized_matmul(
+            xb, jnp.asarray(qw), jnp.asarray(s), jnp.asarray(zs),
+            fuse_norm=(jnp.asarray(nw), 1e-6),
+        )
+    ).astype(np.float32)
+    scale = np.abs(sep).max() + 1e-6
+    assert np.abs(fused - sep).max() / scale < 1e-2
+
+
+def test_fused_norm_large_m_falls_back(rng):
+    """M > 8 routes pre-norm then the plain kernel — numerics identical."""
+    from quick_tpu.ops.norms import rms_norm
+
+    x, qw, s, zs, _ = _make_case(rng, 64, 512, 256)
+    nw = (rng.standard_normal(512) * 0.1 + 1.0).astype(np.float32)
+    xb = jnp.asarray(x, jnp.bfloat16)
+    sep = np.asarray(quantized_matmul(
+        rms_norm(xb, jnp.asarray(nw), 1e-6),
+        jnp.asarray(qw), jnp.asarray(s), jnp.asarray(zs)))
+    fused = np.asarray(quantized_matmul(
+        xb, jnp.asarray(qw), jnp.asarray(s), jnp.asarray(zs),
+        fuse_norm=(jnp.asarray(nw), 1e-6)))
+    np.testing.assert_allclose(fused, sep, atol=1e-6)
