@@ -246,6 +246,24 @@ class Engine:
         # scheduler observability (the reference has no metrics subsystem;
         # SURVEY.md section 5): program dispatch counts by kind, token
         # totals, and occupancy-weighted step counts
+        # wall-clock phase accounting (QUICK_TPU_ENGINE_TIMING=1): where a
+        # serving step actually spends host time — admission/scheduling,
+        # program dispatch, or BLOCKED on device fetches (every np.asarray
+        # is a full tunnel round-trip). tools/serve_bench.py prints it;
+        # the decode-window host-sync audit rides on these numbers.
+        import os as _os
+        import time as _time
+
+        self._clock = _time.perf_counter
+        self._timed = _os.environ.get("QUICK_TPU_ENGINE_TIMING") == "1"
+        self.timing = {
+            "admit": 0.0,           # host-side admission + page allocation
+            "window_dispatch": 0.0,  # fused decode window dispatch path
+            "window_fetch": 0.0,     # blocked fetching a window's tokens
+            "prefill_dispatch": 0.0,  # decoupled prefill sub-batch dispatch
+            "pending_fetch": 0.0,    # blocked fetching prefill samples
+            "mixed": 0.0,            # padded mixed step (dispatch + fetch)
+        }
         self.stats = {
             "steps": 0,            # scheduler turns
             "window_steps": 0,     # fused decode-window dispatches
@@ -849,7 +867,7 @@ class Engine:
     def step(self) -> None:
         """Admit, dispatch, drain, retire — one scheduler turn.
 
-        Non-TP with decode_window > 1 runs the DECOUPLED schedule: decoding
+        With decode_window > 1 (TP or not) the DECOUPLED schedule: decoding
         slots advance through pipelined fused windows ([B, 1] x W programs)
         while prefilling slots advance through small [prefill_rows, chunk]
         sub-batch programs over gathered slot metadata (the page pool is
@@ -857,9 +875,12 @@ class Engine:
         never drags every decoding slot through a padded [B, chunk] step
         (which costs ~B x the prefill FLOPs; measured 193 -> see
         tools/serve_bench.py). The padded mixed step remains for cold
-        start (nothing decoding yet), TP, capacity-tight tails, and
+        start (nothing decoding yet), capacity-tight tails, and
         decode_window=1."""
+        _t0 = self._clock() if self._timed else 0.0
         self._admit()
+        if self._timed:
+            self.timing["admit"] += self._clock() - _t0
         self.stats["steps"] += 1
         if self.optimistic:
             # top up every decoding slot BEFORE any dispatch this step: the
@@ -917,6 +938,7 @@ class Engine:
                 self._drain_pending(pending_prev)
                 return
         # ---- padded mixed path (cold start / tight tails) ----
+        _tm = self._clock() if self._timed else 0.0
         self._drain_pending()
         self._flush_window()
         if all(r is None for r in self.slots):
@@ -973,6 +995,8 @@ class Engine:
             )
             sampled, lps = self._unpack_tl(np.asarray(d["tl"]))
             tk = np.asarray(d["tk"]) if "tk" in d else None
+        if self._timed:
+            self.timing["mixed"] += self._clock() - _tm
         self.stats["mixed_steps"] += 1
         self.stats["prompt_tokens"] += int(
             sum(v for s2, v in enumerate(valid) if self.slots[s2] is not None
@@ -995,6 +1019,14 @@ class Engine:
                 self._retire(slot)
 
     def _dispatch_window(self, ready) -> Optional[tuple]:
+        if self._timed:
+            _t0 = self._clock()
+            out = self._dispatch_window_inner(ready)
+            self.timing["window_dispatch"] += self._clock() - _t0
+            return out
+        return self._dispatch_window_inner(ready)
+
+    def _dispatch_window_inner(self, ready) -> Optional[tuple]:
         """Dispatch a decode window for the ``ready`` slots and return the
         previously in-flight window (software pipelining): the new window's
         input token for a slot that was decoding in the previous window
@@ -1052,7 +1084,10 @@ class Engine:
 
     def _drain_window(self, inflight) -> None:
         snapshot, valid = inflight["slots"], inflight["valid"]
+        _t0 = self._clock() if self._timed else 0.0
         arr = np.asarray(inflight["out"])  # ONE host sync for W tokens
+        if self._timed:
+            self.timing["window_fetch"] += self._clock() - _t0
         toks, lps = self._unpack_tl(arr)  # [B, W] each
         tk = inflight.get("tk")
         tk = np.asarray(tk) if tk is not None else None  # [B, W, K, 2]
@@ -1072,6 +1107,14 @@ class Engine:
 
     # -- decoupled prefill --------------------------------------------------------
     def _prefill_substep(self, prefilling) -> None:
+        if self._timed:
+            _t0 = self._clock()
+            self._prefill_substep_inner(prefilling)
+            self.timing["prefill_dispatch"] += self._clock() - _t0
+            return
+        self._prefill_substep_inner(prefilling)
+
+    def _prefill_substep_inner(self, prefilling) -> None:
         """Advance up to ``prefill_rows`` prefilling slots by one chunk
         through the gathered sub-batch program — decoding slots never pay
         for it. The sampled next-token of rows that complete their prompt
@@ -1130,7 +1173,10 @@ class Engine:
             pending, self._pending = self._pending, []
         for d, fin in pending:
             # tiny [P, 2]; the fetch overlaps in-flight device work
+            _t0 = self._clock() if self._timed else 0.0
             toks, lps = self._unpack_tl(np.asarray(d["tl"]))
+            if self._timed:
+                self.timing["pending_fetch"] += self._clock() - _t0
             tk = np.asarray(d["tk"]) if "tk" in d else None
             for i, slot, req in fin:
                 if req.done:

@@ -131,6 +131,14 @@ def main():
     print(f"  total throughput (prompt+output): "
           f"{(n_prompt+got2)/wall:.1f} tok/s", flush=True)
     print(f"  scheduler stats: {eng.stats}", flush=True)
+    if getattr(eng, "_timed", False):
+        tot = sum(eng.timing.values())
+        print("  host-phase wall clock (QUICK_TPU_ENGINE_TIMING):", flush=True)
+        for k, v in sorted(eng.timing.items(), key=lambda kv: -kv[1]):
+            print(f"    {k:18s} {v:7.2f}s ({v/max(wall,1e-9):5.1%} of run 2+1)",
+                  flush=True)
+        print(f"    accounted {tot:.2f}s of {wall1+wall:.2f}s total wall "
+              f"(rest = host scheduling between phases)", flush=True)
 
 
 main()
