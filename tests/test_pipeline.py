@@ -48,3 +48,40 @@ def test_pipeline_quantized(cpu_mesh_devices):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=6e-2, rtol=6e-2
     )
+
+
+@pytest.mark.parametrize("n_stages,n_micro", [(2, 2), (4, 4), (2, 4)])
+def test_pipeline_generate_matches_reference(cpu_mesh_devices, n_stages, n_micro):
+    """PP greedy generation (per-stage KV caches, ppermute token-feedback
+    ring) must produce the same tokens as the single-device greedy loop."""
+    from quick_tpu.parallel.pipeline import pipeline_generate_fn
+    from quick_tpu.runtime import make_cache, prefill
+
+    params = init_float_params(TINY, jax.random.PRNGKey(0))
+    B, S, T = 4, 8, 5
+    toks = jax.random.randint(jax.random.PRNGKey(1), (B, S), 0, 128)
+
+    # single-device greedy reference
+    cache = make_cache(TINY, B, S + T, dtype=jnp.float32)
+    logits, cache = model_forward(params, TINY, toks, cache)
+    cur = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+    ref = [cur]
+    for _ in range(T - 1):
+        logits, cache = model_forward(params, TINY, cur[:, None], cache)
+        cur = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        ref.append(cur)
+    ref = np.asarray(jnp.stack(ref, 1))
+
+    mesh = create_pipe_mesh(n_stages, cpu_mesh_devices)
+    stacked = shard_stacked_blocks(stack_blocks(params.blocks), mesh)
+    fn = pipeline_generate_fn(TINY, mesh, n_micro, max_new_tokens=T)
+    out = np.asarray(fn(params, stacked, toks))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pipeline_generate_requires_enough_microbatches(cpu_mesh_devices):
+    from quick_tpu.parallel.pipeline import pipeline_generate_fn
+
+    mesh = create_pipe_mesh(4, cpu_mesh_devices)
+    with pytest.raises(ValueError, match="n_micro"):
+        pipeline_generate_fn(TINY, mesh, 2, max_new_tokens=4)
