@@ -279,6 +279,62 @@ def _make_kernel_a8(gpb: int, slab: int, bn: int):
     return kernel
 
 
+def _make_kernel_a8_fused(gpb: int, slab: int, bn: int):
+    """_make_kernel_a8 with the ACTIVATION QUANTIZATION fused in: the raw
+    bf16 row block rides in whole (constant over j/k — one DMA per i) and
+    is int8-quantized once per i into VMEM scratch at (j==0, k==0). The
+    separate quantize_activations pass costs read(2*M*K) + write(M*K) +
+    re-read(M*K) HBM bytes (~235 us at 8192^2 on v5e — most of W4A8's
+    measured e2e loss); here the codes never touch HBM. Relies on the
+    TPU's row-major sequential grid order (i outer, k innermost)."""
+    G = slab * PACK
+
+    def kernel(x_ref, qw_ref, s_ref, zs_ref, o_ref, acc, xq_scr, sx_scr):
+        j = pl.program_id(1)
+        k = pl.program_id(2)
+
+        @pl.when(jnp.logical_and(j == 0, k == 0))
+        def _():
+            xf = x_ref[...].astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+            sx = jnp.maximum(amax / 127.0, 1e-8)
+            sx_scr[...] = sx
+            xq_scr[...] = jnp.clip(
+                jnp.round(xf / sx), -127, 127
+            ).astype(jnp.int8)
+
+        @pl.when(k == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        part = jnp.zeros_like(acc)
+        for g in range(gpb):
+            qg = qw_ref[g * slab : (g + 1) * slab, :]
+            nib = [(qg >> (4 * j2)) & 0xF for j2 in range(PACK)]
+            wg = jnp.concatenate(nib, axis=0).astype(jnp.int8)
+            xg = xq_scr[:, pl.ds(k * (gpb * G) + g * G, G)]
+            y = jnp.dot(xg, wg, preferred_element_type=jnp.int32)
+            xsum = jnp.sum(
+                xg.astype(jnp.int32), axis=1, keepdims=True
+            ).astype(jnp.float32)
+            part += y.astype(jnp.float32) * s_ref[g, :, :] - xsum * zs_ref[g, :, :]
+        acc[:] += part
+
+        @pl.when(k == pl.num_programs(2) - 1)
+        def _():
+            o_ref[:] = (acc[:] * sx_scr[:]).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _a8_fused_quant() -> bool:
+    """QUICK_TPU_A8_FUSED=1 routes W4A8 through the in-kernel activation
+    quantizer (opt-in until hardware-measured; see _make_kernel_a8_fused)."""
+    import os
+
+    return os.environ.get("QUICK_TPU_A8_FUSED", "0") == "1"
+
+
 @functools.partial(
     jax.jit, static_argnames=("group_size", "out_dtype", "bm", "bn", "gpb")
 )
@@ -323,13 +379,53 @@ def _quantized_matmul_2d_a8(
     if gpb is None:
         gpb = _pick_gpb(ng, G, bn, slab, bm)
 
+    s3 = scales.reshape(ng, 1, N)
+    zs3 = zeros_x_scales.reshape(ng, 1, N)
+
+    if _a8_fused_quant():
+        # in-kernel activation quantization: x rides in raw (bf16, whole
+        # rows, one DMA per i); codes live only in VMEM scratch. bm capped
+        # at 128: the whole-row x block + int8 scratch cost bm*K*3 bytes of
+        # VMEM (3MB at 128x8192) on top of the weight pipeline
+        if bm > 128:
+            bm = 128
+            bn = _pick_bn(N)
+            gpb = _pick_gpb(ng, G, bn, slab, bm)
+        xb = x.astype(jnp.bfloat16)
+        if Mp != M:
+            xb = jnp.pad(xb, ((0, Mp - M), (0, 0)))
+        out = pl.pallas_call(
+            _make_kernel_a8_fused(gpb, slab, bn),
+            grid=(Mp // bm, N // bn, ng // gpb),
+            in_specs=[
+                pl.BlockSpec((bm, K), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((gpb * slab, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((gpb, 1, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((gpb, 1, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((bm, bn), jnp.float32),
+                pltpu.VMEM((bm, K), jnp.int8),
+                pltpu.VMEM((bm, 1), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Mp * K * N,
+                bytes_accessed=K * N // 2 + Mp * K * 2 + Mp * N * 2 + ng * N * 8,
+                transcendentals=0,
+            ),
+            interpret=_impl_mode() == "interpret",
+        )(xb, qweight, s3, zs3)
+        return out[:M] if Mp != M else out
+
     xq, sx = quantize_activations(x)
     if Mp != M:
         xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
         sx = jnp.pad(sx, ((0, Mp - M), (0, 0)))
-
-    s3 = scales.reshape(ng, 1, N)
-    zs3 = zeros_x_scales.reshape(ng, 1, N)
 
     out = pl.pallas_call(
         _make_kernel_a8(gpb, slab, bn),

@@ -278,3 +278,20 @@ def test_fused_norm_large_m_falls_back(rng):
         xb, jnp.asarray(qw), jnp.asarray(s), jnp.asarray(zs),
         fuse_norm=(jnp.asarray(nw), 1e-6)))
     np.testing.assert_allclose(fused, sep, atol=1e-6)
+
+
+@pytest.mark.parametrize("M", [128, 200])
+def test_a8_fused_quant_matches_external(rng, M, monkeypatch):
+    """QUICK_TPU_A8_FUSED: in-kernel activation quantization must match the
+    external quantize_activations + a8 kernel path."""
+    from quick_tpu.ops.quantized_matmul import _quantized_matmul_2d_a8
+
+    x, qw, s, zs, _ = _make_case(rng, M, 512, 256)
+    args = (jnp.asarray(x, jnp.bfloat16), jnp.asarray(qw),
+            jnp.asarray(s), jnp.asarray(zs))
+    ext = np.asarray(_quantized_matmul_2d_a8(*args))
+    monkeypatch.setenv("QUICK_TPU_A8_FUSED", "1")
+    fused = np.asarray(_quantized_matmul_2d_a8(*args, bm=64))
+    # same int8 codes, same integer dots -> tiny float diffs only
+    scale = np.abs(ext).max() + 1e-6
+    assert np.abs(fused.astype(np.float32) - ext.astype(np.float32)).max() / scale < 1e-3
