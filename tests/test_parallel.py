@@ -87,6 +87,24 @@ def test_tp_sequence_scatter_collective_schedule(fparams):
     assert "reduce-scatter" not in txt1
 
 
+def test_tp_seq_scatter_alibi_layernorm_family(cpu_mesh_devices):
+    """The sequence-scatter TP path must stay correct for the MPT-like
+    shape class: ALiBi (per-shard head slopes), LayerNorm with biases
+    (norm bias folds divide with the scale), non-gated gelu MLP."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, use_alibi=True, use_rope=False, layernorm="layernorm",
+        act_fn="gelu", gated_mlp=False, num_key_value_heads=4,
+        attention_bias=True,
+    )
+    params = init_float_params(cfg, jax.random.PRNGKey(2))
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (2, 16), 0, 128)
+    ref = _reference_logits(params, tokens, cfg)
+    par = _parallel_logits(params, tokens, 4, 1, cfg)
+    np.testing.assert_allclose(par, ref, atol=0.05, rtol=0.05)
+
+
 def test_tp_with_row_parallel_biases(fparams):
     """o_proj/down_proj biases are added per-shard BEFORE the model-axis
     psum: prepare_params_for_tp must pre-divide them by tp or the output
