@@ -293,11 +293,17 @@ def attention_forward(
             # pass (parallel/ring_attention.py)
             from quick_tpu.parallel.ring_attention import (
                 ring_causal_attention,
+                zigzag_ring_causal_attention,
             )
 
-            out = ring_causal_attention(
-                q, k, v, ctx.seq_axis, ctx.seq_size
-            )
+            if ctx.seq_zigzag:
+                out = zigzag_ring_causal_attention(
+                    q, k, v, ctx.seq_axis, ctx.seq_size
+                )
+            else:
+                out = ring_causal_attention(
+                    q, k, v, ctx.seq_axis, ctx.seq_size
+                )
         else:
             # gather fallback: alibi/window/softcap layers attend over the
             # fully gathered K/V (q stays sequence-sharded)

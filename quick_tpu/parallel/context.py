@@ -37,6 +37,12 @@ class ParallelContext(NamedTuple):
     #: long-context scaling story. None (or alibi/window/softcap layers)
     #: falls back to the K/V all-gather.
     seq_size: Optional[int] = None
+    #: zigzag CP layout: each device's shard is the chunk pair (d, 2n-1-d)
+    #: — ring attention skips fully-masked chunk pairs via lax.cond, ~2x
+    #: less wall-clock compute than the contiguous ring (which computes
+    #: every visiting block and masks). Only valid for plain causal layers
+    #: (context_parallel_forward_fn gates it).
+    seq_zigzag: bool = False
     #: Megatron-style sequence-parallel TP (Korthikanti et al. 2022): set to
     #: the TP degree to let eligible blocks shard their residual stream
     #: along S — row-parallel o/down outputs REDUCE_SCATTER over tokens

@@ -16,6 +16,8 @@ prompt n times longer than one chip's memory fits by adding chips.
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,43 +37,69 @@ def create_seq_mesh(n: int, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:n]), (SEQ_AXIS,))
 
 
-def context_parallel_forward_fn(cfg: ModelConfig, mesh: Mesh):
+def context_parallel_forward_fn(
+    cfg: ModelConfig, mesh: Mesh, zigzag: Optional[bool] = None
+):
     """Build a jitted sequence-sharded prefill:
 
         fn(params, tokens [B, S]) -> logits [B, S, V]
 
-    S must be divisible by the mesh size. Params are replicated (combine
-    with TP by nesting axes if weights must also shard)."""
+    ``zigzag`` (default: auto) uses the load-balanced zigzag chunk layout —
+    each device owns chunks (d, 2n-1-d), ring attention cond-skips the
+    fully-masked pairs (~2x less wall compute). Requires plain causal
+    attention (no alibi/window/softcap — those layers need the contiguous
+    gather fallback) and S divisible by 2n; the wrapper permutes tokens in
+    and logits back out, so callers see global order either way. Params are
+    replicated (combine with TP by nesting axes if weights must shard)."""
     from quick_tpu.models.model import model_forward
+    from quick_tpu.parallel.ring_attention import zigzag_order
 
     n = mesh.shape[SEQ_AXIS]
-    ctx = ParallelContext(seq_axis=SEQ_AXIS, seq_size=n)
-
-    def local_fwd(params, tokens_local):
-        B, S_local = tokens_local.shape
-        start = jax.lax.axis_index(SEQ_AXIS) * S_local
-        positions = jnp.broadcast_to(
-            jnp.arange(S_local)[None, :] + start, (B, S_local)
+    plain_causal = not (
+        cfg.use_alibi
+        or cfg.sliding_window is not None
+        or cfg.attn_logit_softcap is not None
+    )
+    if zigzag is None:
+        zigzag = plain_causal
+    if zigzag and not plain_causal:
+        raise ValueError(
+            "zigzag CP needs plain causal attention (alibi/window/softcap "
+            "layers fall back to the contiguous gather)"
         )
+    ctx = ParallelContext(
+        seq_axis=SEQ_AXIS, seq_size=n, seq_zigzag=zigzag
+    )
+
+    def local_fwd(params, tokens_local, positions_local):
         logits, _ = model_forward(
-            params, cfg, tokens_local, cache=None, positions=positions,
-            ctx=ctx,
+            params, cfg, tokens_local, cache=None,
+            positions=positions_local, ctx=ctx,
         )
         return logits
 
     smapped = shard_map(
         local_fwd,
         mesh=mesh,
-        in_specs=(P(), P(None, SEQ_AXIS)),
+        in_specs=(P(), P(None, SEQ_AXIS), P(None, SEQ_AXIS)),
         out_specs=P(None, SEQ_AXIS, None),
         check_vma=False,
     )
 
     @jax.jit
     def fn(params, tokens):
-        S = tokens.shape[1]
-        if S % n:
-            raise ValueError(f"S={S} not divisible by seq mesh size {n}")
-        return smapped(params, tokens)
+        B, S = tokens.shape
+        if S % (2 * n if zigzag else n):
+            raise ValueError(
+                f"S={S} not divisible by {'2x' if zigzag else ''}seq mesh "
+                f"size {n}"
+            )
+        if zigzag:
+            order = zigzag_order(S, n)
+            pos = jnp.broadcast_to(order[None, :], (B, S))
+            out = smapped(params, tokens[:, order], pos)
+            return out[:, jnp.argsort(order)]
+        pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+        return smapped(params, tokens, pos)
 
     return fn

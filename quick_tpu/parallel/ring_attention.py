@@ -13,10 +13,19 @@ whole pass; adding chips extends context linearly.
 
 Exactness: standard flash-attention style (m, l, acc) streaming — bitwise
 independent of block order up to f32 reassociation. Causality is enforced
-with position masks per visiting block; all devices run all n rounds (the
-round count is static, the device index is not, so SPMD cannot skip the
-fully-masked future blocks — a zigzag block order would halve the redundant
-work; left as a perf follow-up, correctness is unaffected).
+with position masks per visiting block.
+
+Two variants:
+- ``ring_causal_attention`` — contiguous S/n chunks. Every device runs all
+  n rounds including its fully-masked future blocks (the wasted half of a
+  causal triangle).
+- ``zigzag_ring_causal_attention`` — each device owns the chunk PAIR
+  (d, 2n-1-d) of 2n chunks (the llama-3-style zigzag): per device the
+  causally-useful work is the constant 2n+1 chunk-pairs, and the fully
+  masked pairs are SKIPPED with ``lax.cond`` (a real branch per device —
+  legal under shard_map's manual SPMD), so wall-clock compute is ~half the
+  plain ring's. parallel/context_parallel.py permutes the sequence into
+  this layout and back.
 """
 from __future__ import annotations
 
@@ -89,4 +98,100 @@ def ring_causal_attention(
         0, n, round_step, (m, l, acc, k, v)
     )
     out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+
+def zigzag_order(S: int, n: int) -> "jax.Array":
+    """Permutation putting global token order into zigzag-sharded order:
+    device d's contiguous shard = chunks (d, 2n-1-d) of the 2n chunks.
+    Apply as x[:, zigzag_order(S, n)]; invert with argsort."""
+    C = S // (2 * n)
+    idx = []
+    for d in range(n):
+        idx.extend(range(d * C, (d + 1) * C))
+        idx.extend(range((2 * n - 1 - d) * C, (2 * n - d) * C))
+    import numpy as _np
+
+    return jnp.asarray(_np.asarray(idx, _np.int32))
+
+
+def zigzag_ring_causal_attention(
+    q: jax.Array,  # [B, 2C, Hq, D] — this device's chunk pair (d, 2n-1-d)
+    k: jax.Array,  # [B, 2C, Hkv, D]
+    v: jax.Array,
+    axis_name: str,
+    axis_size: int,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Exact causal attention over zigzag-sharded K/V. Returns
+    [B, 2C, Hq, D] in the device's local (zigzag) order."""
+    B, S2, Hq, D = q.shape
+    C = S2 // 2
+    Hkv = k.shape[2]
+    g = Hq // Hkv
+    scale = D ** -0.5 if scale is None else scale
+    n = axis_size
+    my = jax.lax.axis_index(axis_name)
+    q_ids = jnp.stack([my, 2 * n - 1 - my])  # global chunk ids of q halves
+
+    qf = (q.astype(jnp.float32) * scale).transpose(0, 2, 1, 3)  # [B,Hq,2C,D]
+
+    def expand(t):  # [B,2C,Hkv,D] -> [B,Hq,2C,D] f32
+        t = t.astype(jnp.float32).transpose(0, 2, 1, 3)
+        return jnp.repeat(t, g, axis=1) if g > 1 else t
+
+    m0 = jnp.full((2, B, Hq, C), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((2, B, Hq, C), jnp.float32)
+    a0 = jnp.zeros((2, B, Hq, C, D), jnp.float32)
+    tri = jnp.arange(C)[:, None] >= jnp.arange(C)[None, :]  # [C, C]
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def interact(state, qh, kh, vh, qid, kid):
+        """Fold kv chunk `kid` into q chunk `qid`'s (m, l, acc) — skipped
+        entirely (lax.cond) when the chunk is fully in the future."""
+        m, l, acc = state
+
+        def compute(_):
+            s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
+            keep = jnp.where(qid == kid, tri, qid > kid)  # [C,C] or scalar
+            keep = jnp.broadcast_to(keep, s.shape[-2:])
+            s = jnp.where(keep[None, None], s, -jnp.inf)
+            blk_max = jnp.max(s, axis=-1)
+            m_new = jnp.maximum(m, blk_max)
+            safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+            p = jnp.exp(s - safe[..., None])
+            p = jnp.where(keep[None, None], p, 0.0)
+            corr = jnp.where(jnp.isfinite(m), jnp.exp(m - safe), 0.0)
+            return (
+                m_new,
+                l * corr + jnp.sum(p, axis=-1),
+                acc * corr[..., None] + jnp.einsum("bhqk,bhkd->bhqd", p, vh),
+            )
+
+        return jax.lax.cond(kid <= qid, compute, lambda _: (m, l, acc), None)
+
+    def round_step(r, carry):
+        m, l, acc, kr, vr = carry
+        src = (my - r) % n
+        k_ids = jnp.stack([src, 2 * n - 1 - src])
+        kf, vf = expand(kr), expand(vr)
+        for qi in range(2):
+            for ki in range(2):
+                st = interact(
+                    (m[qi], l[qi], acc[qi]),
+                    qf[:, :, qi * C : (qi + 1) * C],
+                    kf[:, :, ki * C : (ki + 1) * C],
+                    vf[:, :, ki * C : (ki + 1) * C],
+                    q_ids[qi], k_ids[ki],
+                )
+                m = m.at[qi].set(st[0])
+                l = l.at[qi].set(st[1])
+                acc = acc.at[qi].set(st[2])
+        kr = jax.lax.ppermute(kr, axis_name, perm)
+        vr = jax.lax.ppermute(vr, axis_name, perm)
+        return m, l, acc, kr, vr
+
+    m, l, acc, _, _ = jax.lax.fori_loop(0, n, round_step, (m0, l0, a0, k, v))
+    out = acc / jnp.maximum(l, 1e-30)[..., None]  # [2, B, Hq, C, D]
+    out = jnp.concatenate([out[0], out[1]], axis=2)  # [B, Hq, 2C, D]
     return out.transpose(0, 2, 1, 3).astype(q.dtype)

@@ -19,11 +19,14 @@ TINY = ModelConfig(
 
 
 @pytest.mark.parametrize("n", [2, 4])
-def test_cp_matches_reference(cpu_mesh_devices, n):
+@pytest.mark.parametrize("zigzag", [False, True])
+def test_cp_matches_reference(cpu_mesh_devices, n, zigzag):
     params = init_float_params(TINY, jax.random.PRNGKey(0))
     toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 128)
     ref, _ = model_forward(params, TINY, toks)
-    fn = context_parallel_forward_fn(TINY, create_seq_mesh(n, cpu_mesh_devices))
+    fn = context_parallel_forward_fn(
+        TINY, create_seq_mesh(n, cpu_mesh_devices), zigzag=zigzag
+    )
     out = fn(params, toks)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=6e-2, rtol=6e-2
@@ -113,3 +116,42 @@ def test_cp_ring_shards_kv_memory(cpu_mesh_devices):
     for ag in re.finditer(r"all-gather[^\n]*", txt):
         line = ag.group(0)
         assert "32,2,16" not in line and "2,32,16" not in line, line
+
+
+def test_zigzag_ring_attention_matches_dense(cpu_mesh_devices):
+    """zigzag ring (chunk pairs + cond-skipped masked pairs) == dense
+    causal attention, incl. GQA."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from quick_tpu.parallel.ring_attention import (
+        zigzag_order,
+        zigzag_ring_causal_attention,
+    )
+
+    B, S, Hq, Hkv, D, n = 2, 32, 4, 2, 16, 4
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((B, S, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+
+    kr = np.repeat(np.asarray(k), Hq // Hkv, axis=2)
+    vr = np.repeat(np.asarray(v), Hq // Hkv, axis=2)
+    s = np.einsum("bqhd,bkhd->bhqk", np.asarray(q), kr) * D ** -0.5
+    mask = np.tril(np.ones((S, S), bool))
+    s = np.where(mask[None, None], s, -np.inf)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bkhd->bqhd", p, vr)
+
+    order = np.asarray(zigzag_order(S, n))
+    inv = np.argsort(order)
+    mesh = Mesh(np.asarray(cpu_mesh_devices[:n]), ("seq",))
+    ring = jax.jit(jax.shard_map(
+        lambda q, k, v: zigzag_ring_causal_attention(q, k, v, "seq", n),
+        mesh=mesh,
+        in_specs=(P(None, "seq"), P(None, "seq"), P(None, "seq")),
+        out_specs=P(None, "seq"),
+        check_vma=False,
+    ))
+    out = np.asarray(ring(q[:, order], k[:, order], v[:, order]))[:, inv]
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
