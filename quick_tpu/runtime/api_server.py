@@ -544,16 +544,27 @@ def main(argv=None):
     ap.add_argument("--penalties", action="store_true", help="enable "
                     "repetition/frequency/presence penalty support "
                     "(allocates the [slots, vocab] count state)")
+    ap.add_argument("--replicas", type=int, default=1, help="data-parallel "
+                    "model replicas (one per device) behind a least-loaded "
+                    "router (runtime/router.py)")
     args = ap.parse_args(argv)
 
     model = AutoQuickModel.from_quantized(args.quant_path)
-    eng = Engine(
-        model.params, model.cfg, max_slots=args.max_slots,
+    engine_kw = dict(
+        max_slots=args.max_slots,
         max_seq=args.max_seq, page_size=args.page_size, chunk=args.chunk,
         dtype=jnp.int8 if args.kv == "int8" else jnp.bfloat16,
         logprobs_topk=args.logprobs_topk,
         enable_penalties=args.penalties,
     )
+    if args.replicas > 1:
+        from quick_tpu.runtime.router import replicated_engines
+
+        eng = replicated_engines(
+            model.params, model.cfg, args.replicas, **engine_kw
+        )
+    else:
+        eng = Engine(model.params, model.cfg, **engine_kw)
     srv = APIServer(eng, model.tokenizer, model_name=args.quant_path)
     port = srv.start(args.host, args.port)
     print(f"quick_tpu API server on http://{args.host}:{port}/v1", flush=True)

@@ -24,8 +24,46 @@ from quick_tpu.config import ModelConfig
 from quick_tpu.runtime.serving import Engine
 
 
+class _AllocView:
+    """Aggregated page-allocator view (duck-typed for /metrics)."""
+
+    def __init__(self, engines):
+        self._e = engines
+
+    @property
+    def n_free(self) -> int:
+        return sum(e.alloc.n_free for e in self._e)
+
+
+class _PrefixView:
+    """Aggregated prefix-cache counters (duck-typed for /metrics)."""
+
+    def __init__(self, caches):
+        self._c = caches
+
+    @property
+    def index(self):
+        out = {}
+        for c in self._c:
+            out.update(c.index)
+        return out
+
+    @property
+    def hits(self) -> int:
+        return sum(c.hits for c in self._c)
+
+    @property
+    def misses(self) -> int:
+        return sum(c.misses for c in self._c)
+
+
 class RouterEngine:
-    """Least-loaded request router over Engine replicas."""
+    """Least-loaded request router over Engine replicas.
+
+    Duck-compatible with ``Engine`` where the API server needs it
+    (submit/step/has_work/abort/finished/pop_finished/requests/stats/
+    queue/slots/alloc/prefix), so ``APIServer(RouterEngine([...]), tok)``
+    serves a DP fleet unchanged."""
 
     def __init__(self, engines: List[Engine]):
         if not engines:
@@ -35,6 +73,11 @@ class RouterEngine:
         self._route: Dict[int, tuple] = {}
         self._uid = 0
         self.finished: Dict[int, List[int]] = {}
+        #: global uid -> replica-local Request (stable object identity)
+        self.requests: Dict[int, object] = {}
+        self.alloc = _AllocView(engines)
+        pcs = [e.prefix for e in engines if e.prefix is not None]
+        self.prefix = _PrefixView(pcs) if pcs else None
 
     # -- routing ---------------------------------------------------------------
     def _load(self, eng: Engine) -> int:
@@ -56,7 +99,18 @@ class RouterEngine:
         uid = self._uid
         self._uid += 1
         self._route[uid] = (idx, local)
+        self.requests[uid] = self.engines[idx].requests[local]
         return uid
+
+    def abort(self, uid: int) -> bool:
+        idx, local = self._route.get(uid, (None, None))
+        if idx is None:
+            return False
+        return self.engines[idx].abort(local)
+
+    def pop_finished(self, uid: int) -> Optional[List[int]]:
+        self._collect()
+        return self.finished.pop(uid, None)
 
     # -- stepping --------------------------------------------------------------
     @property
@@ -71,6 +125,15 @@ class RouterEngine:
         for e in self.engines:
             if e.has_work:
                 e.step()
+        self._collect()
+
+    @property
+    def queue(self) -> list:
+        return [r for e in self.engines for r in e.queue]
+
+    @property
+    def slots(self) -> list:
+        return [r for e in self.engines for r in e.slots]
 
     def run(self, max_steps: int = 100_000) -> Dict[int, List[int]]:
         steps = 0

@@ -396,3 +396,45 @@ def test_eos_token_excluded_from_text():
         assert "".join(pieces) == full[:2]
     finally:
         srv.stop()
+
+
+def test_api_server_over_dp_router(cpu_mesh_devices):
+    """APIServer drives a RouterEngine (DP replicas) unchanged: completions
+    across replicas match the single-engine outputs, /metrics aggregates."""
+    from quick_tpu.runtime.router import replicated_engines
+
+    params = init_float_params(TINY, jax.random.PRNGKey(0))
+    router = replicated_engines(
+        params, TINY, 2, devices=cpu_mesh_devices[:2],
+        max_slots=1, max_seq=64, page_size=4, chunk=4,
+        dtype=jnp.float32, decode_window=2,
+    )
+    srv = APIServer(router, StubTokenizer(), model_name="dp-test")
+    port = srv.start(port=0)
+    try:
+        eng = Engine(params, TINY, max_slots=1, max_seq=64, page_size=4,
+                     chunk=4, dtype=jnp.float32, decode_window=2)
+        prompt = "hello router"
+        uid = eng.submit(StubTokenizer().encode(prompt), max_new_tokens=5)
+        want = StubTokenizer().decode(eng.run()[uid])
+
+        import concurrent.futures as cf
+
+        def one(i):
+            st, body = _post(port, "/v1/completions",
+                             {"prompt": prompt, "max_tokens": 5})
+            assert st == 200
+            return json.loads(body)["choices"][0]["text"]
+
+        with cf.ThreadPoolExecutor(4) as ex:
+            texts = list(ex.map(one, range(4)))
+        assert all(t == want for t in texts)
+        st, body = _get(port, "/metrics.json")
+        assert st == 200
+        stats = json.loads(body)
+        assert stats["admitted"] == 4
+        # both replicas did work (4 concurrent reqs, 1 slot each)
+        per = [e.stats["admitted"] for e in router.engines]
+        assert all(p >= 1 for p in per), per
+    finally:
+        srv.stop()
