@@ -540,3 +540,143 @@ def make_transcribe_fn(
         return detokenize(ids)
 
     return transcribe
+
+
+# ---------------------------------------------------------------------------
+# Persistence (quantized or float)
+# ---------------------------------------------------------------------------
+# Same flavor as utils/checkpoint.py for the causal-LM zoo: one safetensors
+# file of flat tensors (QuantLinear triples keep the QTPU packed layout on
+# disk) + config.json carrying the WhisperConfig and a format marker.
+
+def _put_lin(out: dict, prefix: str, lin) -> None:
+    if lin is None:
+        return
+    if isinstance(lin, QuantLinear):
+        out[f"{prefix}.qweight"] = np.asarray(lin.qweight)
+        out[f"{prefix}.scales"] = np.asarray(lin.scales)
+        out[f"{prefix}.zeros_x_scales"] = np.asarray(lin.zeros_x_scales)
+    else:
+        out[f"{prefix}.weight"] = np.asarray(lin.weight)
+    if lin.bias is not None:
+        out[f"{prefix}.bias"] = np.asarray(lin.bias)
+
+
+def _get_lin(flat: dict, prefix: str, dtype):
+    bias = flat.get(f"{prefix}.bias")
+    bias = None if bias is None else jnp.asarray(bias, dtype)
+    if f"{prefix}.qweight" in flat:
+        qw = flat[f"{prefix}.qweight"]
+        scales = flat[f"{prefix}.scales"]
+        group = qw.shape[0] * 8 // scales.shape[0]
+        return QuantLinear(
+            qweight=jnp.asarray(qw),
+            scales=jnp.asarray(scales),
+            zeros_x_scales=jnp.asarray(flat[f"{prefix}.zeros_x_scales"]),
+            bias=bias, group_size=group,
+        )
+    if f"{prefix}.weight" not in flat:
+        return None
+    return Linear(jnp.asarray(flat[f"{prefix}.weight"], dtype), bias)
+
+
+def _walk_blocks(blocks, prefix, put):
+    for i, b in enumerate(blocks):
+        p = f"{prefix}.{i}"
+        put(f"{p}.attn_norm_w", b.attn_norm_w)
+        put(f"{p}.attn_norm_b", b.attn_norm_b)
+        put(f"{p}.mlp_norm_w", b.mlp_norm_w)
+        put(f"{p}.mlp_norm_b", b.mlp_norm_b)
+        if b.cross_norm_w is not None:
+            put(f"{p}.cross_norm_w", b.cross_norm_w)
+            put(f"{p}.cross_norm_b", b.cross_norm_b)
+
+
+def save_whisper(params: WhisperParams, cfg: WhisperConfig, save_dir: str) -> str:
+    import json
+    import os
+
+    from safetensors.numpy import save_file
+
+    os.makedirs(save_dir, exist_ok=True)
+    out: dict = {}
+    for name in ("conv1_w", "conv1_b", "conv2_w", "conv2_b", "enc_pos",
+                 "enc_norm_w", "enc_norm_b", "dec_embed", "dec_pos",
+                 "dec_norm_w", "dec_norm_b"):
+        out[name] = np.asarray(getattr(params, name))
+    _walk_blocks(params.enc_blocks, "enc", lambda k, v: out.__setitem__(k, np.asarray(v)))
+    _walk_blocks(params.dec_blocks, "dec", lambda k, v: out.__setitem__(k, np.asarray(v)))
+    for i, b in enumerate(params.enc_blocks):
+        for nm, a in (("attn", b.attn),):
+            for f in ("q", "k", "v", "o"):
+                _put_lin(out, f"enc.{i}.{nm}.{f}", getattr(a, f))
+        _put_lin(out, f"enc.{i}.fc1", b.fc1)
+        _put_lin(out, f"enc.{i}.fc2", b.fc2)
+    for i, b in enumerate(params.dec_blocks):
+        for nm, a in (("attn", b.attn), ("cross", b.cross)):
+            for f in ("q", "k", "v", "o"):
+                _put_lin(out, f"dec.{i}.{nm}.{f}", getattr(a, f))
+        _put_lin(out, f"dec.{i}.fc1", b.fc1)
+        _put_lin(out, f"dec.{i}.fc2", b.fc2)
+    save_file(out, os.path.join(save_dir, "model.safetensors"))
+    with open(os.path.join(save_dir, "config.json"), "w") as f:
+        json.dump(
+            {"quick_whisper": True, **dataclasses.asdict(cfg)}, f, indent=2
+        )
+    return save_dir
+
+
+def load_whisper(model_dir: str, dtype=jnp.float32):
+    """(params, cfg) from a save_whisper directory (quantized linears come
+    back as QuantLinear with the packed layout intact)."""
+    import json
+    import os
+
+    from safetensors.numpy import load_file
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        raw_cfg = json.load(f)
+    if not raw_cfg.pop("quick_whisper", False):
+        # plain HF layout
+        return import_hf_whisper(model_dir, dtype)
+    cfg = WhisperConfig(**raw_cfg)
+    flat = load_file(os.path.join(model_dir, "model.safetensors"))
+
+    def arr(name):
+        return jnp.asarray(flat[name], dtype)
+
+    def block(prefix, i, decoder):
+        p = f"{prefix}.{i}"
+
+        def attn(nm):
+            return WhisperAttnParams(
+                q=_get_lin(flat, f"{p}.{nm}.q", dtype),
+                k=_get_lin(flat, f"{p}.{nm}.k", dtype),
+                v=_get_lin(flat, f"{p}.{nm}.v", dtype),
+                o=_get_lin(flat, f"{p}.{nm}.o", dtype),
+            )
+
+        return WhisperBlockParams(
+            attn_norm_w=arr(f"{p}.attn_norm_w"),
+            attn_norm_b=arr(f"{p}.attn_norm_b"),
+            attn=attn("attn"),
+            mlp_norm_w=arr(f"{p}.mlp_norm_w"),
+            mlp_norm_b=arr(f"{p}.mlp_norm_b"),
+            fc1=_get_lin(flat, f"{p}.fc1", dtype),
+            fc2=_get_lin(flat, f"{p}.fc2", dtype),
+            cross_norm_w=arr(f"{p}.cross_norm_w") if decoder else None,
+            cross_norm_b=arr(f"{p}.cross_norm_b") if decoder else None,
+            cross=attn("cross") if decoder else None,
+        )
+
+    params = WhisperParams(
+        conv1_w=arr("conv1_w"), conv1_b=arr("conv1_b"),
+        conv2_w=arr("conv2_w"), conv2_b=arr("conv2_b"),
+        enc_pos=arr("enc_pos"),
+        enc_blocks=[block("enc", i, False) for i in range(cfg.encoder_layers)],
+        enc_norm_w=arr("enc_norm_w"), enc_norm_b=arr("enc_norm_b"),
+        dec_embed=arr("dec_embed"), dec_pos=arr("dec_pos"),
+        dec_blocks=[block("dec", i, True) for i in range(cfg.decoder_layers)],
+        dec_norm_w=arr("dec_norm_w"), dec_norm_b=arr("dec_norm_b"),
+    )
+    return params, cfg

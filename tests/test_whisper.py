@@ -168,3 +168,22 @@ def test_eval_librispeech_with_quantized_whisper(wparams):
     res = eval_librispeech(fn, dataset_rows=rows)
     assert set(res) == {"wer", "errors", "words"}
     assert np.isfinite(res["wer"]) and res["words"] == 9.0
+
+
+def test_whisper_save_load_roundtrip(wparams, tmp_path):
+    """Quantized whisper persists (packed QuantLinear triples on disk) and
+    reloads to identical greedy transcriptions."""
+    from quick_tpu.models.whisper import load_whisper, save_whisper
+    from quick_tpu.modules.linear import QuantLinear
+
+    qp = quantize_whisper(wparams, group_size=32)
+    d = str(tmp_path / "wq")
+    save_whisper(qp, TINY, d)
+    p2, cfg2 = load_whisper(d)
+    assert cfg2 == TINY
+    assert isinstance(p2.dec_blocks[0].attn.q, QuantLinear)
+    assert p2.dec_blocks[0].attn.q.group_size == 32
+    mel = _mel(1)
+    a = np.asarray(greedy_decode(qp, TINY, mel, [1], 6))
+    b = np.asarray(greedy_decode(p2, cfg2, mel, [1], 6))
+    np.testing.assert_array_equal(a, b)
