@@ -78,6 +78,10 @@ class Request:
     # preemption and feeding it again would shift the stream by one
     resume_out: int = 0
     admit_seq: int = 0  # admission order; preemption evicts the youngest
+    # cached [7] f32 sampling row (temp, top_k, top_p, min_p, rep, freq,
+    # pres) — built once per request; _samp_rows at 128 slots was 412 us of
+    # per-dispatch Python without it
+    _samp_np: Optional[object] = dataclasses.field(default=None, repr=False)
     #: scheduling priority (higher admits first; ties FIFO). Preemption
     #: evicts the lowest-priority slot first, youngest within a priority.
     priority: int = 0
@@ -539,28 +543,35 @@ class Engine:
         (idle or padding) are greedy/neutral so an all-greedy batch keeps
         the argmax-only fast path inside sample_token_rows."""
         n = len(reqs)
-        temps = np.zeros((n,), np.float32)
-        tks = np.zeros((n,), np.int32)
-        tps = np.ones((n,), np.float32)
-        mps = np.zeros((n,), np.float32)
-        reps = np.ones((n,), np.float32)
-        freqs = np.zeros((n,), np.float32)
-        press = np.zeros((n,), np.float32)
+        # neutral row: greedy / no penalties
+        m = np.zeros((n, 7), np.float32)
+        m[:, 2] = 1.0  # top_p
+        m[:, 4] = 1.0  # repetition_penalty
         for i, r in enumerate(reqs):
             if r is None:
                 continue
-            sp = r.sampling or self.sampling
-            temps[i], tks[i], tps[i] = sp.temperature, sp.top_k, sp.top_p
-            mps[i] = getattr(sp, "min_p", 0.0)
-            reps[i] = getattr(sp, "repetition_penalty", 1.0)
-            freqs[i] = getattr(sp, "frequency_penalty", 0.0)
-            press[i] = getattr(sp, "presence_penalty", 0.0)
-        base = (jnp.asarray(temps), jnp.asarray(tks), jnp.asarray(tps),
-                jnp.asarray(mps))
+            row = r._samp_np
+            if row is None:
+                sp = r.sampling or self.sampling
+                row = np.asarray(
+                    [sp.temperature, sp.top_k, sp.top_p,
+                     getattr(sp, "min_p", 0.0),
+                     getattr(sp, "repetition_penalty", 1.0),
+                     getattr(sp, "frequency_penalty", 0.0),
+                     getattr(sp, "presence_penalty", 0.0)], np.float32,
+                )
+                r._samp_np = row
+            m[i] = row
+        # hand numpy straight to the jitted callee: eager jnp.asarray here
+        # cost ~85 us/array of device_put setup (4-7 arrays per dispatch);
+        # jit converts operands as part of the one batched dispatch instead
+        base = (np.ascontiguousarray(m[:, 0]), m[:, 1].astype(np.int32),
+                np.ascontiguousarray(m[:, 2]), np.ascontiguousarray(m[:, 3]))
         if not self.penalties:
             return base
-        return base + (jnp.asarray(reps), jnp.asarray(freqs),
-                       jnp.asarray(press))
+        return base + (np.ascontiguousarray(m[:, 4]),
+                       np.ascontiguousarray(m[:, 5]),
+                       np.ascontiguousarray(m[:, 6]))
 
     def pop_finished(self, uid: int) -> Optional[List[int]]:
         """Release a completed request's bookkeeping (its ``finished``
