@@ -375,3 +375,57 @@ def test_e2e_quantize_kl_parity(tmp_path):
         "ref_q": kl_ref_q, "ours_q": kl_ours_q,
     }
 
+
+
+def test_exllama_repack_matches_reference():
+    """Our gemm->exllama repack (packing.py::gemm_to_exllama) must produce
+    byte-identical tensors to the reference's unpack_reorder_pack
+    (packing_utils.py:65-80) on the same GEMM-packed input."""
+    from quick_tpu.quantize.packing import gemm_to_exllama, pack_awq_gemm
+
+    pu = load_ref("quick.awq.utils.packing_utils")
+    K, N, G = 128, 64, 32
+    codes = RNG.integers(0, 16, (K, N)).astype(np.uint8)
+    zero_codes = RNG.integers(1, 16, (K // G, N)).astype(np.uint8)  # >=1:
+    # exllama stores z-1 in 4 bits; z=0 would wrap (same in both impls)
+    qweight = pack_awq_gemm(codes)
+    qzeros = pack_awq_gemm(zero_codes)
+
+    ref_qw, ref_qz = pu.unpack_reorder_pack(
+        torch.from_numpy(qweight), torch.from_numpy(qzeros), 4
+    )
+    our_qw, our_qz = gemm_to_exllama(qweight, qzeros)
+    np.testing.assert_array_equal(our_qw, ref_qw.numpy())
+    np.testing.assert_array_equal(our_qz, ref_qz.numpy())
+
+
+def test_gemv_from_linear_roundtrips_through_import():
+    """The reference's GEMV packer (WQLinear_GEMV.from_linear,
+    linear/gemv.py:80-157, incl. the zeros-width padding) feeds our
+    import_awq_gemv back to the pseudo-quantized weight."""
+    gemv = load_ref("quick.awq.modules.linear.gemv")
+    from quick_tpu.quantize.packing import import_awq_gemv
+
+    G = 128
+    N, K = 64, 256
+    lin = torch.nn.Linear(K, N, bias=False)
+    with torch.no_grad():
+        lin.weight.copy_(torch.from_numpy(
+            RNG.standard_normal((N, K)).astype(np.float32)
+        ))
+    ref_q = make_ref_quantizer(4, G)
+    wq, scales, zeros = ref_q.pseudo_quantize_tensor(
+        lin.weight.data, get_scale_zp=True
+    )
+    with torch.no_grad():
+        lin.weight.copy_(wq)
+    lin = lin.half()
+    q_linear = gemv.WQLinear_GEMV.from_linear(
+        lin, 4, G, init_only=False, scales=scales.half(), zeros=zeros,
+    )
+    qw, s, zxs = import_awq_gemv(
+        q_linear.qweight.numpy(), q_linear.qzeros.numpy(),
+        q_linear.scales.float().numpy(), G,
+    )
+    ours = _golden_dequant(qw, s, zxs, G)
+    np.testing.assert_allclose(ours.T, wq.float().numpy(), rtol=0, atol=2e-3)
