@@ -247,18 +247,20 @@ def attention_forward(
     if cache is not None:
         start = cache.length
         cache = cache.update(layer_idx, k, v, start)
-        if S == 1 and plain_attn and _use_paged_kernel(cache):
+        if S == 1 and softcap is None and _use_paged_kernel(cache):
             from quick_tpu.ops.paged_attention import paged_decode_attention
 
             quant = getattr(cache, "quantized", False)
             # whole page/scale stacks + layer index: pre-sliced custom-call
-            # operands would be materialized as per-step copies
+            # operands would be materialized as per-step copies. Sliding
+            # windows ride the kernel too (in-window pages only).
             out = paged_decode_attention(
                 q[:, 0], cache.k_pages, cache.v_pages,
                 cache.block_table, start + 1, layer=layer_idx,
                 alibi_slopes=slopes,
                 k_scales=cache.k_scales if quant else None,
                 v_scales=cache.v_scales if quant else None,
+                window=window,
                 interpret=jax.default_backend() == "cpu",
             )[:, None]
         elif S == 1 and plain_attn and _use_dense_decode_kernel(B, hq, hkv, cache, hd):

@@ -39,7 +39,7 @@ def _paged_kernel(
                                       # quantized, then o_ref, m/l/acc
                                       # scratch
     page: int, gq: int, hkv: int, scale: float, use_alibi: bool,
-    quantized: bool, ppb: int,
+    quantized: bool, ppb: int, window: int,
 ):
     kv_refs = rest[: 2 * ppb]
     rest = rest[2 * ppb :]
@@ -64,12 +64,17 @@ def _paged_kernel(
     # ppb pages per grid step: halves/quarters the grid-step count — the
     # kernel is step-overhead bound at short contexts (measured 301 GB/s at
     # 128 slots x ~190 tokens with 1 page/step)
+    # sliding window (mistral): the single decode query sits at position
+    # length-1; only keys with pos > length-1-window are visible. Steps
+    # whose whole page is below the window skip compute (their index maps
+    # clamp to the first in-window page, so the DMA is elided too).
+    lo = length - window if window else jnp.zeros((), jnp.int32)
     for j in range(ppb):
         k_ref, v_ref = kv_refs[2 * j], kv_refs[2 * j + 1]
         ks_ref, vs_ref = sc_refs[2 * j], sc_refs[2 * j + 1]
         base = (i * ppb + j) * page
 
-        @pl.when(base < length)
+        @pl.when(jnp.logical_and(base < length, base + page > lo))
         def _compute(k_ref=k_ref, v_ref=v_ref, ks_ref=ks_ref,
                      vs_ref=vs_ref, j=j, base=base):
             hq = hkv * gq
@@ -106,6 +111,8 @@ def _paged_kernel(
                 jax.lax.broadcasted_iota(jnp.int32, (hq, T), 1) % page
             )
             mask = jnp.logical_and(head_q == head_k, pos_k < length)
+            if window:
+                mask = jnp.logical_and(mask, pos_k >= lo)
             if use_alibi:
                 s = s + slope_ref[:] * (
                     pos_k - (length - 1)
@@ -152,7 +159,7 @@ def _paged_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("layer", "scale", "interpret")
+    jax.jit, static_argnames=("layer", "scale", "interpret", "window")
 )  # quantized-ness is static via k_scales None-ness (jit re-traces)
 def paged_decode_attention(
     q: jax.Array,            # [B, Hq, D] one decode step's queries
@@ -166,6 +173,8 @@ def paged_decode_attention(
     k_scales: Optional[jax.Array] = None,  # [L, P, Hkv*page] f32 (flat, see
     v_scales: Optional[jax.Array] = None,  # paged_cache) when INT8; or
     # a single layer's [P, Hkv, page] / [P, Hkv*page]
+    window: Optional[int] = None,  # sliding window (mistral): only keys
+    # with pos > length-1-window visible; pages fully below skip DMA+compute
     interpret: bool = False,
 ) -> jax.Array:
     """Returns [B, Hq, D]. The current step's K/V must already be written
@@ -230,12 +239,18 @@ def paged_decode_attention(
                 ppb = cand
                 break
 
+    win = int(window) if window else 0
+
     def kv_index_j(j):
         def kv_index(b, i, bt, ln):
-            # clamp steps past the slot's last valid page to that page:
+            # clamp steps outside [first in-window page, last valid page]:
             # repeated block index -> Mosaic skips the DMA re-issue
             last = jnp.maximum(ln[b] - 1, 0) // page
-            return (layer, bt[b, jnp.minimum(i * ppb + j, last)], 0, 0, 0)
+            idx = jnp.minimum(i * ppb + j, last)
+            if win:
+                first = jnp.maximum(ln[b] - win, 0) // page
+                idx = jnp.maximum(idx, first)
+            return (layer, bt[b, idx], 0, 0, 0)
         return kv_index
 
     if quantized:
@@ -270,9 +285,11 @@ def paged_decode_attention(
         def scale_index_j(j):
             def scale_index(b, i, bt, ln):
                 last = jnp.maximum(ln[b] - 1, 0) // page
-                return (
-                    layer, bt[b, jnp.minimum(i * ppb + j, last)], 0, 0, 0
-                )
+                idx = jnp.minimum(i * ppb + j, last)
+                if win:
+                    first = jnp.maximum(ln[b] - win, 0) // page
+                    idx = jnp.maximum(idx, first)
+                return (layer, bt[b, idx], 0, 0, 0)
             return scale_index
 
         for j in range(ppb):
@@ -303,7 +320,7 @@ def paged_decode_attention(
     out = pl.pallas_call(
         functools.partial(
             _paged_kernel, page=page, gq=gq, hkv=Hkv, scale=float(scale),
-            use_alibi=use_alibi, quantized=quantized, ppb=ppb,
+            use_alibi=use_alibi, quantized=quantized, ppb=ppb, window=win,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),

@@ -129,3 +129,65 @@ def test_engine_with_paged_kernel(rng):
             os.environ.pop("QUICK_TPU_PAGED", None)
 
     assert run("1") == run("0")
+
+
+@pytest.mark.parametrize("window,lengths", [(8, [13, 27]), (12, [32, 5]),
+                                            (16, [10, 30])])
+def test_paged_sliding_window_matches_gather(rng, window, lengths):
+    """window= kernel arg: only keys with pos > len-1-window attend (the
+    mistral sliding window); fully-below pages skip."""
+    B, Hq, Hkv, D, page, n_pt = 2, 4, 2, 32, 8, 4
+    q, kp, vp, bt, ln = _setup(
+        rng, B, Hq, Hkv, D, page, n_pages=1 + B * n_pt, n_pt=n_pt,
+        lengths=lengths,
+    )
+    out = paged_decode_attention(q, kp, vp, bt, ln, window=window,
+                                 interpret=True)
+    ref = causal_attention(
+        q[:, None], _dense_view(kp, bt), _dense_view(vp, bt),
+        q_offset=ln - 1, kv_len=ln, window=window,
+    )[:, 0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_paged_sliding_window_engine_matches_dense(rng):
+    """Engine serving a sliding-window model (window < max_seq so the mask
+    binds) with the paged kernel forced on must match the dense forward."""
+    import dataclasses
+
+    from quick_tpu import ModelConfig
+    from quick_tpu.models import init_float_params, model_forward
+    from quick_tpu.runtime import make_cache
+    from quick_tpu.runtime.serving import Engine
+
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, sliding_window=16,
+    )
+    params = init_float_params(cfg, jax.random.PRNGKey(0))
+    prompt = list(range(3, 33))  # 30 tokens: decode crosses the window
+
+    # dense greedy reference
+    cache = make_cache(cfg, 1, 48, dtype=jnp.float32)
+    logits, cache = model_forward(
+        params, cfg, jnp.asarray([prompt], jnp.int32), cache
+    )
+    cur = int(jnp.argmax(logits[0, -1]))
+    ref = [cur]
+    for _ in range(5):
+        logits, cache = model_forward(
+            params, cfg, jnp.asarray([[cur]], jnp.int32), cache
+        )
+        cur = int(jnp.argmax(logits[0, -1]))
+        ref.append(cur)
+
+    os.environ["QUICK_TPU_PAGED"] = "1"
+    try:
+        eng = Engine(params, cfg, max_slots=1, max_seq=48, page_size=8,
+                     chunk=8, dtype=jnp.float32)
+        uid = eng.submit(prompt, max_new_tokens=6)
+        out = eng.run()[uid]
+    finally:
+        del os.environ["QUICK_TPU_PAGED"]
+    assert out == ref
