@@ -40,18 +40,20 @@ class PagedKVCache:
     (ops/paged_attention.py).
     block_table:     [max_slots, max_pages_per_seq] int32 physical page ids
     length:          [max_slots] int32 valid tokens per slot
-    k_scales/v_scales: [L, n_pages, H_kv, 8, page_size//8] f32
+    k_scales/v_scales: [L, n_pages, 8, H_kv * page_size] f32
     per-token-per-head absmax scales when the pages are INT8-quantized
-    (``dtype=jnp.int8`` at create — halves KV HBM bytes and doubles KV
-    capacity per chip; no reference analog, the reference cache is
-    fp16-only). None for float KV. Element order is flat (head, token) —
-    entry (h, r, c) is token ``r*(page//8)+c`` of head h — but the SHAPE
-    gives every page its own (8, page//8) tile: a legal Mosaic block per
-    page, so (a) the paged-attention kernel DMAs exactly one page's scales
-    (the earlier flat [.., H*page] plane forced an aligned 8-ROW group
-    block — 8x the bytes — plus a masked sublane reduction to pick the
-    row), and (b) the decode write is a collision-free aliased Pallas RMW
-    instead of an XLA scatter (ops/paged_write.py).
+    (``dtype=jnp.int8`` at create — halves KV HBM bytes and roughly
+    doubles KV capacity per chip; no reference analog, the reference cache
+    is fp16-only). None for float KV. The (head, token) scales are flat in
+    the minor dim (lane-efficient) and REPLICATED over 8 sublane rows so
+    each page owns a legal (8, H*page) Mosaic tile: the attention kernels
+    read row 0 of exactly one page's tile per step (no masked row-select,
+    no cross-page group blocks), and the decode write is a collision-free
+    aliased Pallas RMW updating all 8 rows (ops/paged_write.py) — the XLA
+    scale scatter it replaces cost 145 us/layer at 128-slot 7B scale (the
+    measured INT8 serving regression, tools/int8_gap_bench.py). The 8x
+    replication costs page_size*32 bytes/page-plane (~+24%% of the INT8
+    KV bytes) — the price of hazard-free per-page RMW blocks.
     """
 
     k_pages: jax.Array
@@ -80,12 +82,6 @@ class PagedKVCache:
         shape = (n_layers, n_pages, n_kv, page_size, head_dim)
         vshape = (n_layers, n_pages, n_kv, page_size, v_head_dim or head_dim)
         quant = dtype == jnp.int8
-        if quant and page_size % 8:
-            raise ValueError(
-                f"INT8 KV needs page_size % 8 == 0 (got {page_size}): each "
-                "page's scales are an (8, page//8) tile"
-            )
-        sshape = (n_layers, n_pages, n_kv, 8, page_size // 8)
         return cls(
             k_pages=jnp.zeros(shape, dtype),
             v_pages=jnp.zeros(vshape, dtype),
@@ -93,8 +89,16 @@ class PagedKVCache:
                 (max_slots, max_pages_per_seq), TRASH_PAGE, jnp.int32
             ),
             length=jnp.zeros((max_slots,), jnp.int32),
-            k_scales=jnp.zeros(sshape, jnp.float32) if quant else None,
-            v_scales=jnp.zeros(sshape, jnp.float32) if quant else None,
+            k_scales=(
+                jnp.zeros((n_layers, n_pages, 8, n_kv * page_size),
+                          jnp.float32)
+                if quant else None
+            ),
+            v_scales=(
+                jnp.zeros((n_layers, n_pages, 8, n_kv * page_size),
+                          jnp.float32)
+                if quant else None
+            ),
         )
 
     @property
@@ -144,13 +148,12 @@ class PagedKVCache:
         ):
             # Pallas RMW: output-aliased per-token group writes (the XLA
             # scatter this replaces costs ~128us/call at 7B decode shapes —
-            # see ops/paged_write.py). INT8 scale planes ride the SAME
-            # kernel (each page's (8, page//8) scale tile is its own
-            # aliased block) — an XLA scale scatter here sits between the
-            # attention custom calls that consume the whole plane, where
-            # lost aliasing copies the plane per layer per step. Chunked
-            # prefill (S>1) keeps the scatter: one scatter amortizes over
-            # the whole chunk.
+            # see ops/paged_write.py). INT8 scale tiles ride the SAME
+            # kernel (each page's (8, H*page) replicated tile is its own
+            # aliased block): the XLA scale scatter this replaces measured
+            # 145 us/layer at 128-slot 7B shapes — the whole INT8 serving
+            # regression (tools/int8_gap_bench.py). Chunked prefill (S>1)
+            # keeps the scatter: one scatter amortizes over the chunk.
             written = paged_write_decode(
                 self.k_pages, self.v_pages, kn[:, 0], vn[:, 0],
                 page[:, 0], off[:, 0], layer,
@@ -166,35 +169,42 @@ class PagedKVCache:
                     k_scales=ksp, v_scales=vsp,
                 )
             kp, vp = written
-            return dataclasses.replace(self, k_pages=kp, v_pages=vp)
-        # layout [L, P, H, page, D]: advanced indices (page, off)
-        # straddle the ':' head axis, so the result axes are
-        # [B, S, H, D] — matching k_new directly
-        kp = self.k_pages.at[layer, page, :, off].set(
-            kn.astype(self.k_pages.dtype)
-        )
-        vp = self.v_pages.at[layer, page, :, off].set(
-            vn.astype(self.v_pages.dtype)
-        )
+        else:
+            # layout [L, P, H, page, D]: advanced indices (page, off)
+            # straddle the ':' head axis, so the result axes are
+            # [B, S, H, D] — matching k_new directly
+            kp = self.k_pages.at[layer, page, :, off].set(
+                kn.astype(self.k_pages.dtype)
+            )
+            vp = self.v_pages.at[layer, page, :, off].set(
+                vn.astype(self.v_pages.dtype)
+            )
         if not self.quantized:
             return dataclasses.replace(self, k_pages=kp, v_pages=vp)
-        # scale tiles [L, P, H, 8, page//8]: token t of head h lives at
-        # (h, t // (page//8), t % (page//8)) — see class docstring
+        # scale tiles [L, P, 8, H*page]: scatter the flat (head, token)
+        # entry into ALL 8 replicated rows (prefill chunks only — decode
+        # rides the RMW kernel above)
         H = k_new.shape[2]
-        w8 = self.page_size // 8
-        h_idx = jnp.arange(H, dtype=jnp.int32)[None, None, :]
-        r = (off // w8)[:, :, None]
-        c = (off % w8)[:, :, None]
+        sidx = (
+            jnp.arange(H, dtype=jnp.int32)[None, None, :] * self.page_size
+            + off[:, :, None]
+        )  # [B, S, H]
+        ks8 = jnp.broadcast_to(ks[:, :, None, :], ks.shape[:2] + (8, H))
+        vs8 = jnp.broadcast_to(vs[:, :, None, :], vs.shape[:2] + (8, H))
         return dataclasses.replace(
             self,
             k_pages=kp,
             v_pages=vp,
             k_scales=self.k_scales.at[
-                layer, page[:, :, None], h_idx, r, c
-            ].set(ks),
+                layer, page[:, :, None, None],
+                jnp.arange(8, dtype=jnp.int32)[None, None, :, None],
+                sidx[:, :, None, :],
+            ].set(ks8),
             v_scales=self.v_scales.at[
-                layer, page[:, :, None], h_idx, r, c
-            ].set(vs),
+                layer, page[:, :, None, None],
+                jnp.arange(8, dtype=jnp.int32)[None, None, :, None],
+                sidx[:, :, None, :],
+            ].set(vs8),
         )
 
     def layer(self, i: int) -> Tuple[jax.Array, jax.Array]:
@@ -214,9 +224,8 @@ class PagedKVCache:
         if not self.quantized:
             return k, v
         n_pt = self.block_table.shape[1]
-        ks = self.k_scales[i][self.block_table]  # [B, P_seq, H, 8, page//8]
-        vs = self.v_scales[i][self.block_table]
-        # tile order (r, c) -> token r*(page//8)+c: a plain reshape
+        ks = self.k_scales[i][self.block_table][:, :, 0]  # row 0 of the
+        vs = self.v_scales[i][self.block_table][:, :, 0]   # replicated tile
         ks = ks.reshape(B, n_pt, H, self.page_size)
         vs = vs.reshape(B, n_pt, H, self.page_size)
         ks = jnp.moveaxis(ks, 2, 1).reshape(B, H, -1, 1)

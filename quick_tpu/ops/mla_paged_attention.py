@@ -44,8 +44,9 @@ def _mla_paged_kernel(
     *rest,                      # ppb x (kpe_ref [1,1,1,page,dr],
                                 #        c_ref   [1,1,1,page,R]),
                                 # then ppb x (ks_ref, cs_ref
-                                # [1,1,1,8,page//8] f32 page scale tiles)
-                                # if quantized, then o_ref, m/l/acc scratch
+                                # [1,1,8,page] f32 — the page's replicated
+                                # scale tile) if quantized, then o_ref,
+                                # m/l/acc scratch
     page: int, scale: float, quantized: bool, ppb: int,
 ):
     kv_refs = rest[: 2 * ppb]
@@ -91,10 +92,10 @@ def _mla_paged_kernel(
                 preferred_element_type=jnp.float32,
             )
             if quantized:
-                # per-token column scales: the page's own [1, 8, page//8]
-                # tile (modules/paged_cache.py), flattened to token order
-                cs = cs_ref[0, 0, 0].reshape(1, page)
-                ks = ks_ref[0, 0, 0].reshape(1, page)
+                # per-token column scales: row 0 of the page's own
+                # replicated [8, page] tile (modules/paged_cache.py)
+                cs = cs_ref[0, 0, 0:1, :]       # [1, page]
+                ks = ks_ref[0, 0, 0:1, :]
                 s = (s_c * cs + s_pe * ks) * scale
             else:
                 s = (s_c + s_pe) * scale
@@ -136,8 +137,9 @@ def mla_paged_decode_attention(
     layer: int,
     scale: float,             # mla_softmax_scale(cfg) — includes the
                               # deepseek-yarn mscale^2 correction
-    kpe_scales: Optional[jax.Array] = None,  # [L, P, 1, 8, page//8] f32
-                              # scale tiles when INT8 (flat forms reshape)
+    kpe_scales: Optional[jax.Array] = None,  # [L, P, 8, page] f32
+                              # replicated scale tiles when INT8 (flat
+                              # [L, P, page] convenience broadcasts in)
     c_scales: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -171,15 +173,27 @@ def mla_paged_decode_attention(
         ]
         inputs += [kpe_pages, c_pages]
     if quantized:
-        # canonical per-page tile layout [L, P, 1, 8, page//8]
-        # (modules/paged_cache.py); flat convenience forms reshape in
-        kpe_scales = kpe_scales.reshape(-1, P, 1, 8, page // 8)
-        c_scales = c_scales.reshape(-1, P, 1, 8, page // 8)
+        def _canon(sc):
+            if sc.ndim == 4 and sc.shape[2] == 8:
+                return sc
+            sc = sc.reshape(-1, P, page)
+            return jnp.broadcast_to(
+                sc[:, :, None, :], sc.shape[:2] + (8, page)
+            )
+
+        kpe_scales = _canon(kpe_scales)
+        c_scales = _canon(c_scales)
+
+        def scale_index_j(j):
+            def scale_index(b, i, bt, ln):
+                last = jnp.maximum(ln[b] - 1, 0) // page
+                return (layer, bt[b, jnp.minimum(i * ppb + j, last)], 0, 0)
+            return scale_index
 
         for j in range(ppb):
             in_specs += [
-                pl.BlockSpec((1, 1, 1, 8, page // 8), kv_index_j(j)),
-                pl.BlockSpec((1, 1, 1, 8, page // 8), kv_index_j(j)),
+                pl.BlockSpec((1, 1, 8, page), scale_index_j(j)),
+                pl.BlockSpec((1, 1, 8, page), scale_index_j(j)),
             ]
             inputs += [kpe_scales, c_scales]
 

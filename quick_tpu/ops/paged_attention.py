@@ -34,8 +34,8 @@ def _paged_kernel(
     q_ref, slope_ref,                 # VMEM: [1,Hq,D], [Hq,1]
     *rest,                            # ppb x (k_ref, v_ref [1,1,Hkv,page,D]),
                                       # then ppb x (ks_ref, vs_ref
-                                      # [1,1,Hkv,8,page//8] f32 — the
-                                      # page's own scale tile) if
+                                      # [1,1,8,Hkv*page] f32 — the page's
+                                      # own replicated scale tile) if
                                       # quantized, then o_ref, m/l/acc
                                       # scratch
     page: int, gq: int, hkv: int, scale: float, use_alibi: bool,
@@ -98,10 +98,11 @@ def _paged_kernel(
                 ),
             )                                            # [Hq, Hkv*page]
             if quantized:
-                # the scale block IS the page's own [Hkv, 8, page//8] tile
-                # (modules/paged_cache.py layout) — flatten to the k rows'
-                # (head, token) order; no masked row-select, no 8x group DMA
-                ks_row = ks_ref[0, 0].reshape(1, T)
+                # the scale block is the page's OWN replicated
+                # [8, T] tile (modules/paged_cache.py): row 0 is the
+                # flat (head, token) scale row — no masked row-select,
+                # no cross-page group blocks
+                ks_row = ks_ref[0, 0, 0:1, :]            # [1, T]
                 s = s.astype(jnp.float32) * (sq_ref[0] * scale) * ks_row
             else:
                 s = s * scale
@@ -130,7 +131,7 @@ def _paged_kernel(
                 # row so the context dot also runs int8 x int8 (adds one
                 # ~0.8%-of-rowmax rounding on attention weights — same
                 # order as the KV codes' own rounding)
-                p = p * vs_ref[0, 0].reshape(1, T)
+                p = p * vs_ref[0, 0, 0:1, :]
                 pmax = jnp.maximum(
                     jnp.max(jnp.abs(p), axis=-1, keepdims=True), 1e-30
                 )
@@ -197,15 +198,24 @@ def paged_decode_attention(
     use_alibi = alibi_slopes is not None
     quantized = k_scales is not None
     if quantized:
-        # canonical scale layout: per-page [L, P, Hkv, 8, page//8] tiles
-        # (modules/paged_cache.py). Convenience forms — single-layer and/or
-        # flat (head, token) planes — reshape in (element order matches).
-        k_scales = k_scales.reshape(
-            1 if single_layer else -1, P, Hkv, 8, page // 8
-        )
-        v_scales = v_scales.reshape(
-            1 if single_layer else -1, P, Hkv, 8, page // 8
-        )
+        # canonical layout: per-page replicated [L, P, 8, Hkv*page] tiles
+        # (modules/paged_cache.py). Convenience forms — single-layer
+        # and/or flat (head, token) planes without the row axis —
+        # broadcast in.
+        def _canon(sc):
+            if sc.ndim == 4 and sc.shape[2] == 8 and not single_layer:
+                return sc
+            sc = sc.reshape(1 if single_layer else -1, P, -1)
+            if sc.shape[-1] == Hkv * page:
+                sc = jnp.broadcast_to(
+                    sc[:, :, None, :], sc.shape[:2] + (8, Hkv * page)
+                )
+            else:  # already [., P, 8, T] flattened oddly
+                sc = sc.reshape(sc.shape[0], P, 8, Hkv * page)
+            return sc
+
+        k_scales = _canon(k_scales)
+        v_scales = _canon(v_scales)
     # slopes ride in VMEM as [Hq, 1] (read whole once per step, broadcast
     # along lanes) — not reassembled from SMEM scalars in the hot loop
     slopes = (
@@ -223,15 +233,11 @@ def paged_decode_attention(
     env_ppb = int(os.environ.get("QUICK_TPU_PPB", "0"))
     if env_ppb > 0 and n_pt % env_ppb == 0:
         ppb = env_ppb
-    elif quantized:
-        # measured (v5e, 128 slots x ctx~192, page 64): int8 KV runs BEST
-        # at ppb=1 (249 us vs 346/310 at ppb=2/4 — the per-page scale
-        # blocks serialize fatter steps), and at ppb=1 it finally beats
-        # bf16 (282-308 us)
-        ppb = 1
     else:
-        # float KV: fatter steps amortize per-step overhead
-        # (308/281/263 us at ppb=1/2/4)
+        # fatter steps amortize per-step overhead (bf16: 308/281/263 us at
+        # ppb=1/2/4; int8 with per-page scale tiles: 320/283/273 — the old
+        # flat-group scale blocks serialized fatter int8 steps, the
+        # replicated per-page tiles do not)
         kv_step_bytes = 2 * Hkv * page * D * k_pages.dtype.itemsize
         ppb = 1
         for cand in (8, 4, 2):
@@ -277,11 +283,10 @@ def paged_decode_attention(
         inputs += [k_pages, v_pages]
     T = Hkv * page
     if quantized:
-        # each scale block is the page's OWN [Hkv, 8, page//8] tile (legal
-        # Mosaic block, same index map as the kv blocks) — exactly one
-        # page's scales per DMA. The earlier flat [L, P, T] plane forced
-        # the aligned 8-row GROUP block (8x bytes) plus an in-kernel
-        # masked row select.
+        # each scale block is the page's OWN replicated [8, T] tile
+        # (legal Mosaic block, same index map as the kv blocks) — exactly
+        # one page's scales per DMA, no masked row select, and the decode
+        # write RMWs the same blocks collision-free (ops/paged_write.py)
         def scale_index_j(j):
             def scale_index(b, i, bt, ln):
                 last = jnp.maximum(ln[b] - 1, 0) // page
@@ -289,13 +294,13 @@ def paged_decode_attention(
                 if win:
                     first = jnp.maximum(ln[b] - win, 0) // page
                     idx = jnp.maximum(idx, first)
-                return (layer, bt[b, idx], 0, 0, 0)
+                return (layer, bt[b, idx], 0, 0)
             return scale_index
 
         for j in range(ppb):
             in_specs += [
-                pl.BlockSpec((1, 1, Hkv, 8, page // 8), scale_index_j(j)),
-                pl.BlockSpec((1, 1, Hkv, 8, page // 8), scale_index_j(j)),
+                pl.BlockSpec((1, 1, 8, T), scale_index_j(j)),
+                pl.BlockSpec((1, 1, 8, T), scale_index_j(j)),
             ]
             inputs += [k_scales, v_scales]
         in_specs.append(

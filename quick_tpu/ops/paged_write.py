@@ -37,6 +37,36 @@ def _group_for(dtype) -> int:
     return max(8, 32 // jnp.dtype(dtype).itemsize)
 
 
+def _write_kernel_quant(pg_ref, off_ref, kn_ref, vn_ref, ksn_ref, vsn_ref,
+                        onehot_ref, kp_in, vp_in, ks_in, vs_in,
+                        ko_ref, vo_ref, kso_ref, vso_ref,
+                        *, group: int, page: int):
+    """KV write + per-page scale-tile write (INT8 KV). Each page owns a
+    replicated (8, Hkv*page) scale tile (modules/paged_cache.py) — its RMW
+    block never collides across grid steps (unlike an aligned row GROUP
+    over a flat [P, H*page] plane, where neighboring pages share rows).
+    The per-head scale values expand to the flat (head, token) lane order
+    with one tiny one-hot MXU dot ([Hkv,1]^T x [Hkv,T]) — a lane-indexed
+    gather of a sublane vector has no direct Mosaic lowering."""
+    _write_kernel(pg_ref, off_ref, kn_ref, vn_ref, kp_in, vp_in,
+                  ko_ref, vo_ref, group=group)
+    b = pl.program_id(0)
+    T = onehot_ref.shape[1]
+    csel = jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, 1, T), 3
+    ) % page == off_ref[b]
+    kval = jax.lax.dot_general(
+        ksn_ref[...][0], onehot_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [1, T] — ksn[h] at every column of head h's token range
+    vval = jax.lax.dot_general(
+        vsn_ref[...][0], onehot_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    kso_ref[...] = jnp.where(csel, kval[None, None], ks_in[...])
+    vso_ref[...] = jnp.where(csel, vval[None, None], vs_in[...])
+
+
 def _write_kernel(pg_ref, off_ref, kn_ref, vn_ref, kp_in, vp_in,
                   ko_ref, vo_ref, *, group: int):
     del pg_ref  # page index drives the BlockSpecs
@@ -52,31 +82,6 @@ def _write_kernel(pg_ref, off_ref, kn_ref, vn_ref, kp_in, vp_in,
     vo_ref[...] = jnp.where(sel, vn, vp_in[...])
 
 
-def _write_kernel_quant(pg_ref, off_ref, kn_ref, vn_ref, ksn_ref, vsn_ref,
-                        kp_in, vp_in, ks_in, vs_in,
-                        ko_ref, vo_ref, kso_ref, vso_ref,
-                        *, group: int, w8: int):
-    """KV write + per-page scale-tile write (INT8 KV). The scale block is
-    the page's own [1, 1, Hkv, 8, page//8] tile — no cross-page block
-    sharing, so RMW steps never collide (unlike an aligned row GROUP over a
-    flat plane, where neighboring pages share the group)."""
-    _write_kernel(pg_ref, off_ref, kn_ref, vn_ref, kp_in, vp_in,
-                  ko_ref, vo_ref, group=group)
-    b = pl.program_id(0)
-    off = off_ref[b]
-    rsel = jax.lax.broadcasted_iota(
-        jnp.int32, (1, 1, 1, 8, 1), 3
-    ) == off // w8
-    csel = jax.lax.broadcasted_iota(
-        jnp.int32, (1, 1, 1, 1, w8), 4
-    ) == off % w8
-    sel = jnp.logical_and(rsel, csel)
-    ksn = ksn_ref[...][:, None, :, :, None]  # [1,H,1] -> [1,1,H,1,1]
-    vsn = vsn_ref[...][:, None, :, :, None]
-    kso_ref[...] = jnp.where(sel, ksn, ks_in[...])
-    vso_ref[...] = jnp.where(sel, vsn, vs_in[...])
-
-
 @functools.partial(jax.jit, static_argnames=("layer", "interpret"))
 def paged_write_decode(
     k_pages: jax.Array,   # [L, P, Hkv, page, D]
@@ -86,8 +91,8 @@ def paged_write_decode(
     page_ids: jax.Array,  # [B] int32 physical page per token
     offs: jax.Array,      # [B] int32 in-page offset per token
     layer: int,
-    k_scales: jax.Array | None = None,  # [L, P, Hkv, 8, page//8] f32 scale
-    v_scales: jax.Array | None = None,  # tiles (INT8 KV; see paged_cache)
+    k_scales: jax.Array | None = None,  # [L, P, 8, Hkv*page] f32 replicated
+    v_scales: jax.Array | None = None,  # scale tiles (INT8; see paged_cache)
     ks_new: jax.Array | None = None,    # [B, Hkv] f32 per-token scales
     vs_new: jax.Array | None = None,
     interpret: bool = False,
@@ -102,6 +107,8 @@ def paged_write_decode(
     past the page boundary into the NEIGHBORING page through the aliased
     buffer. Validated here because the kernel is also called directly by
     tests/benches (PagedKVCache.update has its own guard)."""
+    import numpy as _np
+
     page_sz = k_pages.shape[3]
     grp = _group_for(k_pages.dtype)
     if page_sz % grp != 0:
@@ -114,13 +121,13 @@ def paged_write_decode(
     Dv = v_new.shape[-1]  # deepseek MLA pages: k_pe/latent widths differ
     group = _group_for(k_pages.dtype)
     quant = k_scales is not None
-    w8 = page_sz // 8
+    T = Hkv * page_sz
 
     def blk_index(b, pg, off):
         return (layer, pg[b], 0, off[b] // group, 0)
 
     def scale_index(b, pg, off):
-        return (layer, pg[b], 0, 0, 0)
+        return (layer, pg[b], 0, 0)
 
     in_specs = [
         pl.BlockSpec((1, Hkv, Dk), lambda b, pg, off: (b, 0, 0)),
@@ -128,16 +135,18 @@ def paged_write_decode(
     ]
     inputs = [k_new.astype(k_pages.dtype), v_new.astype(v_pages.dtype)]
     if quant:
-        # [B, Hkv, 1]: a bare [B, Hkv] would need a (1, Hkv) block whose
-        # sublane dim 1 is not a legal Mosaic tile; trailing the lane dim
-        # with 1 (== array dim) makes (Hkv, 1) legal
+        # per-token scales as [B, Hkv, 1] (a (1, Hkv) block has no legal
+        # sublane dim) + the static one-hot head-expansion matrix
         in_specs += [
             pl.BlockSpec((1, Hkv, 1), lambda b, pg, off: (b, 0, 0)),
             pl.BlockSpec((1, Hkv, 1), lambda b, pg, off: (b, 0, 0)),
+            pl.BlockSpec((Hkv, T), lambda b, pg, off: (0, 0)),
         ]
+        onehot = _np.repeat(_np.eye(Hkv, dtype=_np.float32), page_sz, axis=1)
         inputs += [
             ks_new.astype(jnp.float32)[..., None],
             vs_new.astype(jnp.float32)[..., None],
+            jnp.asarray(onehot),
         ]
     # aliased page (and scale-tile) buffers, also read as the RMW source
     in_specs += [
@@ -155,22 +164,24 @@ def paged_write_decode(
     ]
     if quant:
         in_specs += [
-            pl.BlockSpec((1, 1, Hkv, 8, w8), scale_index),
-            pl.BlockSpec((1, 1, Hkv, 8, w8), scale_index),
+            pl.BlockSpec((1, 1, 8, T), scale_index),
+            pl.BlockSpec((1, 1, 8, T), scale_index),
         ]
         inputs += [k_scales, v_scales]
         out_specs += [
-            pl.BlockSpec((1, 1, Hkv, 8, w8), scale_index),
-            pl.BlockSpec((1, 1, Hkv, 8, w8), scale_index),
+            pl.BlockSpec((1, 1, 8, T), scale_index),
+            pl.BlockSpec((1, 1, 8, T), scale_index),
         ]
         out_shape += [
             jax.ShapeDtypeStruct(k_scales.shape, jnp.float32),
             jax.ShapeDtypeStruct(v_scales.shape, jnp.float32),
         ]
         # operand indices count the 2 prefetched scalars first: (pg, off,
-        # kn, vn, ksn, vsn, k_pages, v_pages, k_scales, v_scales)
-        aliases = {6: 0, 7: 1, 8: 2, 9: 3}
-        kernel = functools.partial(_write_kernel_quant, group=group, w8=w8)
+        # kn, vn, ksn, vsn, onehot, k_pages, v_pages, k_scales, v_scales)
+        aliases = {7: 0, 8: 1, 9: 2, 10: 3}
+        kernel = functools.partial(
+            _write_kernel_quant, group=group, page=page_sz
+        )
     else:
         # (pg, off, kn, vn, k_pages, v_pages) -> k_pages input 4, v input 5
         aliases = {4: 0, 5: 1}

@@ -335,9 +335,10 @@ def paged_cache_spec(
 
     mla = cfg is not None and cfg.is_mla
     head = None if mla else MODEL_AXIS
-    # scale tiles are [L, P, Hkv, 8, page//8] (modules/paged_cache.py):
-    # the explicit head axis shards over model exactly like the pages
-    sc = P(None, None, head, None, None) if quantized else None
+    # scale tiles are [L, P, 8, Hkv*page] (modules/paged_cache.py) with
+    # (head, token) flat in the minor dim: sharding that dim over model
+    # splits it into contiguous head groups
+    sc = P(None, None, None, head) if quantized else None
     return PagedKVCache(
         k_pages=P(None, None, head, None, None),
         v_pages=P(None, None, head, None, None),
