@@ -295,13 +295,24 @@ def _make_kernel_a8_fused(gpb: int, slab: int, bn: int):
 
         @pl.when(jnp.logical_and(j == 0, k == 0))
         def _():
-            xf = x_ref[...].astype(jnp.float32)
-            amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+            # chunk the two quantize passes: a whole-row f32 temp is
+            # bm*K*4 bytes (7.3MB at 128x14336 — several live at once blew
+            # the 16MB VMEM scope); per-chunk temps are bounded
+            K_full = x_ref.shape[1]
+            CH = min(K_full, 2048)
+            amax = jnp.zeros((x_ref.shape[0], 1), jnp.float32)
+            for c in range(K_full // CH):
+                xs = x_ref[:, c * CH : (c + 1) * CH].astype(jnp.float32)
+                amax = jnp.maximum(
+                    amax, jnp.max(jnp.abs(xs), axis=1, keepdims=True)
+                )
             sx = jnp.maximum(amax / 127.0, 1e-8)
             sx_scr[...] = sx
-            xq_scr[...] = jnp.clip(
-                jnp.round(xf / sx), -127, 127
-            ).astype(jnp.int8)
+            for c in range(K_full // CH):
+                xs = x_ref[:, c * CH : (c + 1) * CH].astype(jnp.float32)
+                xq_scr[:, c * CH : (c + 1) * CH] = jnp.clip(
+                    jnp.round(xs / sx), -127, 127
+                ).astype(jnp.int8)
 
         @pl.when(k == 0)
         def _():
@@ -391,6 +402,19 @@ def _quantized_matmul_2d_a8(
             bm = 128
             bn = _pick_bn(N)
             gpb = _pick_gpb(ng, G, bn, slab, bm)
+        # shrink the K-step until the whole working set fits scoped VMEM.
+        # Mosaic double-buffers EVERY operand block (even the constant-
+        # index x block), so budget 2x on x + codes scratch + acc + 2x
+        # weight/scale blocks against a ~12MB scope (16MB total)
+        fixed = bm * K * (2 * 2 + 1) + bm * bn * 6
+        while gpb > 1 and fixed + 2 * (gpb * slab * bn * 4 + gpb * bn * 8) \
+                > 12 * 1024 * 1024:
+            nxt = gpb // 2
+            while nxt > 1 and ng % nxt:
+                nxt -= 1
+            if nxt == gpb or ng % nxt:
+                break
+            gpb = nxt
         xb = x.astype(jnp.bfloat16)
         if Mp != M:
             xb = jnp.pad(xb, ((0, Mp - M), (0, 0)))

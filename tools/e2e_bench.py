@@ -32,11 +32,11 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--ctx", type=int, default=128)
     ap.add_argument("--gen", type=int, default=128)
+    # int4 head default: +6% bs=1 decode for dNLL ~ +0.006
+    # (QuantConfig.quantize_lm_head); --no-quantize_lm_head restores the
+    # reference's fp16-head protocol
     ap.add_argument("--quantize_lm_head", action=argparse.BooleanOptionalAction,
-                    default=True,  # int4 head: +6% bs=1 decode for
-                    # dNLL ~ +0.006 (QuantConfig.quantize_lm_head);
-                    # --no-quantize_lm_head restores the reference's
-                    # fp16-head protocol
+                    default=True)
     ap.add_argument("--prefill_chunk", type=int, default=0,
                     help="sequence-chunked prefill (0 = whole ctx at once); "
                          "bounds activation memory at large batch")
