@@ -139,7 +139,51 @@ class PagedKVCache:
         if self.quantized:
             kn, ks = _quantize_kv(k_new)
             vn, vs = _quantize_kv(v_new)
-        from quick_tpu.ops.paged_write import _group_for, paged_write_decode
+        from quick_tpu.ops.paged_write import (
+            _group_for,
+            paged_write_chunk,
+            paged_write_decode,
+        )
+
+        if (
+            S > 1
+            and S <= self.page_size
+            and self.page_size % _group_for(self.k_pages.dtype) == 0
+            and _use_write_kernel()
+        ):
+            # chunked-prefill RMW (<= 2 span pages per slot): the XLA
+            # scatter path ping-pongs ~2x the cache in step temporaries
+            # (measured 10.4GB temp on a 4.3GB cache; ops/paged_write.py)
+            # every chunk row writes (padding rows land on future-own or
+            # trash pages exactly like the scatter path — masked by length
+            # at read). The second span page comes from the first token
+            # past the page boundary; capacity limits are page-aligned, so
+            # a span page is entirely real or entirely trash.
+            valid = jnp.full((B,), S, jnp.int32)
+            i_star = jnp.clip(self.page_size - off[:, 0], 0, S - 1)[:, None]
+            pg2 = jnp.take_along_axis(page, i_star, axis=1)[:, 0]
+            # non-crossing chunks aim their (mask-empty) second span at the
+            # TRASH page: re-targeting the first page would write back a
+            # stale copy of the block it just updated
+            crossing = off[:, 0] + S > self.page_size
+            pg2 = jnp.where(crossing, pg2, TRASH_PAGE)
+            pgs = jnp.stack([page[:, 0], pg2], axis=1)  # [B, 2]
+            written = paged_write_chunk(
+                self.k_pages, self.v_pages, kn, vn,
+                pgs, off[:, 0], valid, layer,
+                k_scales=self.k_scales, v_scales=self.v_scales,
+                ks_new=ks if self.quantized else None,
+                vs_new=vs if self.quantized else None,
+                interpret=jax.default_backend() == "cpu",
+            )
+            if self.quantized:
+                kp, vp, ksp, vsp = written
+                return dataclasses.replace(
+                    self, k_pages=kp, v_pages=vp,
+                    k_scales=ksp, v_scales=vsp,
+                )
+            kp, vp = written
+            return dataclasses.replace(self, k_pages=kp, v_pages=vp)
 
         if (
             S == 1
