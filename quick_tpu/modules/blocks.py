@@ -155,6 +155,32 @@ def _fuse_decode_norm_ok(lin, x, cfg, norm_bias) -> bool:
     return rows <= 8 and norm_bias is None and cfg.layernorm == "rmsnorm"
 
 
+def _use_fused_decode_step(cache, B, hd, rope_cos) -> bool:
+    """Gate for the fused rope+cache-write+attention decode kernel
+    (ops/fused_decode_step.py): llama-family shapes, dense cache small
+    enough for VMEM-resident K/V blocks. QUICK_TPU_FUSED_STEP=0 disables
+    (=1 forces it in interpret mode for CPU tests)."""
+    import os
+
+    env = os.environ.get("QUICK_TPU_FUSED_STEP", "")
+    if env == "0":
+        return False
+    from quick_tpu.ops.fused_decode_step import _group_for
+
+    L, _, Hkv, Smax, D = cache.k.shape
+    ok = (
+        B <= 8
+        and 2 * rope_cos.shape[-1] == hd  # full rotate-half rotary
+        and Smax % _group_for(cache.k.dtype) == 0
+        and Hkv * Smax * D * cache.k.dtype.itemsize <= 3 * 1024 * 1024
+    )
+    if not ok:
+        return False
+    if env == "1":
+        return True
+    return jax.default_backend() != "cpu"
+
+
 def attention_forward(
     p: AttentionParams,
     cfg: ModelConfig,
@@ -240,6 +266,29 @@ def attention_forward(
             window = None
     softcap = cfg.attn_logit_softcap
     plain_attn = window is None and softcap is None
+    if (
+        S == 1 and cache is not None and not hasattr(cache, "block_table")
+        and cfg.use_rope and slopes is None and softcap is None
+        and _use_fused_decode_step(cache, B, hd, rope_cos)
+    ):
+        # one kernel for rope + cache write + attention: the separate
+        # fusions cost ~38 us/layer of launch/relayout glue at bs=1
+        # (ops/fused_decode_step.py)
+        from quick_tpu.ops.fused_decode_step import fused_decode_attention
+
+        pos0 = positions[:, 0]
+        c = rope_cos[pos0].astype(jnp.float32)  # [B, hd/2]
+        s_r = rope_sin[pos0].astype(jnp.float32)
+        out, k_pl, v_pl = fused_decode_attention(
+            q[:, 0], k[:, 0], v[:, 0], cache.k, cache.v,
+            jnp.concatenate([c, c], -1), jnp.concatenate([s_r, s_r], -1),
+            cache.length, layer_idx, window=window,
+            interpret=jax.default_backend() == "cpu",
+        )
+        cache = dataclasses.replace(cache, k=k_pl, v=v_pl)
+        out = out[:, None]  # [B, 1, hq, hd]
+        out = out.reshape(B, S, hq * hd)
+        return ctx.psum_model(p.o_proj(out)), cache
     if cfg.use_rope:
         q = apply_rope(q, positions, rope_cos, rope_sin)
         k = apply_rope(k, positions, rope_cos, rope_sin)
