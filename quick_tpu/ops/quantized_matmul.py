@@ -583,7 +583,10 @@ def _pick_gpb(
     # divisors for odd ng (down-proj ng=112 -> 28).
     cap = (8 if bm <= 8 else 4) * 1024 * 1024
     gpb = 1
-    for cand in (64, 32, 28, 16, 14, 8, 7, 4, 2, 1):
+    # ALL divisors of ng up to 64, largest fitting the cap (a fixed
+    # candidate list missed e.g. ng=108's 27/54 — llama-13B's down proj
+    # ran gpb=4 at 496 GB/s vs 754 at gpb=27)
+    for cand in range(2, min(ng, 64) + 1):
         if ng % cand:
             continue
         if cand * G * bn * wbytes > cap:
@@ -591,7 +594,6 @@ def _pick_gpb(
         if (cand * slab) % 8 and cand * slab != ng * slab:
             continue
         gpb = cand
-        break
     return gpb
 
 
