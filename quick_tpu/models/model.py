@@ -65,6 +65,10 @@ def model_forward(
     last_token_only: bool = False,  # lm_head on the final position only —
     # prefill needs one next-token distribution, not [B, S, V] f32 logits
     # (at 7B/bs=64 that tensor alone is ~1GB)
+    last_valid: Optional[jax.Array] = None,  # [B] per-row valid counts:
+    # gather each row's LAST VALID hidden state before the head (returns
+    # [B, 1, V]) — the serving engine's ragged chunks would otherwise
+    # compute+materialize [B, C, V] f32 logits (2.1GB at 256 slots)
     inputs_embeds: Optional[jax.Array] = None,  # [B, S, D] — overrides the
     # embedding lookup (multimodal splice, modules/vision.py; the
     # reference reaches this via HF Vision2Seq generate, models/llava.py)
@@ -142,6 +146,12 @@ def model_forward(
         )
     if last_token_only:
         x = x[:, -1:]
+    if last_valid is not None and x.shape[1] > 1:
+        # S == 1 (decode) skips the gather: it is a no-op there, and the
+        # extra op shifts XLA fusion around the final norm enough to
+        # perturb logits ~1e-2 — enough to flip greedy ties vs generate()
+        idx = jnp.reshape(jnp.maximum(last_valid - 1, 0), (-1, 1, 1))
+        x = jnp.take_along_axis(x, idx, axis=1)  # [B, 1, D]
     from quick_tpu.modules.blocks import _fuse_decode_norm_ok
 
     if _fuse_decode_norm_ok(

@@ -324,6 +324,33 @@ def attention_forward(
                 alibi_slopes=slopes,
                 interpret=jax.default_backend() == "cpu",
             )
+        elif S > 1 and softcap is None and _use_paged_kernel(cache):
+            from quick_tpu.ops.paged_attention import (
+                paged_chunk_attention,
+                supports_chunk,
+            )
+
+            if supports_chunk(S, hq, hkv, cache.page_size):
+                # chunked-prefill attention straight over the pages: the
+                # dense cache.layer() gather materializes (and dequantizes)
+                # the whole pool per layer — the 256-slot OOM allocation
+                quant = getattr(cache, "quantized", False)
+                out = paged_chunk_attention(
+                    q, cache.k_pages, cache.v_pages,
+                    cache.block_table, start, layer=layer_idx,
+                    alibi_slopes=slopes,
+                    k_scales=cache.k_scales if quant else None,
+                    v_scales=cache.v_scales if quant else None,
+                    window=window,
+                    interpret=jax.default_backend() == "cpu",
+                )
+            else:
+                k_all, v_all = cache.layer(layer_idx)
+                out = causal_attention(
+                    q, k_all, v_all, q_offset=start, kv_len=start + S,
+                    alibi_slopes=slopes, kv_heads_major=True,
+                    window=window, logit_softcap=softcap,
+                )
         else:
             k_all, v_all = cache.layer(layer_idx)  # [B, Hkv, T, D] head-major
             out = causal_attention(

@@ -274,8 +274,11 @@ class PagedKVCache:
         vs = vs.reshape(B, n_pt, H, self.page_size)
         ks = jnp.moveaxis(ks, 2, 1).reshape(B, H, -1, 1)
         vs = jnp.moveaxis(vs, 2, 1).reshape(B, H, -1, 1)
-        kd = (k.astype(jnp.float32) * ks).astype(jnp.bfloat16)
-        vd = (v.astype(jnp.float32) * vs).astype(jnp.bfloat16)
+        # dequant arithmetic in bf16: int8 values are exact in bf16 and an
+        # f32 intermediate would cost a [pool]-sized f32 temp per layer
+        # (512MB at 256 slots — the single biggest step_fn allocation)
+        kd = k.astype(jnp.bfloat16) * ks.astype(jnp.bfloat16)
+        vd = v.astype(jnp.bfloat16) * vs.astype(jnp.bfloat16)
         return kd, vd
 
     def with_length(self, length) -> "PagedKVCache":

@@ -159,6 +159,269 @@ def _paged_kernel(
         )
 
 
+def _paged_chunk_kernel(
+    bt_ref, len_ref,                  # SMEM: [B, n_pt], [B] chunk STARTS
+    q_ref, slope_ref,                 # VMEM: [1,S,Hq,D], [S*Hq,1]
+    *rest,                            # ppb x (k_ref, v_ref) then ppb x
+                                      # (ks_ref, vs_ref) if quantized,
+                                      # then o_ref, m/l/acc scratch
+    page: int, gq: int, hkv: int, S: int, scale: float, use_alibi: bool,
+    quantized: bool, ppb: int, window: int,
+):
+    kv_refs = rest[: 2 * ppb]
+    rest = rest[2 * ppb :]
+    if quantized:
+        sc_refs = rest[: 2 * ppb]
+        rest = rest[2 * ppb :]
+    else:
+        sc_refs = (None,) * (2 * ppb)
+    o_ref, m_scr, l_scr, acc_scr = rest
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    start = len_ref[b]          # tokens cached BEFORE this chunk
+    cap = start + S             # chunk tokens (junk rows incl.) are written
+    hq = hkv * gq
+    R = S * hq
+    T = hkv * page
+
+    @pl.when(i == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # earliest visible key: window binds per query row (pos_k > pos_q - w);
+    # the loosest row is the chunk's first query at pos start
+    lo = (
+        jnp.maximum(start - window + 1, 0) if window
+        else jnp.zeros((), jnp.int32)
+    )
+    for j in range(ppb):
+        k_ref, v_ref = kv_refs[2 * j], kv_refs[2 * j + 1]
+        ks_ref, vs_ref = sc_refs[2 * j], sc_refs[2 * j + 1]
+        base = (i * ppb + j) * page
+
+        @pl.when(jnp.logical_and(base < cap, base + page > lo))
+        def _compute(k_ref=k_ref, v_ref=v_ref, ks_ref=ks_ref,
+                     vs_ref=vs_ref, base=base):
+            q = q_ref[0].reshape(R, -1)                  # leading merge: free
+            k = k_ref[0, 0].reshape(T, -1)
+            if quantized:
+                # one [T, D] convert per page: int8 codes are exact in
+                # bf16, and unlike decode (Hq rows) the chunk dot is big
+                # enough to amortize the VPU pass — no q-quantization
+                # plumbing needed
+                k = k.astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                q.astype(k.dtype), k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                                    # [R, T]
+            if quantized:
+                s = s * ks_ref[0, 0, 0:1, :]             # per-key scales
+            row = jax.lax.broadcasted_iota(jnp.int32, (R, T), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (R, T), 1)
+            pos_q = start + row // hq                    # rows are c-major
+            head_q = (row % hq) // gq
+            head_k = col // page
+            pos_k = base + col % page
+            mask = jnp.logical_and(head_q == head_k, pos_k <= pos_q)
+            if window:
+                mask = jnp.logical_and(mask, pos_k > pos_q - window)
+            if use_alibi:
+                s = s + slope_ref[:] * (pos_k - pos_q).astype(jnp.float32)
+            s = jnp.where(mask, s, NEG_INF)
+            m_prev = m_scr[:]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+            alpha = jnp.exp(m_prev - m_new)
+            l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            v = v_ref[0, 0].reshape(T, -1)
+            if quantized:
+                # fold v's per-row scales into the probabilities (ctx =
+                # (p * vs) @ v), then one bf16 context dot
+                p = p * vs_ref[0, 0, 0:1, :]
+                v = v.astype(jnp.bfloat16)
+            ctx = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[:] = acc_scr[:] * alpha + ctx
+            m_scr[:] = m_new
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _finish():
+        l = l_scr[:]
+        acc = acc_scr[:] / jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = acc.reshape(S, hq, -1).astype(o_ref.dtype)
+
+
+def supports_chunk(S: int, Hq: int, Hkv: int, page: int) -> bool:
+    """VMEM feasibility for paged_chunk_attention: the [S*Hq, Hkv*page]
+    score/probability/mask temps (plus the f32 accumulator) must fit the
+    ~16MB VMEM scope with room for double-buffered page blocks."""
+    R, T = S * Hq, Hkv * page
+    return R >= 8 and R * T * 4 * 6 <= 8 * 1024 * 1024
+
+
+@functools.partial(
+    jax.jit, static_argnames=("layer", "scale", "interpret", "window")
+)
+def paged_chunk_attention(
+    q: jax.Array,            # [B, S, Hq, D] one CHUNK of queries per slot
+    k_pages: jax.Array,      # [L, P, Hkv, page, D] page stack
+    v_pages: jax.Array,
+    block_table: jax.Array,  # [B, n_pt] int32 physical page ids
+    starts: jax.Array,       # [B] int32 tokens cached BEFORE this chunk
+    layer: int = 0,
+    scale: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,
+    k_scales: Optional[jax.Array] = None,  # [L, P, 8, Hkv*page] f32 when INT8
+    v_scales: Optional[jax.Array] = None,
+    window: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Chunked-prefill attention directly over KV pages — [B, S, Hq, D].
+
+    The serving engine's mixed prefill+decode step previously read context
+    through the dense ``cache.layer()`` gather, which materializes (and for
+    INT8 dequantizes) the ENTIRE page pool per layer — 0.5-1GB of HBM temp
+    traffic per layer at 256 slots, the allocation that OOM'd 256-slot
+    serving. This kernel is the decode kernel's shape generalized to S
+    query rows per slot: the chunk rides as one [S*Hq, D] q block
+    (c-major rows), scores for a page are one MXU dot with the causal /
+    window / head-block masks built from per-row positions, and pages past
+    a slot's ``start + S`` clamp their index maps so the DMA is elided.
+    The chunk's own K/V must already be written into the pages (the cache
+    updates before attention), junk rows past a slot's true valid count
+    are causally invisible to real rows and get discarded by the engine.
+    Replaces the reference's dense-cache context GEMM in chunked serving
+    (no reference analog — its cache is dense fp16, quick/awq/modules/
+    fused/cache.py)."""
+    single_layer = k_pages.ndim == 4
+    if single_layer:
+        k_pages, v_pages = k_pages[None], v_pages[None]
+        layer = 0
+    B, S, Hq, D = q.shape
+    _, P, Hkv, page, _ = k_pages.shape
+    n_pt = block_table.shape[1]
+    gq = Hq // Hkv
+    if scale is None:
+        scale = D ** -0.5
+    use_alibi = alibi_slopes is not None
+    quantized = k_scales is not None
+    if quantized:
+        # canonical replicated [L, P, 8, Hkv*page] tiles; broadcast in the
+        # single-layer / flat convenience forms (same as decode)
+        def _canon(sc):
+            if sc.ndim == 4 and sc.shape[2] == 8 and not single_layer:
+                return sc
+            sc = sc.reshape(1 if single_layer else -1, P, -1)
+            if sc.shape[-1] == Hkv * page:
+                sc = jnp.broadcast_to(
+                    sc[:, :, None, :], sc.shape[:2] + (8, Hkv * page)
+                )
+            else:
+                sc = sc.reshape(sc.shape[0], P, 8, Hkv * page)
+            return sc
+
+        k_scales = _canon(k_scales)
+        v_scales = _canon(v_scales)
+    R = S * Hq
+    # per-row alibi slopes, tiled over the chunk's c-major row order
+    slopes = (
+        jnp.tile(
+            jnp.asarray(alibi_slopes, jnp.float32).reshape(Hq, 1), (S, 1)
+        )
+        if use_alibi else jnp.zeros((R, 1), jnp.float32)
+    )
+
+    import os
+
+    env_ppb = int(os.environ.get("QUICK_TPU_PPB", "0"))
+    kv_step_bytes = 2 * Hkv * page * D * k_pages.dtype.itemsize
+    if env_ppb > 0 and n_pt % env_ppb == 0:
+        ppb = env_ppb
+    else:
+        ppb = 1
+        for cand in (8, 4, 2):
+            if n_pt % cand == 0 and cand * kv_step_bytes <= 2 * 1024 * 1024:
+                ppb = cand
+                break
+    win = int(window) if window else 0
+
+    def kv_index_j(j):
+        def kv_index(b, i, bt, ln):
+            # last written page (chunk tokens included), clamped to the
+            # table edge — overflow writes land on the trash page and the
+            # position mask keeps them invisible
+            last = jnp.minimum((ln[b] + S - 1) // page, n_pt - 1)
+            idx = jnp.minimum(i * ppb + j, last)
+            if win:
+                first = jnp.maximum(ln[b] - win + 1, 0) // page
+                idx = jnp.maximum(idx, first)
+            return (layer, bt[b, idx], 0, 0, 0)
+        return kv_index
+
+    in_specs = [
+        pl.BlockSpec((1, S, Hq, D), lambda b, i, bt, ln: (b, 0, 0, 0)),
+        pl.BlockSpec((R, 1), lambda b, i, bt, ln: (0, 0)),
+    ]
+    inputs = [q, slopes]
+    for j in range(ppb):
+        in_specs += [
+            pl.BlockSpec((1, 1, Hkv, page, D), kv_index_j(j)),
+            pl.BlockSpec((1, 1, Hkv, page, D), kv_index_j(j)),
+        ]
+        inputs += [k_pages, v_pages]
+    T = Hkv * page
+    if quantized:
+        def scale_index_j(j):
+            def scale_index(b, i, bt, ln):
+                last = jnp.minimum((ln[b] + S - 1) // page, n_pt - 1)
+                idx = jnp.minimum(i * ppb + j, last)
+                if win:
+                    first = jnp.maximum(ln[b] - win + 1, 0) // page
+                    idx = jnp.maximum(idx, first)
+                return (layer, bt[b, idx], 0, 0)
+            return scale_index
+
+        for j in range(ppb):
+            in_specs += [
+                pl.BlockSpec((1, 1, 8, T), scale_index_j(j)),
+                pl.BlockSpec((1, 1, 8, T), scale_index_j(j)),
+            ]
+            inputs += [k_scales, v_scales]
+
+    scratch_shapes = [
+        pltpu.VMEM((R, 1), jnp.float32),
+        pltpu.VMEM((R, 1), jnp.float32),
+        pltpu.VMEM((R, D), jnp.float32),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, n_pt // ppb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, S, Hq, D), lambda b, i, bt, ln: (b, 0, 0, 0)
+        ),
+        scratch_shapes=scratch_shapes,
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _paged_chunk_kernel, page=page, gq=gq, hkv=Hkv, S=S,
+            scale=float(scale), use_alibi=use_alibi, quantized=quantized,
+            ppb=ppb, window=win,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, S, Hq, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(block_table.astype(jnp.int32), starts.astype(jnp.int32), *inputs)
+    return out
+
+
 @functools.partial(
     jax.jit, static_argnames=("layer", "scale", "interpret", "window")
 )  # quantized-ness is static via k_scales None-ness (jit re-traces)

@@ -377,11 +377,11 @@ def sharded_row_forward_fn(
 
     def local_fn(params, cache, tokens, valid):
         logits, cache = model_forward(
-            params, lcfg, tokens, cache, advance=valid, ctx=ctx
+            params, lcfg, tokens, cache, advance=valid,
+            last_valid=valid,  # head runs on ONE position per row
+            ctx=ctx,
         )
-        last = jnp.maximum(valid - 1, 0)
-        row = jnp.take_along_axis(logits, last[:, None, None], axis=1)[:, 0]
-        return row, cache
+        return logits[:, 0], cache
 
     return jax.shard_map(
         local_fn,

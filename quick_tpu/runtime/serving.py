@@ -308,13 +308,10 @@ class Engine:
             def fwd_row(params, cache, tokens, valid):
                 """(row logits [B, V] at each row's last valid token, cache)."""
                 logits, cache = model_forward(
-                    params, cfg, tokens, cache, advance=valid
+                    params, cfg, tokens, cache, advance=valid,
+                    last_valid=valid,  # head runs on ONE position per row
                 )
-                last = jnp.maximum(valid - 1, 0)
-                row = jnp.take_along_axis(
-                    logits, last[:, None, None], axis=1
-                )[:, 0]
-                return row, cache
+                return logits[:, 0], cache
 
         from quick_tpu.runtime.generate import (
             apply_penalties,

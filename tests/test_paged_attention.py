@@ -191,3 +191,99 @@ def test_paged_sliding_window_engine_matches_dense(rng):
     finally:
         del os.environ["QUICK_TPU_PAGED"]
     assert out == ref
+
+
+# ---------------------------------------------------------------------------
+# Chunked-prefill kernel (paged_chunk_attention)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "B,Hq,Hkv,D,page,S,starts",
+    [
+        (2, 4, 4, 64, 8, 8, [13, 0]),    # MHA: one mid-prefill, one fresh
+        (2, 8, 2, 64, 8, 4, [21, 5]),    # GQA, ragged starts
+        (1, 4, 1, 32, 4, 8, [3]),        # MQA, chunk crosses pages
+    ],
+)
+def test_paged_chunk_matches_causal(rng, B, Hq, Hkv, D, page, S, starts):
+    """Chunk kernel == dense causal attention with q_offset=start,
+    kv_len=start+S (the serving mixed-step contract)."""
+    from quick_tpu.ops.paged_attention import paged_chunk_attention
+
+    n_pt = 6
+    _, kp, vp, bt, ln = _setup(
+        rng, B, Hq, Hkv, D, page, n_pages=1 + B * n_pt, n_pt=n_pt,
+        lengths=starts,
+    )
+    q = jnp.asarray(rng.standard_normal((B, S, Hq, D)), jnp.float32)
+    out = paged_chunk_attention(q, kp, vp, bt, ln, interpret=True)
+    ref = causal_attention(
+        q, _dense_view(kp, bt), _dense_view(vp, bt),
+        q_offset=ln, kv_len=ln + S,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_paged_chunk_window_alibi(rng):
+    """Sliding window and alibi ride the chunk kernel's per-row masks."""
+    from quick_tpu.ops.paged_attention import paged_chunk_attention
+
+    B, Hq, Hkv, D, page, S, n_pt = 2, 4, 2, 32, 8, 8, 6
+    _, kp, vp, bt, ln = _setup(
+        rng, B, Hq, Hkv, D, page, n_pages=1 + B * n_pt, n_pt=n_pt,
+        lengths=[17, 30],
+    )
+    q = jnp.asarray(rng.standard_normal((B, S, Hq, D)), jnp.float32)
+    out = paged_chunk_attention(q, kp, vp, bt, ln, window=12, interpret=True)
+    ref = causal_attention(
+        q, _dense_view(kp, bt), _dense_view(vp, bt),
+        q_offset=ln, kv_len=ln + S, window=12,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+    sl = jnp.asarray(alibi_slopes(Hq))
+    out = paged_chunk_attention(q, kp, vp, bt, ln, alibi_slopes=sl,
+                                interpret=True)
+    ref = causal_attention(
+        q, _dense_view(kp, bt), _dense_view(vp, bt),
+        q_offset=ln, kv_len=ln + S, alibi_slopes=sl,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_paged_chunk_int8_matches_dequant(rng):
+    """INT8 pages + per-token scale tiles through the chunk kernel match
+    the float kernel on dequantized pages (k converted in-kernel, v scales
+    folded into the probabilities)."""
+    from quick_tpu.ops.paged_attention import paged_chunk_attention
+
+    B, Hq, Hkv, D, page, S, n_pt = 2, 8, 2, 64, 8, 4, 6
+    _, kp, vp, bt, ln = _setup(
+        rng, B, Hq, Hkv, D, page, n_pages=1 + B * n_pt, n_pt=n_pt,
+        lengths=[21, 9],
+    )
+    q = jnp.asarray(rng.standard_normal((B, S, Hq, D)), jnp.float32)
+
+    def quant(p):
+        amax = jnp.max(jnp.abs(p), axis=-1)
+        sc = jnp.maximum(amax / 127.0, 1e-8)
+        codes = jnp.clip(jnp.round(p / sc[..., None]), -127, 127).astype(
+            jnp.int8
+        )
+        # replicated [P, 8, Hkv*page] scale tiles (modules/paged_cache.py)
+        P = p.shape[0]
+        flat = sc.reshape(P, -1)                      # [P, Hkv*page]
+        tiles = jnp.broadcast_to(flat[:, None, :], (P, 8, flat.shape[-1]))
+        return codes, tiles
+
+    kq, ks = quant(kp)
+    vq, vs = quant(vp)
+    out = paged_chunk_attention(
+        q, kq, vq, bt, ln, k_scales=ks, v_scales=vs, interpret=True
+    )
+    kd = (kq.astype(jnp.float32)
+          * ks[:, 0].reshape(kq.shape[:1] + kq.shape[1:3])[..., None])
+    vd = (vq.astype(jnp.float32)
+          * vs[:, 0].reshape(vq.shape[:1] + vq.shape[1:3])[..., None])
+    ref = paged_chunk_attention(q, kd, vd, bt, ln, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-2)
