@@ -11,7 +11,9 @@ Measurement notes (this environment): the TPU sits behind a tunnel with
 ~80ms fixed dispatch+fetch latency and a non-blocking block_until_ready, so
 single-dispatch timing is meaningless. We time an in-jit lax.fori_loop that
 chains the kernel with a data dependency, fetch to host, and difference two
-loop lengths to cancel the fixed overhead. Median over several trials.
+loop lengths to cancel the fixed overhead. Median-of-repeats per loop length,
+median over loop-pair trials, and any pair implying a rate above the v5e
+bf16 MXU peak (197 TFLOPS — physically impossible) is rejected outright.
 """
 from __future__ import annotations
 
@@ -55,22 +57,41 @@ def main():
 
     def run(n):
         _ = np.asarray(loop(x0, n)[:1, :1])  # compile + warm
-        best = np.inf
+        reps = []
         for _ in range(5):
             t0 = time.perf_counter()
             _ = np.asarray(loop(x0, n)[:1, :1])
-            best = min(best, time.perf_counter() - t0)
-        return best
+            reps.append(time.perf_counter() - t0)
+        return float(np.median(reps))
 
-    n1, n2 = 4, 54
-    trials = []
-    for _ in range(6):  # >=5 loop-pairs: tunnel noise is +-15-20% run to
-        # run, so the headline carries the spread, not just the median
+    # Physical floor: v5e bf16 MXU peak is 197 TFLOPS, so one iteration of
+    # this dot cannot take less than flops/peak seconds. A loop-pair whose
+    # difference implies a sub-floor per-iter time is a measurement artifact
+    # (tunnel hiccup inflating t1 / deflating t2), not a fast kernel — it is
+    # rejected, never reported (VERDICT r3 weak #1).
+    PEAK_TFLOPS = 197.0
+    flops = 2 * M * K * N
+    floor_s = flops / (PEAK_TFLOPS * 1e12)
+
+    # Long spans so the kernel signal dominates the ~80 ms tunnel jitter:
+    # n2-n1 = 1000 iters at ~100 us each = ~100 ms of real compute per pair.
+    n1, n2 = 50, 1050
+    trials, rejected = [], 0
+    while len(trials) < 5 and rejected < 8:
         t1, t2 = run(n1), run(n2)
-        trials.append((t2 - t1) / (n2 - n1))
+        per = (t2 - t1) / (n2 - n1)
+        if per < floor_s:
+            rejected += 1
+            log(f"  rejected loop-pair: {per*1e6:.1f} us/iter implies "
+                f"{flops/per/1e12:.0f} TFLOPS > {PEAK_TFLOPS:.0f} peak")
+            continue
+        trials.append(per)
+    if not trials:
+        log("FATAL: no physically valid loop-pair in 8 attempts")
+        sys.exit(1)
     per_iter = float(np.median(trials))
-    tf = sorted(2 * M * K * N / t / 1e12 for t in trials)
-    tflops = 2 * M * K * N / per_iter / 1e12
+    tf = sorted(flops / t / 1e12 for t in trials)
+    tflops = flops / per_iter / 1e12
     spread = (tf[-1] - tf[0]) / 2
     weight_gbs = (K * N / 2 + 2 * (K // GROUP) * N * 4) / per_iter / 1e9
     log(f"fused W4A16 GEMM M={M} K={K} N={N}: {per_iter*1e6:.1f} us/iter, "
@@ -94,6 +115,8 @@ def main():
         "spread": round(spread, 2),  # half the min-max range over the
         # loop-pair trials (tunnel variance qualifier, VERDICT r2 item 9)
         "trials": [round(t, 2) for t in tf],
+        "rejected_trials": rejected,  # loop-pairs discarded for implying
+        # > peak-TFLOPS rates (physically impossible; VERDICT r3 weak #1)
     }))
 
 
