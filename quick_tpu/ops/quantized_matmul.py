@@ -559,6 +559,35 @@ def _small_g_perm(K: int, G: int, gpb: int) -> np.ndarray:
     return (P // slab) * G + j * slab + P % slab
 
 
+def _pick_tiles_decode(N: int, ng: int, slab: int):
+    """(bn, gpb) for M <= 8: minimize TOTAL grid steps (N/bn) * (ng/gpb).
+
+    Decode GEMMs are weight-stream bound and, at 13B-class shapes,
+    grid-step-overhead bound on top: the round-3 policy (bn=1024 preferred,
+    gpb capped at 8MB of unpacked tile) ran llama-13B's qkv (K=5120,
+    N=15360) as 30 steps at 698 GB/s; bn=1536/gpb=20 = 20 steps measures
+    45.5-57 us (and e2e is the arbiter — M=1 microbenches VMEM-cache the
+    whole weight across fori-loop iterations and can read above HBM peak).
+    Constraint: the packed int32 block [gpb*slab, bn] double-buffers within
+    ~8MB -> gpb*bn <= 64K lanes (x itself is a whole [8, K] row, constant
+    over the grid). Tie-break: fewer K steps (deeper gpb), then larger bn."""
+    best = None
+    for bn in range(128, min(N, 4096) + 1, 128):
+        if N % bn:
+            continue
+        gpb = 1
+        for cand in range(2, min(ng, 64) + 1):
+            if ng % cand or cand * bn > 65536:
+                continue
+            if (cand * slab) % 8 and cand * slab != ng * slab:
+                continue
+            gpb = cand
+        key = ((N // bn) * (ng // gpb), ng // gpb, -bn)
+        if best is None or key < best[0]:
+            best = (key, bn, gpb)
+    return best[1], best[2]
+
+
 def _pick_bn(N: int) -> int:
     # 1024 measured best across M=1..128 at 7B/8192 shapes (tools/msweep.py,
     # tools/shape_sweep.py, tools/tile_sweep.py: bn=2048 helps some mid-M
@@ -655,6 +684,8 @@ def _quantized_matmul_2d(
         bm = Mp if Mp <= 256 else 256
         if Mp % bm:
             bm = 128
+    if bn is None and gpb is None and bm <= 8 and not small_g:
+        bn, gpb = _pick_tiles_decode(N, ng, slab)
     if bn is None:
         bn = _pick_bn(N) if bm <= 128 else min(512, _pick_bn(N))
     if gpb is None:

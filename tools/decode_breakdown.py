@@ -16,10 +16,28 @@ from quick_tpu.ops.attention import causal_attention
 from quick_tpu.quantize.packing import pack_qtpu
 
 G = 128
-SHAPES = {  # mistral-7b layer GEMMs
-    "qkv": (4096, 6144), "o": (4096, 4096),
-    "gate_up": (4096, 28672), "down": (14336, 4096),
+MODELS = {
+    # name: (layer GEMM shapes, ModelConfig kwargs)
+    "mistral7b": (
+        {"qkv": (4096, 6144), "o": (4096, 4096),
+         "gate_up": (4096, 28672), "down": (14336, 4096)},
+        dict(vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+             num_hidden_layers=32, num_attention_heads=32,
+             num_key_value_heads=8, max_position_embeddings=4096,
+             model_type="mistral"),
+    ),
+    # llama-2-13b: MHA (40 kv heads), hidden 5120 (VERDICT r3 weak #5:
+    # 85.5 tok/s = ~72% of the ~119 weight-stream floor — locate the gap)
+    "llama13b": (
+        {"qkv": (5120, 15360), "o": (5120, 5120),
+         "gate_up": (5120, 27648), "down": (13824, 5120)},
+        dict(vocab_size=32000, hidden_size=5120, intermediate_size=13824,
+             num_hidden_layers=40, num_attention_heads=40,
+             num_key_value_heads=40, max_position_embeddings=4096,
+             model_type="llama"),
+    ),
 }
+SHAPES = MODELS["mistral7b"][0]  # overridden by --model in main()
 
 
 def diff_time(loop, args, n1, n2, reps=4):
@@ -82,15 +100,14 @@ def bench_attn(B, hq, hkv, hd, max_seq, n1, n2):
     return per
 
 
-def bench_block(B, max_seq, n1, n2, layers=1):
+def bench_block(B, max_seq, n1, n2, layers=1, cfg_kw=None):
     from quick_tpu.models import init_quant_params
     from quick_tpu.models.model import model_forward
     from quick_tpu.runtime import make_cache
 
-    cfg = ModelConfig(
-        vocab_size=32000, hidden_size=4096, intermediate_size=14336,
-        num_hidden_layers=layers, num_attention_heads=32, num_key_value_heads=8,
-        max_position_embeddings=4096, model_type="mistral")
+    kw = dict(cfg_kw or MODELS["mistral7b"][1])
+    kw["num_hidden_layers"] = layers
+    cfg = ModelConfig(**kw)
     params = init_quant_params(cfg, jax.random.PRNGKey(0))
     cache = make_cache(cfg, B, max_seq)
     rng = np.random.default_rng(2)
@@ -116,7 +133,7 @@ def bench_block(B, max_seq, n1, n2, layers=1):
     return per
 
 
-def bench_block4_variant(B, max_seq, n1, n2, variant):
+def bench_block4_variant(B, max_seq, n1, n2, variant, cfg_kw=None):
     """Time a 4-layer step with attention_forward ablated.
 
     variant: 'full' | 'no_einsum' (qkv/rope/cache-update/o kept, score+value
@@ -151,7 +168,7 @@ def bench_block4_variant(B, max_seq, n1, n2, variant):
         "full": orig, "no_einsum": no_einsum, "no_attn": no_attn
     }[variant]
     try:
-        t = bench_block(B, max_seq, n1, n2, layers=4)
+        t = bench_block(B, max_seq, n1, n2, layers=4, cfg_kw=cfg_kw)
     finally:
         qb.attention_forward = orig
     print(f"    [variant={variant}] 4-layer step: {t*1e6:.1f} us", flush=True)
@@ -159,42 +176,55 @@ def bench_block4_variant(B, max_seq, n1, n2, variant):
 
 
 def main():
+    global SHAPES
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--max_seq", type=int, default=256)
+    ap.add_argument("--model", default="mistral7b", choices=sorted(MODELS))
     ap.add_argument("--parts", default="gemms,attn,block")
     ap.add_argument("--n1", type=int, default=10)
     ap.add_argument("--n2", type=int, default=510)
     args = ap.parse_args()
     B = args.batch
     parts = args.parts.split(",")
-    print(f"batch={B} max_seq={args.max_seq} backend={jax.default_backend()}")
+    SHAPES, cfg_kw = MODELS[args.model]
+    nL = cfg_kw["num_hidden_layers"]
+    hq = cfg_kw["num_attention_heads"]
+    hkv = cfg_kw["num_key_value_heads"]
+    print(f"model={args.model} batch={B} max_seq={args.max_seq} "
+          f"backend={jax.default_backend()}")
     total = 0.0
     if "gemms" in parts:
         for name in SHAPES:
             total += bench_gemm(name, B, args.n1, args.n2)
         print(f"  -> layer GEMMs total: {total*1e6:.1f} us "
-              f"(x32 = {32*total*1e3:.2f} ms)")
+              f"(x{nL} = {nL*total*1e3:.2f} ms)")
     if "attn" in parts:
-        ta = bench_attn(B, 32, 8, 128, args.max_seq, args.n1, args.n2)
-        print(f"  -> x32 = {32*ta*1e3:.2f} ms")
+        ta = bench_attn(B, hq, hkv, 128, args.max_seq, args.n1, args.n2)
+        print(f"  -> x{nL} = {nL*ta*1e3:.2f} ms")
     if "block" in parts:
-        tb = bench_block(B, args.max_seq, args.n1, min(args.n2, 110))
-        print(f"  -> block-step x32-ish = {32*tb*1e3:.2f} ms (has fixed "
+        tb = bench_block(B, args.max_seq, args.n1, min(args.n2, 110),
+                         cfg_kw=cfg_kw)
+        print(f"  -> block-step x{nL}-ish = {nL*tb*1e3:.2f} ms (has fixed "
               f"embed/lm_head part)")
     if "block2" in parts:
-        t1 = bench_block(B, args.max_seq, args.n1, min(args.n2, 110), layers=1)
-        t4 = bench_block(B, args.max_seq, args.n1, min(args.n2, 110), layers=4)
+        t1 = bench_block(B, args.max_seq, args.n1, min(args.n2, 110),
+                         layers=1, cfg_kw=cfg_kw)
+        t4 = bench_block(B, args.max_seq, args.n1, min(args.n2, 110),
+                         layers=4, cfg_kw=cfg_kw)
         per_layer = (t4 - t1) / 3
         fixed = t1 - per_layer
         print(f"  -> marginal per-layer: {per_layer*1e6:.1f} us, fixed "
               f"(embed+lm_head+sample): {fixed*1e6:.1f} us, "
-              f"32-layer est: {(fixed + 32*per_layer)*1e3:.2f} ms")
+              f"{nL}-layer est: {(fixed + nL*per_layer)*1e3:.2f} ms")
     if "ablate" in parts:
         n2b = min(args.n2, 110)
-        tf = bench_block4_variant(B, args.max_seq, args.n1, n2b, "full")
-        tne = bench_block4_variant(B, args.max_seq, args.n1, n2b, "no_einsum")
-        tna = bench_block4_variant(B, args.max_seq, args.n1, n2b, "no_attn")
+        tf = bench_block4_variant(B, args.max_seq, args.n1, n2b, "full",
+                                  cfg_kw=cfg_kw)
+        tne = bench_block4_variant(B, args.max_seq, args.n1, n2b,
+                                   "no_einsum", cfg_kw=cfg_kw)
+        tna = bench_block4_variant(B, args.max_seq, args.n1, n2b, "no_attn",
+                                   cfg_kw=cfg_kw)
         print(f"  -> per-layer attention einsum: {(tf-tne)/4*1e6:.1f} us; "
               f"qkv+o+rope+cache-update: {(tne-tna)/4*1e6:.1f} us")
 
