@@ -423,6 +423,12 @@ def mlp_forward(
             p.gate_up_proj(x, fuse_norm=pre_norm) if pre_norm is not None
             else p.gate_up_proj(x)
         )
+        if cfg.act_fn == "silu" and isinstance(p.down_proj, QuantLinear):
+            # silu(gate) * up fuses into the down GEMM's prologue on decode
+            # shapes (ops/quantized_matmul.py _make_kernel_fused_glu);
+            # ineligible routes gate first inside the call — numerics
+            # identical either way
+            return ctx.psum_model(p.down_proj(gu, fuse_glu=True))
         gate, up = jnp.split(gu, 2, axis=-1)
         return ctx.psum_model(p.down_proj(_act(gate, cfg) * up))
     if pre_norm is not None:

@@ -69,15 +69,18 @@ class QuantLinear:
     group_size: int = dataclasses.field(default=128, metadata={"static": True})
 
     def __call__(
-        self, x: jax.Array, fuse_norm: Optional[tuple] = None
+        self, x: jax.Array, fuse_norm: Optional[tuple] = None,
+        fuse_glu: bool = False,
     ) -> jax.Array:
         # fuse_norm = (rms_weight, eps): x is RAW; the RMSNorm runs inside
         # the decode kernel's prologue (ops/quantized_matmul.py) — or is
         # applied first on routes that cannot fuse. Numerics identical.
+        # fuse_glu: x is the RAW [., 2K] fused gate_up output; silu(gate) *
+        # up runs inside the decode kernel's prologue likewise.
         return quantized_matmul(
             x, self.qweight, self.scales, self.zeros_x_scales,
             group_size=self.group_size, bias=self.bias, a8=_a8_enabled(),
-            fuse_norm=fuse_norm,
+            fuse_norm=fuse_norm, fuse_glu=fuse_glu,
         )
 
     @property

@@ -201,6 +201,48 @@ def _make_kernel_fused_norm(gpb: int, slab: int, bn: int, eps: float):
     return kernel
 
 
+def _make_kernel_fused_glu(gpb: int, slab: int, bn: int):
+    """_make_kernel with a SwiGLU PROLOGUE: the raw fused gate_up output
+    row rides in whole ([bm, 2K] = [gate | up], constant over the j/k grid
+    so Mosaic elides the re-DMA), silu(gate) * up is computed ONCE per
+    (i, j) tile into VMEM scratch, and the K-steps slice the gated copy.
+    Removes the separate silu-mul dispatch between the gate_up and down
+    GEMMs of every decode step (the down-proj analog of the fused-norm
+    prologue — XLA cannot fuse elementwise producers into a custom call).
+    Numerics match jax.nn.silu(gate) * up in f32 then bf16 cast."""
+    G = slab * PACK
+
+    def kernel(gu_ref, qw_ref, s_ref, zs_ref, o_ref, acc, xn_scr):
+        k = pl.program_id(2)
+        K = xn_scr.shape[1]
+
+        @pl.when(k == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+            g = gu_ref[:, :K].astype(jnp.float32)
+            u = gu_ref[:, K:].astype(jnp.float32)
+            xn_scr[...] = (g * jax.lax.logistic(g) * u).astype(xn_scr.dtype)
+
+        part = jnp.zeros_like(acc)
+        for g in range(gpb):  # static unroll over groups in this K-step
+            qg = qw_ref[g * slab : (g + 1) * slab, :]  # [slab, bn] int32
+            nib = [(qg >> (4 * j)) & 0xF for j in range(PACK)]
+            wg = jnp.concatenate(nib, axis=0).astype(jnp.bfloat16)  # [G, bn]
+            xg = xn_scr[:, pl.ds(k * (gpb * G) + g * G, G)]
+            y = jnp.dot(xg, wg, preferred_element_type=jnp.float32)
+            xsum = jnp.sum(
+                xg.astype(jnp.float32), axis=1, keepdims=True
+            )  # [bm, 1]
+            part += y * s_ref[g, :, :] - xsum * zs_ref[g, :, :]
+        acc[:] += part
+
+        @pl.when(k == pl.num_programs(2) - 1)
+        def _():
+            o_ref[:] = acc[:].astype(o_ref.dtype)
+
+    return kernel
+
+
 def quantize_activations(x: jax.Array):
     """Per-token (row) symmetric INT8 activation quantization:
     x [M, K] -> (codes int8 [M, K], scales f32 [M, 1]). The W8 half of the
@@ -626,9 +668,22 @@ def _pick_gpb(
     return gpb
 
 
+def _glu_fallback(x: jax.Array) -> jax.Array:
+    """silu(gate) * up on a raw [M, 2K] fused gate_up row (f32 math, cast
+    back) — the out-of-kernel form of _make_kernel_fused_glu's prologue."""
+    K = x.shape[-1] // 2
+    g = x[..., :K].astype(jnp.float32)
+    u = x[..., K:].astype(jnp.float32)
+    return (g * jax.lax.logistic(g) * u).astype(
+        x.dtype if x.dtype != jnp.float32 else jnp.bfloat16
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("group_size", "out_dtype", "bm", "bn", "gpb", "norm_eps"),
+    static_argnames=(
+        "group_size", "out_dtype", "bm", "bn", "gpb", "norm_eps", "glu"
+    ),
 )
 def _quantized_matmul_2d(
     x: jax.Array,
@@ -644,18 +699,25 @@ def _quantized_matmul_2d(
     # RMSNorm to x inside the kernel prologue (decode shapes M <= 8 only;
     # see _make_kernel_fused_norm). Ineligible paths pre-norm and proceed.
     norm_eps: float = 1e-6,  # static (baked into the kernel)
+    glu: bool = False,  # x is the RAW [M, 2K] fused gate_up output;
+    # silu(gate) * up runs inside the kernel prologue (decode shapes
+    # M <= 8; see _make_kernel_fused_glu). Ineligible paths pre-gate.
 ) -> jax.Array:
     """x [M, K] @ dequant(qweight) [K, N] -> [M, N].
 
     qweight: QTPU-packed int32 [K//8, N]; scales/zeros_x_scales: [K//G, N].
     """
-    M, K = x.shape
+    M = x.shape[0]
+    K = qweight.shape[0] * PACK if glu else x.shape[1]
     N = qweight.shape[1]
     G = group_size
     ng = K // G
     slab = G // PACK
 
     small_g = group_size != 128
+    fuse_glu = glu and not small_g and M <= 8 and _impl_mode() != "jnp"
+    if glu and not fuse_glu:
+        x = _glu_fallback(x)
     fuse = norm_weight is not None and not small_g and M <= 8
     if norm_weight is not None and not fuse:
         from quick_tpu.ops.norms import rms_norm
@@ -663,6 +725,8 @@ def _quantized_matmul_2d(
         x = rms_norm(x, norm_weight, norm_eps)
         norm_weight = None
     if _impl_mode() == "jnp" or (small_g and (ng * slab) % 8 != 0):
+        if fuse_glu:
+            x = _glu_fallback(x)
         if fuse:
             from quick_tpu.ops.norms import rms_norm
 
@@ -762,6 +826,38 @@ def _quantized_matmul_2d(
             interpret=_impl_mode() == "interpret",
         )(x, nw, qweight, s_in, zs_in)
         return out[:M] if Mp != M else out
+    if fuse_glu and ng % gpb == 0:
+        in_specs = [
+            # whole raw gate_up row, constant over j/k: Mosaic elides the
+            # re-DMA; the prologue gates it into the [bm, K] scratch
+            pl.BlockSpec((bm, 2 * K), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb * slab, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            scale_spec,
+            scale_spec,
+        ]
+        out = pl.pallas_call(
+            _make_kernel_fused_glu(gpb, slab, bn),
+            grid=(Mp // bm, N // bn, ng // gpb),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((bm, bn), jnp.float32),
+                pltpu.VMEM((bm, K), jnp.bfloat16),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Mp * K * N,
+                bytes_accessed=K * N // 2 + Mp * K * 4 + Mp * N * 2 + ng * N * 8,
+                transcendentals=Mp * K,
+            ),
+            interpret=_impl_mode() == "interpret",
+        )(x, qweight, s_in, zs_in)
+        return out[:M] if Mp != M else out
+    elif fuse_glu:
+        x = _glu_fallback(x)
     if fuse:
         from quick_tpu.ops.norms import rms_norm
 
@@ -878,6 +974,10 @@ def quantized_matmul(
     fuse_norm: Optional[tuple] = None,  # (rms_weight [K], eps): RMSNorm x
     # inside the decode kernel's prologue (see _make_kernel_fused_norm);
     # routes that cannot fuse apply the norm first — numerics identical.
+    fuse_glu: bool = False,  # x is the RAW [..., 2K] fused gate_up output;
+    # silu(gate) * up runs inside the decode kernel's prologue (see
+    # _make_kernel_fused_glu); routes that cannot fuse pre-gate — numerics
+    # identical.
 ) -> jax.Array:
     """Public fused W4A16 (or W4A8 with ``a8=True``) matmul over arbitrary
     leading dims.
@@ -888,8 +988,11 @@ def quantized_matmul(
     if out_dtype is None:
         out_dtype = x.dtype if x.dtype != jnp.float32 else jnp.bfloat16
     lead = x.shape[:-1]
-    K = x.shape[-1]
-    x2 = x.reshape(-1, K)
+    x2 = x.reshape(-1, x.shape[-1])
+    if fuse_glu and (x2.shape[0] > 8 or a8 or group_size != 128):
+        x2 = _glu_fallback(x2)
+        fuse_glu = False
+    K = qweight.shape[0] * PACK if fuse_glu else x2.shape[-1]
     if fuse_norm is not None and (x2.shape[0] > 8 or a8):
         from quick_tpu.ops.norms import rms_norm
 
@@ -899,6 +1002,9 @@ def quantized_matmul(
     # int8 weight stream is HBM-bound at ~750 GB/s); but M<=64 REGRESSES
     # (126 vs 158 TF — quantize_activations overhead dominates), so the
     # int8 path only engages where it wins: rows that pad to >=128.
+    if fuse_glu and x2.shape[0] >= _dense_m_threshold():
+        x2 = _glu_fallback(x2)
+        fuse_glu = False
     if x2.shape[0] >= _dense_m_threshold():
         # large-prefill route (the reference's tokens>=1024 heuristic,
         # linear/gemm.py:156-172, re-derived for TPU): materialize the
@@ -921,6 +1027,7 @@ def quantized_matmul(
             group_size=group_size, out_dtype=out_dtype,
             norm_weight=None if fuse_norm is None else fuse_norm[0],
             norm_eps=1e-6 if fuse_norm is None else float(fuse_norm[1]),
+            glu=fuse_glu,
         )
     y = y.reshape(*lead, y.shape[-1])
     if bias is not None:
