@@ -26,13 +26,16 @@ def main():
     ap.add_argument("--quantize_lm_head", action="store_true")
     ap.add_argument("--n1", type=int, default=10)
     ap.add_argument("--n2", type=int, default=110)
+    ap.add_argument("--window", type=int, default=0, help="mistral sliding "
+                    "window (0 = full attention); engages the paged "
+                    "kernel's below-window DMA+compute skip")
     args = ap.parse_args()
 
     cfg = ModelConfig(
         vocab_size=32000, hidden_size=4096, intermediate_size=14336,
         num_hidden_layers=32, num_attention_heads=32,
-        num_key_value_heads=8, max_position_embeddings=4096,
-        model_type="mistral")
+        num_key_value_heads=8, max_position_embeddings=args.max_seq,
+        model_type="mistral", sliding_window=args.window or None)
     B, page = args.slots, args.page
     kv_dtype = jnp.int8 if args.kv == "int8" else jnp.bfloat16
 
@@ -97,7 +100,10 @@ def main():
             nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
             return nxt, cache
         tokens, cache = jax.lax.fori_loop(0, n, body, (tokens, cache))
-        return tokens
+        # the cache must be an OUTPUT for the donation to have something
+        # to alias — donate-without-alias leaves the input live and the
+        # program holds the cache twice (8 slots x 8k bf16 OOM'd at 20.5G)
+        return tokens, cache
 
     holder = [cache]  # init cache: donated by the first warmup call
     del cache
@@ -110,12 +116,12 @@ def main():
         return c
 
     def run(n):
-        np.asarray(loop(params, tokens0, fresh(), n)[:1, :1])
+        np.asarray(loop(params, tokens0, fresh(), n)[0][:1, :1])
         best = np.inf
         for _ in range(3):
             c = fresh()
             t0 = time.perf_counter()
-            np.asarray(loop(params, tokens0, c, n)[:1, :1])
+            np.asarray(loop(params, tokens0, c, n)[0][:1, :1])
             best = min(best, time.perf_counter() - t0)
         return best
 
