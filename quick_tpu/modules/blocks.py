@@ -364,11 +364,14 @@ def attention_forward(
         )
         if (
             ctx.seq_size is not None and slopes is None
-            and cp_window is None and softcap is None
+            and softcap is None
         ):
             # ring attention: K/V stay sequence-sharded and rotate via
             # ppermute — per-device KV footprint is S/n for the whole
-            # pass (parallel/ring_attention.py)
+            # pass (parallel/ring_attention.py). Sliding-window layers
+            # ride the ring too (window masks compose with the per-block
+            # position masks; below-window chunk pairs cond-skip), so
+            # mistral-class models keep sharded KV.
             from quick_tpu.parallel.ring_attention import (
                 ring_causal_attention,
                 zigzag_ring_causal_attention,
@@ -376,14 +379,14 @@ def attention_forward(
 
             if ctx.seq_zigzag:
                 out = zigzag_ring_causal_attention(
-                    q, k, v, ctx.seq_axis, ctx.seq_size
+                    q, k, v, ctx.seq_axis, ctx.seq_size, window=cp_window
                 )
             else:
                 out = ring_causal_attention(
-                    q, k, v, ctx.seq_axis, ctx.seq_size
+                    q, k, v, ctx.seq_axis, ctx.seq_size, window=cp_window
                 )
         else:
-            # gather fallback: alibi/window/softcap layers attend over the
+            # gather fallback: alibi/softcap layers attend over the
             # fully gathered K/V (q stays sequence-sharded)
             k_all = ctx.all_gather_seq(k)
             v_all = ctx.all_gather_seq(v)

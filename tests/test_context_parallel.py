@@ -155,3 +155,99 @@ def test_zigzag_ring_attention_matches_dense(cpu_mesh_devices):
     ))
     out = np.asarray(ring(q[:, order], k[:, order], v[:, order]))[:, inv]
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def _dense_window_ref(q, k, v, Hq, Hkv, D, S, window):
+    kr = np.repeat(np.asarray(k), Hq // Hkv, axis=2)
+    vr = np.repeat(np.asarray(v), Hq // Hkv, axis=2)
+    s = np.einsum("bqhd,bkhd->bhqk", np.asarray(q), kr) * D ** -0.5
+    qp, kp = np.arange(S)[:, None], np.arange(S)[None, :]
+    mask = (kp <= qp) & (kp > qp - window)
+    s = np.where(mask[None, None], s, -np.inf)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bkhd->bqhd", p, vr)
+
+
+@pytest.mark.parametrize("window", [5, 16])
+def test_ring_attention_window_matches_dense(cpu_mesh_devices, window):
+    """ring attention with a sliding window == dense windowed attention
+    (mistral-class layers keep sharded KV — VERDICT r3 item 9)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from quick_tpu.parallel.ring_attention import ring_causal_attention
+
+    B, S, Hq, Hkv, D, n = 2, 32, 4, 2, 16, 4
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((B, S, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    ref = _dense_window_ref(q, k, v, Hq, Hkv, D, S, window)
+
+    mesh = Mesh(np.asarray(cpu_mesh_devices[:n]), ("seq",))
+    ring = jax.jit(jax.shard_map(
+        lambda q, k, v: ring_causal_attention(
+            q, k, v, "seq", n, window=window
+        ),
+        mesh=mesh,
+        in_specs=(P(None, "seq"), P(None, "seq"), P(None, "seq")),
+        out_specs=P(None, "seq"),
+        check_vma=False,
+    ))
+    out = ring(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("window", [5, 16])
+def test_zigzag_ring_attention_window_matches_dense(cpu_mesh_devices, window):
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from quick_tpu.parallel.ring_attention import (
+        zigzag_order,
+        zigzag_ring_causal_attention,
+    )
+
+    B, S, Hq, Hkv, D, n = 2, 32, 4, 2, 16, 4
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((B, S, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    ref = _dense_window_ref(q, k, v, Hq, Hkv, D, S, window)
+
+    order = np.asarray(zigzag_order(S, n))
+    inv = np.argsort(order)
+    mesh = Mesh(np.asarray(cpu_mesh_devices[:n]), ("seq",))
+    ring = jax.jit(jax.shard_map(
+        lambda q, k, v: zigzag_ring_causal_attention(
+            q, k, v, "seq", n, window=window
+        ),
+        mesh=mesh,
+        in_specs=(P(None, "seq"), P(None, "seq"), P(None, "seq")),
+        out_specs=P(None, "seq"),
+        check_vma=False,
+    ))
+    out = np.asarray(ring(q[:, order], k[:, order], v[:, order]))[:, inv]
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_cp_sliding_window_model(cpu_mesh_devices):
+    """A mistral-like config (every layer sliding-window) rides zigzag CP
+    end-to-end, matches the single-device forward, and its compiled
+    program keeps K/V sharded (no KV-shaped all-gather)."""
+    import dataclasses
+    import re
+
+    cfg = dataclasses.replace(TINY, sliding_window=7)
+    params = init_float_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 128)
+    ref, _ = model_forward(params, cfg, toks)
+    fn = context_parallel_forward_fn(cfg, create_seq_mesh(2, cpu_mesh_devices))
+    out = fn(params, toks)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=6e-2, rtol=6e-2
+    )
+    txt = fn.lower(params, toks).compile().as_text()
+    assert "collective-permute" in txt
+    for ag in re.finditer(r"all-gather[^\n]*", txt):
+        line = ag.group(0)
+        assert "16,2,16" not in line and "2,16,16" not in line, line
