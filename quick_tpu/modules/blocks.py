@@ -307,8 +307,7 @@ def attention_forward(
                 q[:, 0], cache.k_pages, cache.v_pages,
                 cache.block_table, start + 1, layer=layer_idx,
                 alibi_slopes=slopes,
-                k_scales=cache.k_scales if quant else None,
-                v_scales=cache.v_scales if quant else None,
+                kv_scales=cache.kv_scales if quant else None,
                 window=window,
                 interpret=jax.default_backend() == "cpu",
             )[:, None]
@@ -339,8 +338,7 @@ def attention_forward(
                     q, cache.k_pages, cache.v_pages,
                     cache.block_table, start, layer=layer_idx,
                     alibi_slopes=slopes,
-                    k_scales=cache.k_scales if quant else None,
-                    v_scales=cache.v_scales if quant else None,
+                    kv_scales=cache.kv_scales if quant else None,
                     window=window,
                     interpret=jax.default_backend() == "cpu",
                 )

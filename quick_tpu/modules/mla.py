@@ -153,8 +153,7 @@ def mla_attention_forward(
                 cache.k_pages, cache.v_pages,
                 cache.block_table, start + 1, layer=layer_idx,
                 scale=mla_softmax_scale(cfg),
-                kpe_scales=cache.k_scales if quant else None,
-                c_scales=cache.v_scales if quant else None,
+                kv_scales=cache.kv_scales if quant else None,
                 interpret=jax.default_backend() == "cpu",
             )[:, None]  # [B, 1, hq, R]
             out = jnp.einsum(

@@ -40,28 +40,26 @@ class PagedKVCache:
     (ops/paged_attention.py).
     block_table:     [max_slots, max_pages_per_seq] int32 physical page ids
     length:          [max_slots] int32 valid tokens per slot
-    k_scales/v_scales: [L, n_pages, 8, H_kv * page_size] f32
-    per-token-per-head absmax scales when the pages are INT8-quantized
-    (``dtype=jnp.int8`` at create — halves KV HBM bytes and roughly
-    doubles KV capacity per chip; no reference analog, the reference cache
-    is fp16-only). None for float KV. The (head, token) scales are flat in
-    the minor dim (lane-efficient) and REPLICATED over 8 sublane rows so
-    each page owns a legal (8, H*page) Mosaic tile: the attention kernels
-    read row 0 of exactly one page's tile per step (no masked row-select,
-    no cross-page group blocks), and the decode write is a collision-free
-    aliased Pallas RMW updating all 8 rows (ops/paged_write.py) — the XLA
-    scale scatter it replaces cost 145 us/layer at 128-slot 7B scale (the
-    measured INT8 serving regression, tools/int8_gap_bench.py). The 8x
-    replication costs page_size*32 bytes/page-plane (~+24%% of the INT8
-    KV bytes) — the price of hazard-free per-page RMW blocks.
+    kv_scales: [L, n_pages, 8, H_kv * page_size] f32 per-token-per-head
+    absmax scales when the pages are INT8-quantized (``dtype=jnp.int8`` at
+    create — halves KV HBM bytes and roughly doubles KV capacity per chip;
+    no reference analog, the reference cache is fp16-only). None for float
+    KV. ONE shared tile per page: sublane row 0 holds the K scales, row 1
+    the V scales, flat (head, token) in the minor (lane) dim; rows 2-7 are
+    tile padding. Each page owning a legal (8, H*page) Mosaic tile keeps
+    the attention reads (rows 0/1 of exactly one page's tile per step) and
+    the collision-free aliased Pallas RMW writes (ops/paged_write.py) that
+    replaced the 145 us/layer XLA scale scatters — while the k+v-in-one-
+    tile packing halves the scale bytes vs the round-3 two-array layout
+    (+25%% -> +12.5%% of the INT8 KV bytes) and halves the per-page scale
+    DMAs in the decode attention kernel.
     """
 
     k_pages: jax.Array
     v_pages: jax.Array
     block_table: jax.Array
     length: jax.Array
-    k_scales: Optional[jax.Array] = None
-    v_scales: Optional[jax.Array] = None
+    kv_scales: Optional[jax.Array] = None
 
     @classmethod
     def create(
@@ -89,12 +87,7 @@ class PagedKVCache:
                 (max_slots, max_pages_per_seq), TRASH_PAGE, jnp.int32
             ),
             length=jnp.zeros((max_slots,), jnp.int32),
-            k_scales=(
-                jnp.zeros((n_layers, n_pages, 8, n_kv * page_size),
-                          jnp.float32)
-                if quant else None
-            ),
-            v_scales=(
+            kv_scales=(
                 jnp.zeros((n_layers, n_pages, 8, n_kv * page_size),
                           jnp.float32)
                 if quant else None
@@ -103,7 +96,7 @@ class PagedKVCache:
 
     @property
     def quantized(self) -> bool:
-        return self.k_scales is not None
+        return self.kv_scales is not None
 
     # -- geometry -------------------------------------------------------------
     @property
@@ -171,16 +164,15 @@ class PagedKVCache:
             written = paged_write_chunk(
                 self.k_pages, self.v_pages, kn, vn,
                 pgs, off[:, 0], valid, layer,
-                k_scales=self.k_scales, v_scales=self.v_scales,
+                kv_scales=self.kv_scales,
                 ks_new=ks if self.quantized else None,
                 vs_new=vs if self.quantized else None,
                 interpret=jax.default_backend() == "cpu",
             )
             if self.quantized:
-                kp, vp, ksp, vsp = written
+                kp, vp, sp = written
                 return dataclasses.replace(
-                    self, k_pages=kp, v_pages=vp,
-                    k_scales=ksp, v_scales=vsp,
+                    self, k_pages=kp, v_pages=vp, kv_scales=sp,
                 )
             kp, vp = written
             return dataclasses.replace(self, k_pages=kp, v_pages=vp)
@@ -201,16 +193,15 @@ class PagedKVCache:
             written = paged_write_decode(
                 self.k_pages, self.v_pages, kn[:, 0], vn[:, 0],
                 page[:, 0], off[:, 0], layer,
-                k_scales=self.k_scales, v_scales=self.v_scales,
+                kv_scales=self.kv_scales,
                 ks_new=ks[:, 0] if self.quantized else None,
                 vs_new=vs[:, 0] if self.quantized else None,
                 interpret=jax.default_backend() == "cpu",
             )
             if self.quantized:
-                kp, vp, ksp, vsp = written
+                kp, vp, sp = written
                 return dataclasses.replace(
-                    self, k_pages=kp, v_pages=vp,
-                    k_scales=ksp, v_scales=vsp,
+                    self, k_pages=kp, v_pages=vp, kv_scales=sp,
                 )
             kp, vp = written
         else:
@@ -225,30 +216,18 @@ class PagedKVCache:
             )
         if not self.quantized:
             return dataclasses.replace(self, k_pages=kp, v_pages=vp)
-        # scale tiles [L, P, 8, H*page]: scatter the flat (head, token)
-        # entry into ALL 8 replicated rows (prefill chunks only — decode
-        # rides the RMW kernel above)
+        # shared scale tile [L, P, 8, H*page]: scatter the flat
+        # (head, token) entries into row 0 (k) and row 1 (v) of each
+        # page's tile (prefill chunks only — decode rides the RMW kernel)
         H = k_new.shape[2]
         sidx = (
             jnp.arange(H, dtype=jnp.int32)[None, None, :] * self.page_size
             + off[:, :, None]
         )  # [B, S, H]
-        ks8 = jnp.broadcast_to(ks[:, :, None, :], ks.shape[:2] + (8, H))
-        vs8 = jnp.broadcast_to(vs[:, :, None, :], vs.shape[:2] + (8, H))
+        sc = self.kv_scales.at[layer, page[:, :, None], 0, sidx].set(ks)
+        sc = sc.at[layer, page[:, :, None], 1, sidx].set(vs)
         return dataclasses.replace(
-            self,
-            k_pages=kp,
-            v_pages=vp,
-            k_scales=self.k_scales.at[
-                layer, page[:, :, None, None],
-                jnp.arange(8, dtype=jnp.int32)[None, None, :, None],
-                sidx[:, :, None, :],
-            ].set(ks8),
-            v_scales=self.v_scales.at[
-                layer, page[:, :, None, None],
-                jnp.arange(8, dtype=jnp.int32)[None, None, :, None],
-                sidx[:, :, None, :],
-            ].set(vs8),
+            self, k_pages=kp, v_pages=vp, kv_scales=sc,
         )
 
     def layer(self, i: int) -> Tuple[jax.Array, jax.Array]:
@@ -268,8 +247,9 @@ class PagedKVCache:
         if not self.quantized:
             return k, v
         n_pt = self.block_table.shape[1]
-        ks = self.k_scales[i][self.block_table][:, :, 0]  # row 0 of the
-        vs = self.v_scales[i][self.block_table][:, :, 0]   # replicated tile
+        sc = self.kv_scales[i][self.block_table]  # [B, P_seq, 8, T]
+        ks = sc[:, :, 0]  # row 0: k scales
+        vs = sc[:, :, 1]  # row 1: v scales
         ks = ks.reshape(B, n_pt, H, self.page_size)
         vs = vs.reshape(B, n_pt, H, self.page_size)
         ks = jnp.moveaxis(ks, 2, 1).reshape(B, H, -1, 1)
@@ -315,8 +295,7 @@ class PagedKVCache:
             self,
             k_pages=sub.k_pages,
             v_pages=sub.v_pages,
-            k_scales=sub.k_scales,
-            v_scales=sub.v_scales,
+            kv_scales=sub.kv_scales,
             length=ln,
         )
 

@@ -43,19 +43,19 @@ def _mla_paged_kernel(
     qc_ref, qpe_ref,            # VMEM: [1, Hq, R], [1, Hq, dr]
     *rest,                      # ppb x (kpe_ref [1,1,1,page,dr],
                                 #        c_ref   [1,1,1,page,R]),
-                                # then ppb x (ks_ref, cs_ref
-                                # [1,1,8,page] f32 — the page's replicated
-                                # scale tile) if quantized, then o_ref,
-                                # m/l/acc scratch
+                                # then ppb x sc_ref [1,1,8,page] f32 — the
+                                # page's shared scale tile (row 0 = kpe
+                                # scales, row 1 = latent scales) if
+                                # quantized, then o_ref, m/l/acc scratch
     page: int, scale: float, quantized: bool, ppb: int,
 ):
     kv_refs = rest[: 2 * ppb]
     rest = rest[2 * ppb :]
     if quantized:
-        sc_refs = rest[: 2 * ppb]
-        rest = rest[2 * ppb :]
+        sc_refs = rest[:ppb]
+        rest = rest[ppb:]
     else:
-        sc_refs = (None,) * (2 * ppb)
+        sc_refs = (None,) * ppb
     o_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -69,12 +69,12 @@ def _mla_paged_kernel(
 
     for j in range(ppb):
         kpe_ref, c_ref = kv_refs[2 * j], kv_refs[2 * j + 1]
-        ks_ref, cs_ref = sc_refs[2 * j], sc_refs[2 * j + 1]
+        sc_ref = sc_refs[j]
         base = (i * ppb + j) * page
 
         @pl.when(base < length)
-        def _compute(kpe_ref=kpe_ref, c_ref=c_ref, ks_ref=ks_ref,
-                     cs_ref=cs_ref, j=j, base=base):
+        def _compute(kpe_ref=kpe_ref, c_ref=c_ref, sc_ref=sc_ref,
+                     j=j, base=base):
             qc = qc_ref[0]                      # [Hq, R]
             qpe = qpe_ref[0]                    # [Hq, dr]
             c = c_ref[0, 0, 0]                  # [page, R]
@@ -92,10 +92,11 @@ def _mla_paged_kernel(
                 preferred_element_type=jnp.float32,
             )
             if quantized:
-                # per-token column scales: row 0 of the page's own
-                # replicated [8, page] tile (modules/paged_cache.py)
-                cs = cs_ref[0, 0, 0:1, :]       # [1, page]
-                ks = ks_ref[0, 0, 0:1, :]
+                # per-token column scales from the page's own shared
+                # [8, page] tile: row 0 = kpe, row 1 = latent
+                # (modules/paged_cache.py)
+                ks = sc_ref[0, 0, 0:1, :]       # [1, page]
+                cs = sc_ref[0, 0, 1:2, :]
                 s = (s_c * cs + s_pe * ks) * scale
             else:
                 s = (s_c + s_pe) * scale
@@ -137,10 +138,9 @@ def mla_paged_decode_attention(
     layer: int,
     scale: float,             # mla_softmax_scale(cfg) — includes the
                               # deepseek-yarn mscale^2 correction
-    kpe_scales: Optional[jax.Array] = None,  # [L, P, 8, page] f32
-                              # replicated scale tiles when INT8 (flat
-                              # [L, P, page] convenience broadcasts in)
-    c_scales: Optional[jax.Array] = None,
+    kv_scales: Optional[jax.Array] = None,  # [L, P, 8, page] f32 shared
+                              # scale tiles when INT8 (row 0 = kpe
+                              # scales, row 1 = latent scales)
     interpret: bool = False,
 ) -> jax.Array:
     """Returns the latent-space context [B, Hq, R]; the caller re-projects
@@ -151,7 +151,7 @@ def mla_paged_decode_attention(
     dr = q_pe.shape[-1]
     _, P, _, page, _ = kpe_pages.shape
     n_pt = block_table.shape[1]
-    quantized = kpe_scales is not None
+    quantized = kv_scales is not None
 
     ppb = 2 if n_pt % 2 == 0 and n_pt > 1 else 1
 
@@ -173,17 +173,6 @@ def mla_paged_decode_attention(
         ]
         inputs += [kpe_pages, c_pages]
     if quantized:
-        def _canon(sc):
-            if sc.ndim == 4 and sc.shape[2] == 8:
-                return sc
-            sc = sc.reshape(-1, P, page)
-            return jnp.broadcast_to(
-                sc[:, :, None, :], sc.shape[:2] + (8, page)
-            )
-
-        kpe_scales = _canon(kpe_scales)
-        c_scales = _canon(c_scales)
-
         def scale_index_j(j):
             def scale_index(b, i, bt, ln):
                 last = jnp.maximum(ln[b] - 1, 0) // page
@@ -193,9 +182,8 @@ def mla_paged_decode_attention(
         for j in range(ppb):
             in_specs += [
                 pl.BlockSpec((1, 1, 8, page), scale_index_j(j)),
-                pl.BlockSpec((1, 1, 8, page), scale_index_j(j)),
             ]
-            inputs += [kpe_scales, c_scales]
+            inputs += [kv_scales]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -33,9 +33,9 @@ def _paged_kernel(
     bt_ref, len_ref,                  # SMEM: [B, n_pt], [B]
     q_ref, slope_ref,                 # VMEM: [1,Hq,D], [Hq,1]
     *rest,                            # ppb x (k_ref, v_ref [1,1,Hkv,page,D]),
-                                      # then ppb x (ks_ref, vs_ref
-                                      # [1,1,8,Hkv*page] f32 — the page's
-                                      # own replicated scale tile) if
+                                      # then ppb x (sc_ref [1,1,8,Hkv*page]
+                                      # f32 — the page's own shared scale
+                                      # tile, row 0 = k / row 1 = v) if
                                       # quantized, then o_ref, m/l/acc
                                       # scratch
     page: int, gq: int, hkv: int, scale: float, use_alibi: bool,
@@ -44,11 +44,11 @@ def _paged_kernel(
     kv_refs = rest[: 2 * ppb]
     rest = rest[2 * ppb :]
     if quantized:
-        sc_refs = rest[: 2 * ppb]
-        sq_ref = rest[2 * ppb]            # [1, Hq, 1] f32 per-head q scale
-        rest = rest[2 * ppb + 1 :]
+        sc_refs = rest[:ppb]
+        sq_ref = rest[ppb]                # [1, Hq, 1] f32 per-head q scale
+        rest = rest[ppb + 1 :]
     else:
-        sc_refs = (None,) * (2 * ppb)
+        sc_refs = (None,) * ppb
         sq_ref = None
     o_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
@@ -71,12 +71,12 @@ def _paged_kernel(
     lo = length - window if window else jnp.zeros((), jnp.int32)
     for j in range(ppb):
         k_ref, v_ref = kv_refs[2 * j], kv_refs[2 * j + 1]
-        ks_ref, vs_ref = sc_refs[2 * j], sc_refs[2 * j + 1]
+        sc_ref = sc_refs[j]
         base = (i * ppb + j) * page
 
         @pl.when(jnp.logical_and(base < length, base + page > lo))
-        def _compute(k_ref=k_ref, v_ref=v_ref, ks_ref=ks_ref,
-                     vs_ref=vs_ref, j=j, base=base):
+        def _compute(k_ref=k_ref, v_ref=v_ref, sc_ref=sc_ref,
+                     j=j, base=base):
             hq = hkv * gq
             T = hkv * page
             q = q_ref[0]                                 # [Hq, D]
@@ -98,11 +98,11 @@ def _paged_kernel(
                 ),
             )                                            # [Hq, Hkv*page]
             if quantized:
-                # the scale block is the page's OWN replicated
-                # [8, T] tile (modules/paged_cache.py): row 0 is the
-                # flat (head, token) scale row — no masked row-select,
-                # no cross-page group blocks
-                ks_row = ks_ref[0, 0, 0:1, :]            # [1, T]
+                # the scale block is the page's OWN shared [8, T] tile
+                # (modules/paged_cache.py): row 0 is the flat
+                # (head, token) k-scale row, row 1 the v-scale row — one
+                # DMA covers both (half the round-3 scale traffic)
+                ks_row = sc_ref[0, 0, 0:1, :]            # [1, T]
                 s = s.astype(jnp.float32) * (sq_ref[0] * scale) * ks_row
             else:
                 s = s * scale
@@ -131,7 +131,7 @@ def _paged_kernel(
                 # row so the context dot also runs int8 x int8 (adds one
                 # ~0.8%-of-rowmax rounding on attention weights — same
                 # order as the KV codes' own rounding)
-                p = p * vs_ref[0, 0, 0:1, :]
+                p = p * sc_ref[0, 0, 1:2, :]
                 pmax = jnp.maximum(
                     jnp.max(jnp.abs(p), axis=-1, keepdims=True), 1e-30
                 )
@@ -163,18 +163,19 @@ def _paged_chunk_kernel(
     bt_ref, len_ref,                  # SMEM: [B, n_pt], [B] chunk STARTS
     q_ref, slope_ref,                 # VMEM: [1,S,Hq,D], [S*Hq,1]
     *rest,                            # ppb x (k_ref, v_ref) then ppb x
-                                      # (ks_ref, vs_ref) if quantized,
-                                      # then o_ref, m/l/acc scratch
+                                      # sc_ref (shared k/v scale tile) if
+                                      # quantized, then o_ref, m/l/acc
+                                      # scratch
     page: int, gq: int, hkv: int, S: int, scale: float, use_alibi: bool,
     quantized: bool, ppb: int, window: int,
 ):
     kv_refs = rest[: 2 * ppb]
     rest = rest[2 * ppb :]
     if quantized:
-        sc_refs = rest[: 2 * ppb]
-        rest = rest[2 * ppb :]
+        sc_refs = rest[:ppb]
+        rest = rest[ppb:]
     else:
-        sc_refs = (None,) * (2 * ppb)
+        sc_refs = (None,) * ppb
     o_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -198,12 +199,11 @@ def _paged_chunk_kernel(
     )
     for j in range(ppb):
         k_ref, v_ref = kv_refs[2 * j], kv_refs[2 * j + 1]
-        ks_ref, vs_ref = sc_refs[2 * j], sc_refs[2 * j + 1]
+        sc_ref = sc_refs[j]
         base = (i * ppb + j) * page
 
         @pl.when(jnp.logical_and(base < cap, base + page > lo))
-        def _compute(k_ref=k_ref, v_ref=v_ref, ks_ref=ks_ref,
-                     vs_ref=vs_ref, base=base):
+        def _compute(k_ref=k_ref, v_ref=v_ref, sc_ref=sc_ref, base=base):
             q = q_ref[0].reshape(R, -1)                  # leading merge: free
             k = k_ref[0, 0].reshape(T, -1)
             if quantized:
@@ -217,7 +217,7 @@ def _paged_chunk_kernel(
                 preferred_element_type=jnp.float32,
             ) * scale                                    # [R, T]
             if quantized:
-                s = s * ks_ref[0, 0, 0:1, :]             # per-key scales
+                s = s * sc_ref[0, 0, 0:1, :]             # per-key scales
             row = jax.lax.broadcasted_iota(jnp.int32, (R, T), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (R, T), 1)
             pos_q = start + row // hq                    # rows are c-major
@@ -239,7 +239,7 @@ def _paged_chunk_kernel(
             if quantized:
                 # fold v's per-row scales into the probabilities (ctx =
                 # (p * vs) @ v), then one bf16 context dot
-                p = p * vs_ref[0, 0, 0:1, :]
+                p = p * sc_ref[0, 0, 1:2, :]
                 v = v.astype(jnp.bfloat16)
             ctx = jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -275,8 +275,8 @@ def paged_chunk_attention(
     layer: int = 0,
     scale: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,
-    k_scales: Optional[jax.Array] = None,  # [L, P, 8, Hkv*page] f32 when INT8
-    v_scales: Optional[jax.Array] = None,
+    kv_scales: Optional[jax.Array] = None,  # [L, P, 8, Hkv*page] f32 when
+    # INT8 — the shared per-page tile (row 0 = k, row 1 = v scales)
     window: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -308,24 +308,9 @@ def paged_chunk_attention(
     if scale is None:
         scale = D ** -0.5
     use_alibi = alibi_slopes is not None
-    quantized = k_scales is not None
-    if quantized:
-        # canonical replicated [L, P, 8, Hkv*page] tiles; broadcast in the
-        # single-layer / flat convenience forms (same as decode)
-        def _canon(sc):
-            if sc.ndim == 4 and sc.shape[2] == 8 and not single_layer:
-                return sc
-            sc = sc.reshape(1 if single_layer else -1, P, -1)
-            if sc.shape[-1] == Hkv * page:
-                sc = jnp.broadcast_to(
-                    sc[:, :, None, :], sc.shape[:2] + (8, Hkv * page)
-                )
-            else:
-                sc = sc.reshape(sc.shape[0], P, 8, Hkv * page)
-            return sc
-
-        k_scales = _canon(k_scales)
-        v_scales = _canon(v_scales)
+    quantized = kv_scales is not None
+    if quantized and single_layer:
+        kv_scales = kv_scales.reshape(1, P, 8, Hkv * page)
     R = S * Hq
     # per-row alibi slopes, tiled over the chunk's c-major row order
     slopes = (
@@ -388,9 +373,8 @@ def paged_chunk_attention(
         for j in range(ppb):
             in_specs += [
                 pl.BlockSpec((1, 1, 8, T), scale_index_j(j)),
-                pl.BlockSpec((1, 1, 8, T), scale_index_j(j)),
             ]
-            inputs += [k_scales, v_scales]
+            inputs += [kv_scales]
 
     scratch_shapes = [
         pltpu.VMEM((R, 1), jnp.float32),
@@ -424,7 +408,7 @@ def paged_chunk_attention(
 
 @functools.partial(
     jax.jit, static_argnames=("layer", "scale", "interpret", "window")
-)  # quantized-ness is static via k_scales None-ness (jit re-traces)
+)  # quantized-ness is static via kv_scales None-ness (jit re-traces)
 def paged_decode_attention(
     q: jax.Array,            # [B, Hq, D] one decode step's queries
     k_pages: jax.Array,      # [L, P, Hkv, page, D] page stack — or a single
@@ -434,9 +418,8 @@ def paged_decode_attention(
     layer: int = 0,
     scale: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,
-    k_scales: Optional[jax.Array] = None,  # [L, P, Hkv*page] f32 (flat, see
-    v_scales: Optional[jax.Array] = None,  # paged_cache) when INT8; or
-    # a single layer's [P, Hkv, page] / [P, Hkv*page]
+    kv_scales: Optional[jax.Array] = None,  # [L, P, 8, Hkv*page] f32 shared
+    # per-page scale tile (row 0 = k, row 1 = v; see paged_cache) when INT8
     window: Optional[int] = None,  # sliding window (mistral): only keys
     # with pos > length-1-window visible; pages fully below skip DMA+compute
     interpret: bool = False,
@@ -459,26 +442,9 @@ def paged_decode_attention(
     if scale is None:
         scale = D ** -0.5
     use_alibi = alibi_slopes is not None
-    quantized = k_scales is not None
-    if quantized:
-        # canonical layout: per-page replicated [L, P, 8, Hkv*page] tiles
-        # (modules/paged_cache.py). Convenience forms — single-layer
-        # and/or flat (head, token) planes without the row axis —
-        # broadcast in.
-        def _canon(sc):
-            if sc.ndim == 4 and sc.shape[2] == 8 and not single_layer:
-                return sc
-            sc = sc.reshape(1 if single_layer else -1, P, -1)
-            if sc.shape[-1] == Hkv * page:
-                sc = jnp.broadcast_to(
-                    sc[:, :, None, :], sc.shape[:2] + (8, Hkv * page)
-                )
-            else:  # already [., P, 8, T] flattened oddly
-                sc = sc.reshape(sc.shape[0], P, 8, Hkv * page)
-            return sc
-
-        k_scales = _canon(k_scales)
-        v_scales = _canon(v_scales)
+    quantized = kv_scales is not None
+    if quantized and single_layer:
+        kv_scales = kv_scales.reshape(1, P, 8, Hkv * page)
     # slopes ride in VMEM as [Hq, 1] (read whole once per step, broadcast
     # along lanes) — not reassembled from SMEM scalars in the hot loop
     slopes = (
@@ -546,10 +512,11 @@ def paged_decode_attention(
         inputs += [k_pages, v_pages]
     T = Hkv * page
     if quantized:
-        # each scale block is the page's OWN replicated [8, T] tile
-        # (legal Mosaic block, same index map as the kv blocks) — exactly
-        # one page's scales per DMA, no masked row select, and the decode
-        # write RMWs the same blocks collision-free (ops/paged_write.py)
+        # each scale block is the page's OWN shared [8, T] tile (row 0 =
+        # k scales, row 1 = v; legal Mosaic block, same index map as the
+        # kv blocks) — ONE DMA covers both planes' scales for the page,
+        # and the decode write RMWs the same blocks collision-free
+        # (ops/paged_write.py)
         def scale_index_j(j):
             def scale_index(b, i, bt, ln):
                 last = jnp.maximum(ln[b] - 1, 0) // page
@@ -563,9 +530,8 @@ def paged_decode_attention(
         for j in range(ppb):
             in_specs += [
                 pl.BlockSpec((1, 1, 8, T), scale_index_j(j)),
-                pl.BlockSpec((1, 1, 8, T), scale_index_j(j)),
             ]
-            inputs += [k_scales, v_scales]
+            inputs += [kv_scales]
         in_specs.append(
             pl.BlockSpec((1, Hq, 1), lambda b, i, bt, ln: (b, 0, 0))
         )

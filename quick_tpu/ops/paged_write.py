@@ -38,16 +38,17 @@ def _group_for(dtype) -> int:
 
 
 def _write_kernel_quant(pg_ref, off_ref, kn_ref, vn_ref, ksn_ref, vsn_ref,
-                        onehot_ref, kp_in, vp_in, ks_in, vs_in,
-                        ko_ref, vo_ref, kso_ref, vso_ref,
+                        onehot_ref, kp_in, vp_in, sc_in,
+                        ko_ref, vo_ref, sco_ref,
                         *, group: int, page: int):
-    """KV write + per-page scale-tile write (INT8 KV). Each page owns a
-    replicated (8, Hkv*page) scale tile (modules/paged_cache.py) — its RMW
-    block never collides across grid steps (unlike an aligned row GROUP
-    over a flat [P, H*page] plane, where neighboring pages share rows).
-    The per-head scale values expand to the flat (head, token) lane order
-    with one tiny one-hot MXU dot ([Hkv,1]^T x [Hkv,T]) — a lane-indexed
-    gather of a sublane vector has no direct Mosaic lowering."""
+    """KV write + per-page scale-tile write (INT8 KV). Each page owns ONE
+    shared (8, Hkv*page) scale tile (modules/paged_cache.py: row 0 = k
+    scales, row 1 = v scales) — its RMW block never collides across grid
+    steps (unlike an aligned row GROUP over a flat [P, H*page] plane,
+    where neighboring pages share rows). The per-head scale values expand
+    to the flat (head, token) lane order with one tiny one-hot MXU dot
+    ([Hkv,1]^T x [Hkv,T]) — a lane-indexed gather of a sublane vector has
+    no direct Mosaic lowering."""
     _write_kernel(pg_ref, off_ref, kn_ref, vn_ref, kp_in, vp_in,
                   ko_ref, vo_ref, group=group)
     b = pl.program_id(0)
@@ -55,16 +56,21 @@ def _write_kernel_quant(pg_ref, off_ref, kn_ref, vn_ref, ksn_ref, vsn_ref,
     csel = jax.lax.broadcasted_iota(
         jnp.int32, (1, 1, 1, T), 3
     ) % page == off_ref[b]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8, 1), 2)
     kval = jax.lax.dot_general(
         ksn_ref[...][0], onehot_ref[...], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [1, T] — ksn[h] at every column of head h's token range
-    vval = jax.lax.dot_general(
+    val = jax.lax.dot_general(
         vsn_ref[...][0], onehot_ref[...], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    kso_ref[...] = jnp.where(csel, kval[None, None], ks_in[...])
-    vso_ref[...] = jnp.where(csel, vval[None, None], vs_in[...])
+    out = jnp.where(
+        jnp.logical_and(csel, rows == 0), kval[None, None], sc_in[...]
+    )
+    sco_ref[...] = jnp.where(
+        jnp.logical_and(csel, rows == 1), val[None, None], out
+    )
 
 
 def _write_kernel(pg_ref, off_ref, kn_ref, vn_ref, kp_in, vp_in,
@@ -91,13 +97,13 @@ def paged_write_decode(
     page_ids: jax.Array,  # [B] int32 physical page per token
     offs: jax.Array,      # [B] int32 in-page offset per token
     layer: int,
-    k_scales: jax.Array | None = None,  # [L, P, 8, Hkv*page] f32 replicated
-    v_scales: jax.Array | None = None,  # scale tiles (INT8; see paged_cache)
+    kv_scales: jax.Array | None = None,  # [L, P, 8, Hkv*page] f32 shared
+    # scale tiles (row 0 = k, row 1 = v; INT8 — see paged_cache)
     ks_new: jax.Array | None = None,    # [B, Hkv] f32 per-token scales
     vs_new: jax.Array | None = None,
     interpret: bool = False,
 ):
-    """Returns (k_pages, v_pages[, k_scales, v_scales]) with the tokens
+    """Returns (k_pages, v_pages[, kv_scales]) with the tokens
     (and, for INT8 KV, their scale entries) written into ``layer``.
 
     Donation-friendly: the page (and scale) arrays are aliased
@@ -120,7 +126,7 @@ def paged_write_decode(
     B, Hkv, Dk = k_new.shape
     Dv = v_new.shape[-1]  # deepseek MLA pages: k_pe/latent widths differ
     group = _group_for(k_pages.dtype)
-    quant = k_scales is not None
+    quant = kv_scales is not None
     T = Hkv * page_sz
 
     def blk_index(b, pg, off):
@@ -165,20 +171,17 @@ def paged_write_decode(
     if quant:
         in_specs += [
             pl.BlockSpec((1, 1, 8, T), scale_index),
-            pl.BlockSpec((1, 1, 8, T), scale_index),
         ]
-        inputs += [k_scales, v_scales]
+        inputs += [kv_scales]
         out_specs += [
-            pl.BlockSpec((1, 1, 8, T), scale_index),
             pl.BlockSpec((1, 1, 8, T), scale_index),
         ]
         out_shape += [
-            jax.ShapeDtypeStruct(k_scales.shape, jnp.float32),
-            jax.ShapeDtypeStruct(v_scales.shape, jnp.float32),
+            jax.ShapeDtypeStruct(kv_scales.shape, jnp.float32),
         ]
         # operand indices count the 2 prefetched scalars first: (pg, off,
-        # kn, vn, ksn, vsn, onehot, k_pages, v_pages, k_scales, v_scales)
-        aliases = {7: 0, 8: 1, 9: 2, 10: 3}
+        # kn, vn, ksn, vsn, onehot, k_pages, v_pages, kv_scales)
+        aliases = {7: 0, 8: 1, 9: 2}
         kernel = functools.partial(
             _write_kernel_quant, group=group, page=page_sz
         )
@@ -258,12 +261,13 @@ def _chunk_write_kernel(pg_ref, off_ref, valid_ref, kn_ref, vn_ref,
 
 def _chunk_write_kernel_quant(pg_ref, off_ref, valid_ref, kn_ref, vn_ref,
                               ksn_ref, vsn_ref, onehot_ref,
-                              kp_in, vp_in, ks_in, vs_in,
-                              ko_ref, vo_ref, kso_ref, vso_ref, *, page: int):
-    """INT8 variant: also RMWs the page's replicated (8, Hkv*page) scale
-    tile. Chunk scales [page(padded), Hkv] expand to per-token lane rows
-    with ONE one-hot MXU dot ([C,Hkv] @ [Hkv,T] -> [C,T]), then a [C,T]
-    select-sum scatters each token's row into its in-page lane column."""
+                              kp_in, vp_in, sc_in,
+                              ko_ref, vo_ref, sco_ref, *, page: int):
+    """INT8 variant: also RMWs the page's shared (8, Hkv*page) scale tile
+    (row 0 = k, row 1 = v). Chunk scales [page(padded), Hkv] expand to
+    per-token lane rows with ONE one-hot MXU dot ([C,Hkv] @ [Hkv,T] ->
+    [C,T]), then a [C,T] select-sum scatters each token's row into its
+    in-page lane column."""
     _chunk_write_kernel(pg_ref, off_ref, valid_ref, kn_ref, vn_ref,
                         kp_in, vp_in, ko_ref, vo_ref, page=page)
     b = pl.program_id(0)
@@ -272,7 +276,7 @@ def _chunk_write_kernel_quant(pg_ref, off_ref, valid_ref, kn_ref, vn_ref,
     valid = valid_ref[b]
     T = onehot_ref.shape[1]
 
-    def tile_update(sn_ref, s_in, s_out):
+    def tile_row(sn_ref, prev_row):
         rows = jax.lax.dot_general(
             sn_ref[...][0], onehot_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -287,11 +291,13 @@ def _chunk_write_kernel_quant(pg_ref, off_ref, valid_ref, kn_ref, vn_ref,
         )  # [C, T]
         contrib = jnp.sum(jnp.where(sel, rows, 0.0), axis=0, keepdims=True)
         hit = jnp.sum(sel.astype(jnp.float32), axis=0, keepdims=True) > 0
-        row = jnp.where(hit, contrib, s_in[...][0, 0, 0:1, :])
-        s_out[...] = jnp.broadcast_to(row[None, None], s_in.shape)
+        return jnp.where(hit, contrib, prev_row)  # [1, T]
 
-    tile_update(ksn_ref, ks_in, kso_ref)
-    tile_update(vsn_ref, vs_in, vso_ref)
+    krow = tile_row(ksn_ref, sc_in[...][0, 0, 0:1, :])
+    vrow = tile_row(vsn_ref, sc_in[...][0, 0, 1:2, :])
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8, 1), 2)
+    out = jnp.where(rows8 == 0, krow[None, None], sc_in[...])
+    sco_ref[...] = jnp.where(rows8 == 1, vrow[None, None], out)
 
 
 @functools.partial(jax.jit, static_argnames=("layer", "interpret"))
@@ -304,8 +310,8 @@ def paged_write_chunk(
     offs: jax.Array,      # [B] int32 in-page offset of the chunk's start
     valid: jax.Array,     # [B] int32 tokens of the chunk actually fed
     layer: int,
-    k_scales: jax.Array | None = None,  # [L, P, 8, Hkv*page] tiles (INT8)
-    v_scales: jax.Array | None = None,
+    kv_scales: jax.Array | None = None,  # [L, P, 8, Hkv*page] shared tiles
+    # (row 0 = k, row 1 = v; INT8)
     ks_new: jax.Array | None = None,    # [B, S, Hkv] f32 per-token scales
     vs_new: jax.Array | None = None,
     interpret: bool = False,
@@ -322,7 +328,7 @@ def paged_write_chunk(
     B, S = k_new.shape[:2]
     if S > page:
         raise ValueError(f"chunk S={S} must be <= page_size={page}")
-    quant = k_scales is not None
+    quant = kv_scales is not None
     T = Hkv * page
 
     # pad the chunk to page rows and move tokens onto the page-row axis:
@@ -378,19 +384,16 @@ def paged_write_chunk(
 
         in_specs += [
             pl.BlockSpec((1, 1, 8, T), scale_index),
-            pl.BlockSpec((1, 1, 8, T), scale_index),
         ]
-        inputs += [k_scales, v_scales]
+        inputs += [kv_scales]
         out_specs += [
-            pl.BlockSpec((1, 1, 8, T), scale_index),
             pl.BlockSpec((1, 1, 8, T), scale_index),
         ]
         out_shape += [
-            jax.ShapeDtypeStruct(k_scales.shape, jnp.float32),
-            jax.ShapeDtypeStruct(v_scales.shape, jnp.float32),
+            jax.ShapeDtypeStruct(kv_scales.shape, jnp.float32),
         ]
-        # (pg, off, vl | kn, vn, ksn, vsn, onehot, kp, vp, ks, vs)
-        aliases = {8: 0, 9: 1, 10: 2, 11: 3}
+        # (pg, off, vl | kn, vn, ksn, vsn, onehot, kp, vp, kv_scales)
+        aliases = {8: 0, 9: 1, 10: 2}
         kernel = functools.partial(_chunk_write_kernel_quant, page=page)
     else:
         aliases = {5: 0, 6: 1}

@@ -344,8 +344,7 @@ def paged_cache_spec(
         v_pages=P(None, None, head, None, None),
         block_table=P(None, None),
         length=P(None),
-        k_scales=sc,
-        v_scales=sc,
+        kv_scales=sc,
     )
 
 

@@ -457,8 +457,7 @@ def test_mla_paged_kernel_direct(quant):
     out = mla_paged_decode_attention(
         q_c, q_pe, cache.k_pages, cache.v_pages, bt, lengths, layer=0,
         scale=scale,
-        kpe_scales=cache.k_scales if quant else None,
-        c_scales=cache.v_scales if quant else None,
+        kv_scales=cache.kv_scales if quant else None,
         interpret=True,
     )
     # reference over the DEQUANTIZED cache contents (so INT8 rounding is

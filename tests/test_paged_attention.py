@@ -72,6 +72,15 @@ def test_paged_alibi(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
 
 
+def _shared_tile(ks, vs):
+    """Build the shared per-page scale tile [P, 8, Hkv*page] from
+    per-(page, head, token) k/v scales: row 0 = k, row 1 = v
+    (modules/paged_cache.py layout)."""
+    P = ks.shape[0]
+    t = jnp.zeros((P, 8, ks.reshape(P, -1).shape[-1]), jnp.float32)
+    return t.at[:, 0].set(ks.reshape(P, -1)).at[:, 1].set(vs.reshape(P, -1))
+
+
 def test_paged_int8_kernel_matches_dequant(rng):
     """INT8 pages + per-token scales through the kernel must match the
     float kernel run on the dequantized pages (output-side scale folding)."""
@@ -92,7 +101,7 @@ def test_paged_int8_kernel_matches_dequant(rng):
     kq, ks = quant(kp)
     vq, vs = quant(vp)
     out = paged_decode_attention(
-        q, kq, vq, bt, ln, k_scales=ks, v_scales=vs, interpret=True
+        q, kq, vq, bt, ln, kv_scales=_shared_tile(ks, vs), interpret=True
     )
     kd = kq.astype(jnp.float32) * ks[..., None]
     vd = vq.astype(jnp.float32) * vs[..., None]
@@ -270,20 +279,14 @@ def test_paged_chunk_int8_matches_dequant(rng):
         codes = jnp.clip(jnp.round(p / sc[..., None]), -127, 127).astype(
             jnp.int8
         )
-        # replicated [P, 8, Hkv*page] scale tiles (modules/paged_cache.py)
-        P = p.shape[0]
-        flat = sc.reshape(P, -1)                      # [P, Hkv*page]
-        tiles = jnp.broadcast_to(flat[:, None, :], (P, 8, flat.shape[-1]))
-        return codes, tiles
+        return codes, sc.astype(jnp.float32)
 
     kq, ks = quant(kp)
     vq, vs = quant(vp)
     out = paged_chunk_attention(
-        q, kq, vq, bt, ln, k_scales=ks, v_scales=vs, interpret=True
+        q, kq, vq, bt, ln, kv_scales=_shared_tile(ks, vs), interpret=True
     )
-    kd = (kq.astype(jnp.float32)
-          * ks[:, 0].reshape(kq.shape[:1] + kq.shape[1:3])[..., None])
-    vd = (vq.astype(jnp.float32)
-          * vs[:, 0].reshape(vq.shape[:1] + vq.shape[1:3])[..., None])
+    kd = kq.astype(jnp.float32) * ks[..., None]
+    vd = vq.astype(jnp.float32) * vs[..., None]
     ref = paged_chunk_attention(q, kd, vd, bt, ln, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-2)

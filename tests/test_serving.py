@@ -91,7 +91,7 @@ def test_paged_write_kernel_matches_scatter(rng, dtype, monkeypatch):
     )
     if dtype == jnp.int8:
         np.testing.assert_array_equal(
-            np.asarray(a.k_scales[1, 1:]), np.asarray(b.k_scales[1, 1:])
+            np.asarray(a.kv_scales[1, 1:]), np.asarray(b.kv_scales[1, 1:])
         )
 
 

@@ -71,9 +71,9 @@ def main():
             kp = jax.random.randint(
                 key, cache.k_pages.shape, -127, 128, jnp.int8
             )
-            sc = jnp.full(cache.k_scales.shape, 0.01, jnp.float32)
+            sc = jnp.full(cache.kv_scales.shape, 0.01, jnp.float32)
             return dataclasses.replace(
-                cache, k_pages=kp, v_pages=kp, k_scales=sc, v_scales=sc,
+                cache, k_pages=kp, v_pages=kp, kv_scales=sc,
                 block_table=bt,
                 length=jnp.full((B,), args.start_len, jnp.int32),
             )
@@ -87,7 +87,7 @@ def main():
     cache = rebuild(jax.random.PRNGKey(1), bt)
     print(f"init: {time.time()-t0:.1f}s  (kv={args.kv}, "
           f"kv bytes={cache.k_pages.nbytes*2/1e9:.2f}GB"
-          + (f" + scales {cache.k_scales.nbytes*2/1e9:.2f}GB"
+          + (f" + scales {cache.kv_scales.nbytes/1e9:.2f}GB"
              if cache.quantized else "") + ")", flush=True)
 
     tokens0 = jnp.zeros((B, 1), jnp.int32)

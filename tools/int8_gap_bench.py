@@ -43,12 +43,12 @@ def diff_time(run, n1=10, n2=210, reps=4):
 
 
 # ---- stage 1: attention kernel (single layer's pages, L folded = 1) ----
-def bench_attn(tag, kp, vp, ks, vs, bytes_tok):
+def bench_attn(tag, kp, vp, sc, bytes_tok):
     @functools.partial(jax.jit, static_argnames="n")
     def loop(q, n):
         def body(i, qq):
             o = paged_decode_attention(qq, kp, vp, bt, lens,
-                                       k_scales=ks, v_scales=vs)
+                                       kv_scales=sc)
             return qq + 0.0 * o.astype(qq.dtype)
         return jax.lax.fori_loop(0, n, body, q)
     per = diff_time(lambda n: np.asarray(loop(q, n)[:1, :1]))
@@ -102,8 +102,7 @@ def bench_combined(tag, dtype):
                 o = paged_decode_attention(
                     q, c.k_pages, c.v_pages, c.block_table, start + 1,
                     layer=layer,
-                    k_scales=c.k_scales if c.quantized else None,
-                    v_scales=c.v_scales if c.quantized else None,
+                    kv_scales=c.kv_scales if c.quantized else None,
                 )
                 acc = acc + jnp.sum(o.astype(jnp.float32))
             return c, acc
@@ -123,13 +122,13 @@ if __name__ == "__main__":
     vp = jnp.asarray(rng.standard_normal((n_pages, Hkv, page, D)) * 0.3,
                      jnp.bfloat16)
     kq = jnp.asarray(rng.integers(-127, 128, (n_pages, Hkv, page, D)), jnp.int8)
-    sc = jnp.full((n_pages, Hkv * page), 0.01, jnp.float32)
+    sc = jnp.full((n_pages, 8, Hkv * page), 0.01, jnp.float32)
     for st in stages:
         t0 = time.time()
         if st == "attn_bf16":
-            bench_attn("bf16", kp, vp, None, None, 2 * Hkv * D * 2)
+            bench_attn("bf16", kp, vp, None, 2 * Hkv * D * 2)
         elif st == "attn_int8":
-            bench_attn("int8", kq, kq, sc, sc, 2 * Hkv * (D + 4))
+            bench_attn("int8", kq, kq, sc, 2 * Hkv * (D + 2))
         elif st == "write_bf16":
             bench_write("bf16", jnp.bfloat16)
         elif st == "write_int8":

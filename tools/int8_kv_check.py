@@ -32,6 +32,12 @@ def quant(p):
 
 kq, ks = quant(kp)
 vq, vs = quant(vp)
+# shared per-page scale tile: row 0 = k, row 1 = v (modules/paged_cache.py)
+sc_tile = (
+    jnp.zeros((n_pages, 8, Hkv * page), jnp.float32)
+    .at[:, 0].set(ks.reshape(n_pages, -1))
+    .at[:, 1].set(vs.reshape(n_pages, -1))
+)
 
 mode = sys.argv[1] if len(sys.argv) > 1 else "both"
 
@@ -39,7 +45,7 @@ if mode in ("correctness", "both"):
     o_bf = np.asarray(paged_decode_attention(q, kp, vp, bt, lens), np.float32)
     print("bf16 kernel done", flush=True)
     o_i8 = np.asarray(
-        paged_decode_attention(q, kq, vq, bt, lens, k_scales=ks, v_scales=vs),
+        paged_decode_attention(q, kq, vq, bt, lens, kv_scales=sc_tile),
         np.float32,
     )
     print(f"int8-KV vs bf16-KV max abs err: {np.abs(o_i8 - o_bf).max():.2e}",
@@ -75,5 +81,5 @@ def bench(fn, tag, kv_bytes_per_tok):
 bench(lambda qq: paged_decode_attention(qq, kp, vp, bt, lens),
       "bf16 KV", 2 * Hkv * D * 2)
 bench(lambda qq: paged_decode_attention(qq, kq, vq, bt, lens,
-                                        k_scales=ks, v_scales=vs),
-      "int8 KV", 2 * Hkv * (D + 4))
+                                        kv_scales=sc_tile),
+      "int8 KV", 2 * Hkv * (D + 2))

@@ -46,8 +46,7 @@ def bench(tag, k_pages, v_pages, ks, vs):
         def body(i, qq):
             out = paged_decode_attention(
                 qq, k_pages, v_pages, bt, lengths, layer=0,
-                k_scales=ks if quant else None,
-                v_scales=vs if quant else None,
+                kv_scales=ks if quant else None,
                 interpret=jax.default_backend() == "cpu")
             return (qq + out * jnp.bfloat16(1e-3)).astype(qq.dtype)
         return jax.lax.fori_loop(0, n, body, q)
@@ -77,6 +76,8 @@ amax_k = np.abs(kf).max(-1, keepdims=True) + 1e-8  # per row (L,P,Hkv,page,1)
 amax_v = np.abs(vf).max(-1, keepdims=True) + 1e-8
 k8 = jnp.asarray(np.clip(np.round(kf / amax_k * 127), -127, 127), jnp.int8)
 v8 = jnp.asarray(np.clip(np.round(vf / amax_v * 127), -127, 127), jnp.int8)
-ks = jnp.asarray((amax_k / 127).reshape(L, P, Hkv * page), jnp.float32)
-vs = jnp.asarray((amax_v / 127).reshape(L, P, Hkv * page), jnp.float32)
-bench("int8 KV", k8, v8, ks, vs)
+# shared per-page scale tile: row 0 = k, row 1 = v
+sc = jnp.zeros((L, P, 8, Hkv * page), jnp.float32)
+sc = sc.at[:, :, 0].set(jnp.asarray((amax_k / 127).reshape(L, P, -1)))
+sc = sc.at[:, :, 1].set(jnp.asarray((amax_v / 127).reshape(L, P, -1)))
+bench("int8 KV", k8, v8, sc, None)
