@@ -165,12 +165,12 @@ def test_from_linear_pack_roundtrips_through_import():
 # (c) scale / clip search parity on a real torch module
 # ---------------------------------------------------------------------------
 
-def _tiny_llama(seed=0, dtype=torch.float32):
+def _tiny_llama(seed=0, dtype=torch.float32, layers=2):
     from transformers import LlamaConfig, LlamaForCausalLM
 
     torch.manual_seed(seed)
     cfg = LlamaConfig(
-        hidden_size=128, intermediate_size=256, num_hidden_layers=2,
+        hidden_size=128, intermediate_size=256, num_hidden_layers=layers,
         num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
         max_position_embeddings=1024, tie_word_embeddings=False,
     )
@@ -319,18 +319,24 @@ def _mean_token_kl(p_logits: np.ndarray, q_logits: np.ndarray) -> float:
     )
 
 
-def test_e2e_quantize_kl_parity(tmp_path):
+@pytest.mark.parametrize("layers", [2, 6])
+def test_e2e_quantize_kl_parity(tmp_path, layers):
     """Quantize the same tiny random llama with (1) the reference's full
     AwqQuantizer loop and (2) quick_tpu's awq_quantize_model; assert the two
     quantized models' logits agree (KL) about as well as the two float
-    stacks do — the executable stand-in for the ΔPPL ≤ 0.05 axis."""
+    stacks do — the executable stand-in for the ΔPPL ≤ 0.05 axis.
+
+    Runs at 2 AND 6 layers (VERDICT r3 item 10): per-layer search-order
+    drift between the two pipelines would COMPOUND through a deeper stack,
+    so the 6-layer cross-KL bound cannot be met by single-block agreement
+    plus noise."""
     from quick_tpu.config import QuantConfig
     from quick_tpu.models.auto import AutoQuickModel
     from quick_tpu.models.model import model_forward
     from quick_tpu.quantize.awq import awq_quantize_model
 
     G = 32
-    model = _tiny_llama()
+    model = _tiny_llama(layers=layers)
     hf_dir = str(tmp_path / "hf")
     model.save_pretrained(hf_dir, safe_serialization=True)
 
@@ -338,7 +344,7 @@ def test_e2e_quantize_kl_parity(tmp_path):
     eval_toks = RNG.integers(0, 256, (1, 64))
 
     # --- torch side (reference implementation), fp16 like its real runs ----
-    tmodel = _tiny_llama().half()
+    tmodel = _tiny_llama(layers=layers).half()
     tmodel.load_state_dict(model.half().state_dict())
     t_fp = copy.deepcopy(tmodel)
     _ref_quantize_inplace(tmodel, calib, G)
