@@ -31,29 +31,31 @@ NEG_INF = -1e30
 
 def _paged_kernel(
     bt_ref, len_ref,                  # SMEM: [B, n_pt], [B]
-    q_ref, slope_ref,                 # VMEM: [1,Hq,D], [Hq,1]
-    *rest,                            # ppb x (k_ref, v_ref [1,1,Hkv,page,D]),
-                                      # then ppb x (sc_ref [1,1,8,Hkv*page]
-                                      # f32 — the page's own shared scale
-                                      # tile, row 0 = k / row 1 = v) if
+    q_ref, slope_ref,                 # VMEM: [spb,Hq,D], [Hq,1]
+    *rest,                            # spb x ppb x (k_ref, v_ref
+                                      # [1,1,Hkv,page,D]), then spb x ppb x
+                                      # (sc_ref [1,1,8,Hkv*page] f32 — the
+                                      # page's own shared scale tile,
+                                      # row 0 = k / row 1 = v) if
                                       # quantized, then o_ref, m/l/acc
-                                      # scratch
+                                      # scratch ([spb*Hq, .])
     page: int, gq: int, hkv: int, scale: float, use_alibi: bool,
-    quantized: bool, ppb: int, window: int,
+    quantized: bool, ppb: int, window: int, spb: int,
 ):
-    kv_refs = rest[: 2 * ppb]
-    rest = rest[2 * ppb :]
+    kv_refs = rest[: 2 * spb * ppb]
+    rest = rest[2 * spb * ppb :]
     if quantized:
-        sc_refs = rest[:ppb]
-        sq_ref = rest[ppb]                # [1, Hq, 1] f32 per-head q scale
-        rest = rest[ppb + 1 :]
+        sc_refs = rest[: spb * ppb]
+        sq_ref = rest[spb * ppb]          # [spb, Hq, 1] f32 per-head q scale
+        rest = rest[spb * ppb + 1 :]
     else:
-        sc_refs = (None,) * ppb
+        sc_refs = (None,) * (spb * ppb)
         sq_ref = None
     o_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
     i = pl.program_id(1)
-    length = len_ref[b]
+    hq = hkv * gq
+    T = hkv * page
 
     @pl.when(i == 0)
     def _init():
@@ -61,102 +63,114 @@ def _paged_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    # ppb pages per grid step: halves/quarters the grid-step count — the
-    # kernel is step-overhead bound at short contexts (measured 301 GB/s at
-    # 128 slots x ~190 tokens with 1 page/step)
+    # spb slots x ppb pages per grid step: the kernel is STEP-OVERHEAD
+    # bound at serving contexts (~2 us/step fixed cost vs ~0.3 us of DMA
+    # at page blocks this size) — fatter steps amortize it along both the
+    # slot and the page axis.
     # sliding window (mistral): the single decode query sits at position
     # length-1; only keys with pos > length-1-window are visible. Steps
     # whose whole page is below the window skip compute (their index maps
     # clamp to the first in-window page, so the DMA is elided too).
-    lo = length - window if window else jnp.zeros((), jnp.int32)
-    for j in range(ppb):
-        k_ref, v_ref = kv_refs[2 * j], kv_refs[2 * j + 1]
-        sc_ref = sc_refs[j]
-        base = (i * ppb + j) * page
+    for s_i in range(spb):
+        length = len_ref[b * spb + s_i]
+        lo = length - window if window else jnp.zeros((), jnp.int32)
+        msl = slice(s_i * hq, (s_i + 1) * hq)
+        for j in range(ppb):
+            k_ref = kv_refs[2 * (s_i * ppb + j)]
+            v_ref = kv_refs[2 * (s_i * ppb + j) + 1]
+            sc_ref = sc_refs[s_i * ppb + j]
+            base = (i * ppb + j) * page
 
-        @pl.when(jnp.logical_and(base < length, base + page > lo))
-        def _compute(k_ref=k_ref, v_ref=v_ref, sc_ref=sc_ref,
-                     j=j, base=base):
-            hq = hkv * gq
-            T = hkv * page
-            q = q_ref[0]                                 # [Hq, D]
-            k = k_ref[0, 0].reshape(T, -1)               # [Hkv*page, D]
-            # ONE MXU-shaped dot for all heads; cross-head products are
-            # removed by a static block-diagonal mask (rows h*gq..(h+1)*gq
-            # attend only to columns h*page..(h+1)*page).
-            # INT8 KV: q arrives pre-quantized (int8 codes + per-head
-            # scale in sq_ref) and the score dot runs int8 x int8 -> int32
-            # on the MXU — converting k to bf16 in-kernel costs a [T, D]
-            # VPU pass + relayout per page, which made INT8 SLOWER than
-            # bf16 (339 vs 282 us/step at 128 slots) despite half the
-            # bytes; int8 dots remove both converts (the A8 GEMM kernel's
-            # approach applied to attention)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=(
-                    jnp.int32 if quantized else jnp.float32
-                ),
-            )                                            # [Hq, Hkv*page]
-            if quantized:
-                # the scale block is the page's OWN shared [8, T] tile
-                # (modules/paged_cache.py): row 0 is the flat
-                # (head, token) k-scale row, row 1 the v-scale row — one
-                # DMA covers both (half the round-3 scale traffic)
-                ks_row = sc_ref[0, 0, 0:1, :]            # [1, T]
-                s = s.astype(jnp.float32) * (sq_ref[0] * scale) * ks_row
-            else:
-                s = s * scale
-            head_q = jax.lax.broadcasted_iota(jnp.int32, (hq, T), 0) // gq
-            head_k = jax.lax.broadcasted_iota(jnp.int32, (hq, T), 1) // page
-            pos_k = base + (
-                jax.lax.broadcasted_iota(jnp.int32, (hq, T), 1) % page
-            )
-            mask = jnp.logical_and(head_q == head_k, pos_k < length)
-            if window:
-                mask = jnp.logical_and(mask, pos_k >= lo)
-            if use_alibi:
-                s = s + slope_ref[:] * (
-                    pos_k - (length - 1)
-                ).astype(jnp.float32)
-            s = jnp.where(mask, s, NEG_INF)
-            m_prev = m_scr[:]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-            alpha = jnp.exp(m_prev - m_new)
-            l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            v = v_ref[0, 0].reshape(T, -1)               # [Hkv*page, D]
-            if quantized:
-                # fold v's per-row scales into the probabilities, then
-                # dynamically quantize the scaled probabilities per head
-                # row so the context dot also runs int8 x int8 (adds one
-                # ~0.8%-of-rowmax rounding on attention weights — same
-                # order as the KV codes' own rounding)
-                p = p * sc_ref[0, 0, 1:2, :]
-                pmax = jnp.maximum(
-                    jnp.max(jnp.abs(p), axis=-1, keepdims=True), 1e-30
+            @pl.when(jnp.logical_and(base < length, base + page > lo))
+            def _compute(k_ref=k_ref, v_ref=v_ref, sc_ref=sc_ref,
+                         s_i=s_i, msl=msl, base=base, length=length, lo=lo):
+                q = q_ref[s_i]                               # [Hq, D]
+                k = k_ref[0, 0].reshape(T, -1)               # [Hkv*page, D]
+                # ONE MXU-shaped dot for all heads; cross-head products are
+                # removed by a static block-diagonal mask (rows
+                # h*gq..(h+1)*gq attend only to columns h*page..(h+1)*page).
+                # INT8 KV: q arrives pre-quantized (int8 codes + per-head
+                # scale in sq_ref) and the score dot runs int8 x int8 ->
+                # int32 on the MXU — converting k to bf16 in-kernel costs a
+                # [T, D] VPU pass + relayout per page, which made INT8
+                # SLOWER than bf16 despite half the bytes; int8 dots remove
+                # both converts (the A8 GEMM kernel's approach applied to
+                # attention)
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=(
+                        jnp.int32 if quantized else jnp.float32
+                    ),
+                )                                            # [Hq, Hkv*page]
+                if quantized:
+                    # the scale block is the page's OWN shared [8, T] tile
+                    # (modules/paged_cache.py): row 0 is the flat
+                    # (head, token) k-scale row, row 1 the v-scale row —
+                    # one DMA covers both
+                    ks_row = sc_ref[0, 0, 0:1, :]            # [1, T]
+                    s = s.astype(jnp.float32) * (
+                        sq_ref[s_i] * scale
+                    ) * ks_row
+                else:
+                    s = s * scale
+                head_q = jax.lax.broadcasted_iota(
+                    jnp.int32, (hq, T), 0
+                ) // gq
+                head_k = jax.lax.broadcasted_iota(
+                    jnp.int32, (hq, T), 1
+                ) // page
+                pos_k = base + (
+                    jax.lax.broadcasted_iota(jnp.int32, (hq, T), 1) % page
                 )
-                ps = pmax / 127.0                        # [Hq, 1]
-                p8 = jnp.clip(
-                    jnp.round(p / ps), -127, 127
-                ).astype(jnp.int8)
-                ctx = jax.lax.dot_general(
-                    p8, v, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                ).astype(jnp.float32) * ps
-            else:
-                ctx = jax.lax.dot_general(
-                    p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                mask = jnp.logical_and(head_q == head_k, pos_k < length)
+                if window:
+                    mask = jnp.logical_and(mask, pos_k >= lo)
+                if use_alibi:
+                    s = s + slope_ref[:] * (
+                        pos_k - (length - 1)
+                    ).astype(jnp.float32)
+                s = jnp.where(mask, s, NEG_INF)
+                m_prev = m_scr[msl]
+                m_new = jnp.maximum(
+                    m_prev, jnp.max(s, axis=-1, keepdims=True)
                 )
-            acc_scr[:] = acc_scr[:] * alpha + ctx
-            m_scr[:] = m_new
+                p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+                alpha = jnp.exp(m_prev - m_new)
+                l_scr[msl] = l_scr[msl] * alpha + jnp.sum(
+                    p, axis=-1, keepdims=True
+                )
+                v = v_ref[0, 0].reshape(T, -1)               # [Hkv*page, D]
+                if quantized:
+                    # fold v's per-row scales into the probabilities, then
+                    # dynamically quantize the scaled probabilities per
+                    # head row so the context dot also runs int8 x int8
+                    # (adds one ~0.8%-of-rowmax rounding on attention
+                    # weights — same order as the KV codes' own rounding)
+                    p = p * sc_ref[0, 0, 1:2, :]
+                    pmax = jnp.maximum(
+                        jnp.max(jnp.abs(p), axis=-1, keepdims=True), 1e-30
+                    )
+                    ps = pmax / 127.0                        # [Hq, 1]
+                    p8 = jnp.clip(
+                        jnp.round(p / ps), -127, 127
+                    ).astype(jnp.int8)
+                    ctx = jax.lax.dot_general(
+                        p8, v, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32) * ps
+                else:
+                    ctx = jax.lax.dot_general(
+                        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                acc_scr[msl] = acc_scr[msl] * alpha + ctx
+                m_scr[msl] = m_new
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _finish():
         l = l_scr[:]
-        o_ref[0] = (acc_scr[:] / jnp.where(l == 0.0, 1.0, l)).astype(
-            o_ref.dtype
-        )
+        acc = acc_scr[:] / jnp.where(l == 0.0, 1.0, l)
+        o_ref[...] = acc.reshape(spb, hq, -1).astype(o_ref.dtype)
 
 
 def _paged_chunk_kernel(
@@ -476,16 +490,27 @@ def paged_decode_attention(
 
     win = int(window) if window else 0
 
-    def kv_index_j(j):
+    # slots per grid step (QUICK_TPU_SPB, default 1): fatter steps along
+    # the SLOT axis, the slot analog of ppb. MEASURED NEUTRAL at the
+    # serving configs (128 slots, page 64/128: 237 us/layer at spb=1 AND
+    # spb=4; spb=8 exceeds the 16MB VMEM scope) — the kernel's ~4x-over-
+    # byte-floor cost is per-DMA / per-slot compute, not per-grid-step
+    # fixed overhead, so amortizing steps does not help. Kept as a tuning
+    # knob for other geometries.
+    env_spb = int(os.environ.get("QUICK_TPU_SPB", "0"))
+    spb = env_spb if env_spb > 0 and B % env_spb == 0 else 1
+
+    def kv_index_sj(s, j):
         def kv_index(b, i, bt, ln):
             # clamp steps outside [first in-window page, last valid page]:
             # repeated block index -> Mosaic skips the DMA re-issue
-            last = jnp.maximum(ln[b] - 1, 0) // page
+            slot = b * spb + s
+            last = jnp.maximum(ln[slot] - 1, 0) // page
             idx = jnp.minimum(i * ppb + j, last)
             if win:
-                first = jnp.maximum(ln[b] - win, 0) // page
+                first = jnp.maximum(ln[slot] - win, 0) // page
                 idx = jnp.maximum(idx, first)
-            return (layer, bt[b, idx], 0, 0, 0)
+            return (layer, bt[slot, idx], 0, 0, 0)
         return kv_index
 
     if quantized:
@@ -500,16 +525,17 @@ def paged_decode_attention(
     else:
         q_in, sq = q, jnp.zeros((B, Hq, 1), jnp.float32)
     in_specs = [
-        pl.BlockSpec((1, Hq, D), lambda b, i, bt, ln: (b, 0, 0)),
+        pl.BlockSpec((spb, Hq, D), lambda b, i, bt, ln: (b, 0, 0)),
         pl.BlockSpec((Hq, 1), lambda b, i, bt, ln: (0, 0)),
     ]
     inputs = [q_in, slopes]
-    for j in range(ppb):
-        in_specs += [
-            pl.BlockSpec((1, 1, Hkv, page, D), kv_index_j(j)),
-            pl.BlockSpec((1, 1, Hkv, page, D), kv_index_j(j)),
-        ]
-        inputs += [k_pages, v_pages]
+    for s in range(spb):
+        for j in range(ppb):
+            in_specs += [
+                pl.BlockSpec((1, 1, Hkv, page, D), kv_index_sj(s, j)),
+                pl.BlockSpec((1, 1, Hkv, page, D), kv_index_sj(s, j)),
+            ]
+            inputs += [k_pages, v_pages]
     T = Hkv * page
     if quantized:
         # each scale block is the page's OWN shared [8, T] tile (row 0 =
@@ -517,37 +543,39 @@ def paged_decode_attention(
         # kv blocks) — ONE DMA covers both planes' scales for the page,
         # and the decode write RMWs the same blocks collision-free
         # (ops/paged_write.py)
-        def scale_index_j(j):
+        def scale_index_sj(s, j):
             def scale_index(b, i, bt, ln):
-                last = jnp.maximum(ln[b] - 1, 0) // page
+                slot = b * spb + s
+                last = jnp.maximum(ln[slot] - 1, 0) // page
                 idx = jnp.minimum(i * ppb + j, last)
                 if win:
-                    first = jnp.maximum(ln[b] - win, 0) // page
+                    first = jnp.maximum(ln[slot] - win, 0) // page
                     idx = jnp.maximum(idx, first)
-                return (layer, bt[b, idx], 0, 0)
+                return (layer, bt[slot, idx], 0, 0)
             return scale_index
 
-        for j in range(ppb):
-            in_specs += [
-                pl.BlockSpec((1, 1, 8, T), scale_index_j(j)),
-            ]
-            inputs += [kv_scales]
+        for s in range(spb):
+            for j in range(ppb):
+                in_specs += [
+                    pl.BlockSpec((1, 1, 8, T), scale_index_sj(s, j)),
+                ]
+                inputs += [kv_scales]
         in_specs.append(
-            pl.BlockSpec((1, Hq, 1), lambda b, i, bt, ln: (b, 0, 0))
+            pl.BlockSpec((spb, Hq, 1), lambda b, i, bt, ln: (b, 0, 0))
         )
         inputs.append(sq)
 
     scratch_shapes = [
-        pltpu.VMEM((Hq, 1), jnp.float32),
-        pltpu.VMEM((Hq, 1), jnp.float32),
-        pltpu.VMEM((Hq, D), jnp.float32),
+        pltpu.VMEM((spb * Hq, 1), jnp.float32),
+        pltpu.VMEM((spb * Hq, 1), jnp.float32),
+        pltpu.VMEM((spb * Hq, D), jnp.float32),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, n_pt // ppb),
+        grid=(B // spb, n_pt // ppb),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, Hq, D), lambda b, i, bt, ln: (b, 0, 0)
+            (spb, Hq, D), lambda b, i, bt, ln: (b, 0, 0)
         ),
         scratch_shapes=scratch_shapes,
     )
@@ -555,6 +583,7 @@ def paged_decode_attention(
         functools.partial(
             _paged_kernel, page=page, gq=gq, hkv=Hkv, scale=float(scale),
             use_alibi=use_alibi, quantized=quantized, ppb=ppb, window=win,
+            spb=spb,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),

@@ -56,6 +56,27 @@ def test_paged_matches_gather(rng, B, Hq, Hkv, D, page, lengths):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
 
 
+@pytest.mark.parametrize("spb", [2, 4])
+def test_paged_multi_slot_blocks(rng, monkeypatch, spb):
+    """spb slots per grid step (QUICK_TPU_SPB) must match the spb=1 path —
+    ragged lengths land in different slots of one block."""
+    monkeypatch.setenv("QUICK_TPU_SPB", str(spb))
+    B, Hq, Hkv, D, page, n_pt = 8, 8, 2, 64, 8, 4
+    lengths = [13, 27, 32, 5, 1, 19, 8, 30]
+    q, kp, vp, bt, ln = _setup(
+        rng, B, Hq, Hkv, D, page, n_pages=1 + B * n_pt, n_pt=n_pt,
+        lengths=lengths,
+    )
+    out = np.asarray(paged_decode_attention(q, kp, vp, bt, ln, interpret=True))
+    # QUICK_TPU_SPB is read at TRACE time: drop the cached program so the
+    # spb=1 reference actually retraces
+    paged_decode_attention._clear_cache()
+    monkeypatch.setenv("QUICK_TPU_SPB", "1")
+    ref = np.asarray(paged_decode_attention(q, kp, vp, bt, ln, interpret=True))
+    paged_decode_attention._clear_cache()
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
 def test_paged_alibi(rng):
     B, Hq, Hkv, D, page, n_pt = 1, 4, 2, 32, 8, 3
     q, kp, vp, bt, ln = _setup(
