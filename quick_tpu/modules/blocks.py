@@ -181,6 +181,49 @@ def _use_fused_decode_step(cache, B, hd, rope_cos) -> bool:
     return jax.default_backend() != "cpu"
 
 
+def _use_layer_tail(p: "BlockParams", cfg: ModelConfig, x, ctx) -> bool:
+    """Gate for the decode layer-tail megakernel (ops/fused_layer_tail.py):
+    o-proj + residual + RMSNorm + SwiGLU MLP as ONE pallas_call. Decode
+    rows (<= 8), llama-family block shape only, no TP/SP (the o/down psum
+    must precede the residual adds under TP).
+
+    OPT-IN (QUICK_TPU_LAYER_TAIL=1; default OFF): measured on v5e the
+    megakernel plateaus at ~157-159 us/layer-tail (~690 GB/s weight
+    stream across 0.5-4.2MB block configs) vs the unfused chain's
+    in-model ~150 us at ~734 GB/s — e2e 7B bs=1 169.1 vs 173.6 tok/s.
+    The hypothesis it tested (inter-custom-call DMA ramps dominate) is
+    FALSE: XLA+Mosaic already pipeline the weight stream across the
+    dispatch seams better than the single 3-phase kernel schedules its
+    heterogeneous steps. Kept as a documented experiment."""
+    import os
+
+    env = os.environ.get("QUICK_TPU_LAYER_TAIL", "")
+    if env != "1":
+        return False
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    mlp = p.mlp
+    ok = (
+        rows <= 8
+        and cfg.pre_norms and not cfg.parallel_residual
+        and cfg.residual_multiplier is None
+        and cfg.layernorm == "rmsnorm" and p.mlp_norm_bias is None
+        and p.attn_post_norm is None and p.mlp_post_norm is None
+        and not cfg.is_mla
+        and not isinstance(mlp, MoEParams)
+        and cfg.gated_mlp and cfg.act_fn == "silu"
+        and mlp.act_scale is None
+        and ctx.model_axis is None and ctx.seq_axis is None
+        and all(
+            isinstance(lin, QuantLinear) and lin.group_size == 128
+            and lin.bias is None
+            for lin in (p.attn.o_proj, mlp.gate_up_proj, mlp.down_proj)
+        )
+    )
+    return ok  # env == "1" checked above; CPU runs interpret mode
+
+
 def attention_forward(
     p: AttentionParams,
     cfg: ModelConfig,
@@ -193,6 +236,9 @@ def attention_forward(
     ctx: ParallelContext = ParallelContext(),
     pre_norm: Optional[tuple] = None,  # (rms_weight, eps): x is the RAW
     # residual; the norm fuses into the qkv GEMM (decode glue fusion)
+    return_pre_o: bool = False,  # return the raw [B, S, hq*hd] attention
+    # output WITHOUT the o projection — the layer-tail megakernel
+    # (ops/fused_layer_tail.py) runs o + residual + norm + MLP itself
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     from quick_tpu.ops.rope import apply_rope
 
@@ -288,6 +334,8 @@ def attention_forward(
         cache = dataclasses.replace(cache, k=k_pl, v=v_pl)
         out = out[:, None]  # [B, 1, hq, hd]
         out = out.reshape(B, S, hq * hd)
+        if return_pre_o:
+            return out, cache
         return ctx.psum_model(p.o_proj(out)), cache
     if cfg.use_rope:
         q = apply_rope(q, positions, rope_cos, rope_sin)
@@ -399,6 +447,8 @@ def attention_forward(
             q, k, v, alibi_slopes=slopes, window=window, logit_softcap=softcap
         )
     out = out.reshape(B, S, hq * hd)
+    if return_pre_o:
+        return out, cache
     # row-parallel output projection: partial sums reduced over the TP axis
     # (Megatron-style; the collective rides ICI under shard_map)
     return ctx.psum_model(p.o_proj(out)), cache
@@ -651,6 +701,7 @@ def block_forward(
         h = x  # norm rides inside the qkv GEMM prologue
     else:
         h = _norm(x, p.attn_norm, p.attn_norm_bias, cfg) if cfg.pre_norms else x
+    tail_ok = _use_layer_tail(p, cfg, x, ctx)
     if cfg.is_mla:
         from quick_tpu.modules.mla import mla_attention_forward
 
@@ -665,7 +716,26 @@ def block_forward(
             pre_norm=(
                 (p.attn_norm, cfg.rms_norm_eps) if fuse_attn_norm else None
             ),
+            return_pre_o=tail_ok,
         )
+    if tail_ok:
+        # the whole post-attention tail (o-proj + residual + mlp norm +
+        # SwiGLU MLP + residual) runs as ONE pallas_call — the weight
+        # stream never stops at a custom-call boundary
+        from quick_tpu.ops.fused_layer_tail import fused_layer_tail
+
+        B_, S_, D_ = x.shape
+        o, gup, dn = p.attn.o_proj, p.mlp.gate_up_proj, p.mlp.down_proj
+        y = fused_layer_tail(
+            attn_out.reshape(B_ * S_, -1), x.reshape(B_ * S_, D_),
+            p.mlp_norm,
+            o.qweight, o.scales, o.zeros_x_scales,
+            gup.qweight, gup.scales, gup.zeros_x_scales,
+            dn.qweight, dn.scales, dn.zeros_x_scales,
+            eps=float(cfg.rms_norm_eps),
+            interpret=jax.default_backend() == "cpu",
+        )
+        return y.reshape(B_, S_, D_).astype(x.dtype), cache
     if p.attn_post_norm is not None:
         attn_out = _norm(attn_out, p.attn_post_norm, None, cfg)
     if rmul is not None:
