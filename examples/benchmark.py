@@ -85,22 +85,52 @@ def main():
     ap.add_argument("--ctx", type=int, default=128)
     ap.add_argument("--gen", type=int, default=128)
     ap.add_argument("--batches", default="1,8,32,64,128,256")
+    ap.add_argument("--lengths", help="sweep ctx=gen lengths at a fixed "
+                    "batch instead of sweeping batch (the reference's "
+                    "32->4096 rounds, benchmark.py:153-162), e.g. "
+                    "'32,128,512,2048,4096'")
+    ap.add_argument("--batch", type=int, default=1, help="batch for the "
+                    "--lengths sweep")
     args = ap.parse_args()
 
     if args.quant_path:
         model = AutoQuickModel.from_quantized(args.quant_path)
     else:
+        # random weights: init DIRECTLY in packed form — from_random +
+        # RTN pack holds float (13.5GB at 7B) and packed params at once
+        # and OOMs one 16GB chip
+        import dataclasses
+        import types
+
         from basic_quant import PRESETS
 
-        model = AutoQuickModel.from_random(PRESETS[args.random or "debug"])
-        model.quantize(None, use_awq_search=False)  # RTN pack
+        from quick_tpu.models import init_quant_params
 
+        cfg = PRESETS[args.random or "debug"]
+        if args.lengths:  # rope tables must cover ctx+gen
+            need = 2 * max(int(L) for L in args.lengths.split(","))
+            if need > cfg.max_position_embeddings:
+                cfg = dataclasses.replace(
+                    cfg, max_position_embeddings=need
+                )
+        params = init_quant_params(cfg, jax.random.PRNGKey(0))
+        params = jax.tree_util.tree_map(jax.device_put, params)
+        model = types.SimpleNamespace(cfg=cfg, params=params)
+
+    if args.lengths:
+        rounds = [
+            (args.batch, int(L), int(L)) for L in args.lengths.split(",")
+        ]
+    else:
+        rounds = [
+            (int(b), args.ctx, args.gen) for b in args.batches.split(",")
+        ]
     rows = []
-    for batch in [int(b) for b in args.batches.split(",")]:
+    for batch, ctx, gen in rounds:
         try:
-            row = run_round(model, batch, args.ctx, args.gen)
+            row = run_round(model, batch, ctx, gen)
         except Exception as e:  # OOM or compile failure: report and stop
-            rows.append({"batch": batch, "error": str(e)[:120]})
+            rows.append({"batch": batch, "ctx": ctx, "error": str(e)[:120]})
             print(json.dumps(rows[-1]))
             break
         rows.append(row)
