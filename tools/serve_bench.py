@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--shared_prefix", type=int, default=0, help="prepend a "
                     "common system-prompt of this many tokens to every "
                     "request (exercises the prefix cache)")
+    ap.add_argument("--no_prefix_cache", action="store_true",
+                    help="disable automatic prefix caching (ablation for "
+                    "--shared_prefix rows)")
     ap.add_argument("--reserve", choices=["full", "optimistic"],
                     default="full", help="page reservation policy "
                     "(runtime/serving.py Engine(reserve=...))")
@@ -73,26 +76,32 @@ def main():
         decode_window=args.window,
         n_pages=args.pages or None,
         reserve=args.reserve,
+        prefix_cache=not args.no_prefix_cache,
     )
     print(f"init: {time.time()-t0:.1f}s", flush=True)
 
     def submit(prompt, o):
         """Submit with the (possibly over-declared) token budget; stop at
         the ACTUAL length via abort — the EOS-at-o analog for random
-        weights."""
-        declared = max(int(o), int(round(o * args.declared_pad)))
-        declared = min(declared, args.max_seq - len(prompt))  # table capacity
-        if declared == o:
-            eng.submit(prompt, int(o))
-            return
+        weights. Returns the EFFECTIVE expected output length: a prompt
+        near max_seq cannot fit its full output in the block table, so
+        the target is capacity-capped (no silent cap — the total is
+        reported)."""
+        eff = min(int(o), args.max_seq - len(prompt))
+        declared = max(eff, int(round(eff * args.declared_pad)))
+        declared = min(declared, args.max_seq - len(prompt))
+        if declared == eff:
+            eng.submit(prompt, eff)
+            return eff
         seen = {"n": 0}
 
-        def cb(uid, tok, _seen=seen, _o=int(o)):
+        def cb(uid, tok, _seen=seen, _o=eff):
             _seen["n"] += 1
             if _seen["n"] >= _o:
                 eng.abort(uid)
 
         eng.submit(prompt, declared, on_token=cb)
+        return eff
 
     rng = np.random.default_rng(args.seed)
     plens, olens = sharegpt_like_lengths(
@@ -100,13 +109,17 @@ def main():
     )
     sys_prompt = [int(t) for t in rng.integers(0, 32000, args.shared_prefix)]
     plens = plens + args.shared_prefix
+    n_out = 0
     for p, o in zip(plens, olens):
         body = [int(t) for t in rng.integers(0, 32000, p - args.shared_prefix)]
-        submit(sys_prompt + body, int(o))
-    n_prompt, n_out = int(plens.sum()), int(olens.sum())
+        n_out += submit(sys_prompt + body, int(o))
+    n_prompt = int(plens.sum())
+    capped = n_out - int(olens.sum())
     print(f"{args.requests} requests: {n_prompt} prompt tok "
           f"(median {int(np.median(plens))}), {n_out} output tok "
-          f"(median {int(np.median(olens))})", flush=True)
+          f"(median {int(np.median(olens))}"
+          + (f"; capacity-capped {-capped} tok" if capped else "")
+          + ")", flush=True)
 
     # run 1 compiles the three programs (chunk prefill, S=1 mixed, decode
     # window); run 2 reuses the SAME engine (same jit wrappers — no
@@ -120,14 +133,15 @@ def main():
 
     for k in eng.timing:  # attribute the WARM run only
         eng.timing[k] = 0.0
+    n_out2 = 0
     for p, o in zip(plens, olens):
         body = [int(t) for t in rng.integers(0, 32000, p - args.shared_prefix)]
-        submit(sys_prompt + body, int(o))
+        n_out2 += submit(sys_prompt + body, int(o))
     t0 = time.time()
     outs2 = eng.run()
     wall = time.time() - t0
     got2 = sum(len(v) for v in outs2.values()) - got
-    assert got2 == n_out, (got2, n_out)
+    assert got2 == n_out2, (got2, n_out2)
     print(f"run 2 (warm): {wall:.1f}s", flush=True)
     print(f"  output throughput: {got2/wall:.1f} tok/s", flush=True)
     print(f"  total throughput (prompt+output): "
