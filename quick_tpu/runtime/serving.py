@@ -782,7 +782,8 @@ class Engine:
 
     def _ensure_pages(self, slot: int) -> bool:
         """Grow a decoding slot's page run to cover output + one pipelined
-        decode window of headroom (the same bound _cap_ok enforces on seq
+        decode window of headroom (the same bound the step's W_eff ladder
+        enforces on seq
         width — every REAL token's write must land in an owned page; junk
         overruns past max_new land on the trash row tail). On pool
         exhaustion, preempts the youngest OTHER slot and retries; preempts
@@ -865,17 +866,6 @@ class Engine:
     def has_work(self) -> bool:
         return bool(self.queue) or any(r is not None for r in self.slots)
 
-    def _cap_ok(self, reqs) -> bool:
-        """Window capacity: every decoding request needs >= 2*window+1 free
-        positions (host-side bookkeeping — no device fetch; two windows can
-        be un-drained at once under pipelining), so mid-window overruns
-        stay inside the block table (junk tokens land in the slot's own
-        slack or the trash page and are discarded by the drain loop)."""
-        W = 2 * self.decode_window
-        return all(
-            len(r.prompt) + len(r.output) + W < self.max_seq for r in reqs
-        )
-
     @property
     def max_seq(self) -> int:
         return self.page_size * self.cache.block_table.shape[1]
@@ -937,16 +927,34 @@ class Engine:
             else:
                 decoupled = True
             wants = ready or prefilling or self._pending
-            if wants and decoupled and self._cap_ok(
-                [self.slots[s] for s in ready]
-            ):
+            # capacity-tight tails SHRINK the window instead of abandoning
+            # the decoupled schedule: a slot near max_seq needs 2*W_eff of
+            # junk-overrun slack (two un-drained windows), and requests
+            # admitted with prompt + max_new == max_seq would otherwise
+            # drag EVERY turn through the synchronous mixed path for their
+            # whole decode. Each W_eff compiles once (halving ladder,
+            # <= log2(W) programs).
+            W_eff = W
+            if ready:
+                worst = max(
+                    len(self.slots[s].prompt) + len(self.slots[s].output)
+                    for s in ready
+                )
+                while W_eff > 1 and worst + 2 * W_eff >= self.max_seq:
+                    W_eff //= 2
+                cap_ok = worst + 2 * W_eff < self.max_seq
+            else:
+                cap_ok = True
+            if wants and decoupled and cap_ok:
                 # dispatch everything first (device queues the programs),
                 # then drain ONLY results of previous steps: this step's
                 # prefill samples queue behind the window just dispatched,
                 # so fetching them now would stall the pipeline for the
                 # whole window — they wait one step (pending_prev)
                 pending_prev, self._pending = self._pending, []
-                prev = self._dispatch_window(ready) if ready else None
+                prev = (
+                    self._dispatch_window(ready, W_eff) if ready else None
+                )
                 # the whole prefill backlog advances every step (one
                 # sub-batch program dispatch per prefill_rows slots):
                 # capping admission at one substep starves slot occupancy
@@ -1044,15 +1052,15 @@ class Engine:
             if req.done and self.slots[slot] is req:
                 self._retire(slot)
 
-    def _dispatch_window(self, ready) -> Optional[tuple]:
+    def _dispatch_window(self, ready, W=None) -> Optional[tuple]:
         if self._timed:
             _t0 = self._clock()
-            out = self._dispatch_window_inner(ready)
+            out = self._dispatch_window_inner(ready, W)
             self.timing["window_dispatch"] += self._clock() - _t0
             return out
-        return self._dispatch_window_inner(ready)
+        return self._dispatch_window_inner(ready, W)
 
-    def _dispatch_window_inner(self, ready) -> Optional[tuple]:
+    def _dispatch_window_inner(self, ready, W=None) -> Optional[tuple]:
         """Dispatch a decode window for the ``ready`` slots and return the
         previously in-flight window (software pipelining): the new window's
         input token for a slot that was decoding in the previous window
@@ -1062,7 +1070,8 @@ class Engine:
         in the in-flight window; their writes land in their own
         (reset-on-retire) pages or the trash page and their tokens are
         discarded by the drain's valid/done guards."""
-        B, W = self.max_slots, self.decode_window
+        B = self.max_slots
+        W = self.decode_window if W is None else W
         valid = np.zeros((B,), np.int32)
         host_tok = np.zeros((B, 1), np.int32)
         for s in ready:

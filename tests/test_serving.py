@@ -224,6 +224,22 @@ def test_engine_matches_generate(params):
     assert outs[uid] == ref
 
 
+def test_engine_capacity_exact_keeps_windows(params):
+    """A request with prompt + max_new == max_seq must still decode through
+    the decoupled windows (the W_eff ladder shrinks the window for the
+    tight tail instead of dragging every turn through the mixed path) and
+    match the independent greedy generation."""
+    prompt = list(range(7, 27))  # 20 tokens
+    want = 44                    # 20 + 44 == max_seq
+    ref = _greedy_reference(params, prompt, want)
+    eng = Engine(params, TINY, max_slots=2, max_seq=64, page_size=4,
+                 chunk=8, decode_window=16, dtype=jnp.float32)
+    uid = eng.submit(prompt, max_new_tokens=want)
+    outs = eng.run()
+    assert outs[uid] == ref
+    assert eng.stats["window_steps"] > 0  # windows engaged, not all mixed
+
+
 def test_engine_continuous_batching(params):
     """Requests submitted at different times, different lengths — each must
     match its independent greedy generation (the continuous-batching
