@@ -40,10 +40,14 @@ def main():
     ap.add_argument("--prefill_chunk", type=int, default=0,
                     help="sequence-chunked prefill (0 = whole ctx at once); "
                          "bounds activation memory at large batch")
+    ap.add_argument("--group", type=int, default=128,
+                    help="quant group size (32 = the GGUF Q4_K-class regime "
+                         "through the small-group kernel)")
     args = ap.parse_args()
     cfg = ModelConfig(**SHAPES[args.model])
     t0 = time.time()
-    params = init_quant_params(cfg, jax.random.PRNGKey(0))
+    params = init_quant_params(cfg, jax.random.PRNGKey(0),
+                               group_size=args.group)
     if args.quantize_lm_head:
         import dataclasses
         from quick_tpu.modules.linear import Linear, QuantLinear
