@@ -32,6 +32,11 @@ NEG_INF = -1e30
 def _paged_kernel(
     bt_ref, len_ref,                  # SMEM: [B, n_pt], [B]
     q_ref, slope_ref,                 # VMEM: [spb,Hq,D], [Hq,1]
+    hm_ref, pr_ref,                   # VMEM: [Hq, T] int8 static
+                                      # block-diagonal head mask;
+                                      # [8, T] int32 in-page position row
+                                      # (row 0 real) — constants hoisted
+                                      # out of the per-step iota/mod work
     *rest,                            # spb x ppb x (k_ref, v_ref
                                       # [1,1,Hkv,page,D]), then spb x ppb x
                                       # (sc_ref [1,1,8,Hkv*page] f32 — the
@@ -113,16 +118,10 @@ def _paged_kernel(
                     ) * ks_row
                 else:
                     s = s * scale
-                head_q = jax.lax.broadcasted_iota(
-                    jnp.int32, (hq, T), 0
-                ) // gq
-                head_k = jax.lax.broadcasted_iota(
-                    jnp.int32, (hq, T), 1
-                ) // page
-                pos_k = base + (
-                    jax.lax.broadcasted_iota(jnp.int32, (hq, T), 1) % page
-                )
-                mask = jnp.logical_and(head_q == head_k, pos_k < length)
+                pos_k = base + pr_ref[0:1, :]            # [1, T]
+                mask = jnp.logical_and(
+                    hm_ref[...] != 0, pos_k < length
+                )                                        # [Hq, T]
                 if window:
                     mask = jnp.logical_and(mask, pos_k >= lo)
                 if use_alibi:
@@ -524,11 +523,28 @@ def paged_decode_attention(
         q_in = jnp.clip(jnp.round(qf / sq), -127, 127).astype(jnp.int8)
     else:
         q_in, sq = q, jnp.zeros((B, Hq, 1), jnp.float32)
+    # static mask constants: the block-diagonal head mask and in-page
+    # position row, built once host-side — replaces 3 per-step [Hq, T]
+    # iota + mod/div passes in the kernel (the masks are the only
+    # non-DMA, non-dot VPU work per page)
+    import numpy as _np
+
+    T = Hkv * page
+    hm = jnp.asarray(
+        (_np.arange(Hq)[:, None] // gq)
+        == (_np.arange(T)[None, :] // page),
+        jnp.int8,
+    )
+    pr = jnp.asarray(
+        _np.broadcast_to(_np.arange(T) % page, (8, T)).astype(_np.int32)
+    )
     in_specs = [
         pl.BlockSpec((spb, Hq, D), lambda b, i, bt, ln: (b, 0, 0)),
         pl.BlockSpec((Hq, 1), lambda b, i, bt, ln: (0, 0)),
+        pl.BlockSpec((Hq, T), lambda b, i, bt, ln: (0, 0)),
+        pl.BlockSpec((8, T), lambda b, i, bt, ln: (0, 0)),
     ]
-    inputs = [q_in, slopes]
+    inputs = [q_in, slopes, hm, pr]
     for s in range(spb):
         for j in range(ppb):
             in_specs += [
@@ -536,7 +552,6 @@ def paged_decode_attention(
                 pl.BlockSpec((1, 1, Hkv, page, D), kv_index_sj(s, j)),
             ]
             inputs += [k_pages, v_pages]
-    T = Hkv * page
     if quantized:
         # each scale block is the page's OWN shared [8, T] tile (row 0 =
         # k scales, row 1 = v; legal Mosaic block, same index map as the
