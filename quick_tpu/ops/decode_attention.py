@@ -46,6 +46,10 @@ NEG_INF = -1e30
 def _kernel(
     len_ref, gmax_ref,        # SMEM: [B], [B//nb] (group max lengths)
     q_ref, slope_ref,         # VMEM: [nb, Hq, D], [Hq, 1]
+    hm_ref, pr_ref,           # VMEM: [Hq, Hkv*c] int8 static block-diagonal
+                              # head mask; [8, Hkv*c] int32 in-chunk
+                              # position row (row 0 real) — constants
+                              # hoisted out of the per-step iota/mod work
     k_ref, v_ref,             # VMEM: [1, nb, Hkv, c, D]
     o_ref,                    # VMEM: [nb, Hq, D]
     m_scr, l_scr, acc_scr,    # VMEM: [nb, Hq, 1], [nb, Hq, 1], [nb, Hq, D]
@@ -77,11 +81,8 @@ def _kernel(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale                         # [Hq, Hkv*c]
-            head_q = jax.lax.broadcasted_iota(jnp.int32, (hq, T), 0) // gq
-            col = jax.lax.broadcasted_iota(jnp.int32, (hq, T), 1)
-            head_k = col // c
-            pos_k = base + col % c
-            mask = jnp.logical_and(head_q == head_k, pos_k < length)
+            pos_k = base + pr_ref[0:1, :]              # [1, T]
+            mask = jnp.logical_and(hm_ref[...] != 0, pos_k < length)
             if use_alibi:
                 s = s + slope_ref[:] * (pos_k - (length - 1)).astype(
                     jnp.float32
@@ -140,12 +141,27 @@ def _dense_decode(
         last = jnp.maximum(gmax_s[g] - 1, 0) // c
         return (layer, g, 0, jnp.minimum(i, last), 0)
 
+    # static mask constants (see ops/paged_attention.py): the
+    # block-diagonal head mask and in-chunk position row replace the
+    # kernel's per-(b, chunk) [Hq, Hkv*c] iota + mod/div passes
+    import numpy as _np
+
+    Tc = Hkv * c
+    hm = jnp.asarray(
+        (_np.arange(Hq)[:, None] // gq) == (_np.arange(Tc)[None, :] // c),
+        jnp.int8,
+    )
+    pr = jnp.asarray(
+        _np.broadcast_to(_np.arange(Tc) % c, (8, Tc)).astype(_np.int32)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B // nb, T // c),
         in_specs=[
             pl.BlockSpec((nb, Hq, D), lambda g, i, *_: (g, 0, 0)),
             pl.BlockSpec((Hq, 1), lambda g, i, *_: (0, 0)),
+            pl.BlockSpec((Hq, Tc), lambda g, i, *_: (0, 0)),
+            pl.BlockSpec((8, Tc), lambda g, i, *_: (0, 0)),
             pl.BlockSpec((1, nb, Hkv, c, D), kv_index),
             pl.BlockSpec((1, nb, Hkv, c, D), kv_index),
         ],
@@ -167,7 +183,7 @@ def _dense_decode(
             dimension_semantics=("parallel", "arbitrary")
         ),
         interpret=interpret,
-    )(lengths, gmax, q, slopes, k, v)
+    )(lengths, gmax, q, slopes, hm, pr, k, v)
 
 
 def _pick_tiles(
