@@ -408,16 +408,14 @@ def attention_forward(
         cp_window = (
             cfg.sliding_window if cfg.layer_is_sliding(layer_idx) else None
         )
-        if (
-            ctx.seq_size is not None and slopes is None
-            and softcap is None
-        ):
+        if ctx.seq_size is not None:
             # ring attention: K/V stay sequence-sharded and rotate via
             # ppermute — per-device KV footprint is S/n for the whole
-            # pass (parallel/ring_attention.py). Sliding-window layers
-            # ride the ring too (window masks compose with the per-block
-            # position masks; below-window chunk pairs cond-skip), so
-            # mistral-class models keep sharded KV.
+            # pass (parallel/ring_attention.py). Sliding-window, ALiBi
+            # and softcap layers all ride the ring (window masks and the
+            # ALiBi bias are built from the same global position grids
+            # the causal mask uses; softcap is elementwise per chunk),
+            # so NO layer kind needs a full-KV gather under CP.
             from quick_tpu.parallel.ring_attention import (
                 ring_causal_attention,
                 zigzag_ring_causal_attention,
@@ -425,15 +423,17 @@ def attention_forward(
 
             if ctx.seq_zigzag:
                 out = zigzag_ring_causal_attention(
-                    q, k, v, ctx.seq_axis, ctx.seq_size, window=cp_window
+                    q, k, v, ctx.seq_axis, ctx.seq_size, window=cp_window,
+                    alibi_slopes=slopes, logit_softcap=softcap,
                 )
             else:
                 out = ring_causal_attention(
-                    q, k, v, ctx.seq_axis, ctx.seq_size, window=cp_window
+                    q, k, v, ctx.seq_axis, ctx.seq_size, window=cp_window,
+                    alibi_slopes=slopes, logit_softcap=softcap,
                 )
         else:
-            # gather fallback: alibi/softcap layers attend over the
-            # fully gathered K/V (q stays sequence-sharded)
+            # gather fallback: a seq axis without a static ring size
+            # attends over the fully gathered K/V (q stays sharded)
             k_all = ctx.all_gather_seq(k)
             v_all = ctx.all_gather_seq(v)
             out = causal_attention(

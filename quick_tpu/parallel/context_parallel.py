@@ -5,10 +5,11 @@ axis: every device runs norms/MLPs/projections on its S/n token slice.
 Attention keeps K/V sequence-sharded too — blocks rotate around the ring
 via ppermute with online-softmax accumulation (parallel/ring_attention.py),
 so the per-device K/V footprint is S/n and context length scales linearly
-with chips. Sliding-window layers ride the ring too (the window mask
-composes with the per-block position masks). Layers the ring cannot
-express (ALiBi bias, logit softcap) fall back to a K/V all-gather for that
-layer. Positions stay global, so RoPE/ALiBi are exact.
+with chips. Sliding-window, ALiBi and softcap layers all ride the ring
+(window masks and the ALiBi bias are built from the same global position
+grids as the causal mask; softcap is elementwise per chunk) — no layer
+kind falls back to a K/V gather. Positions stay global, so RoPE/ALiBi are
+exact.
 
 The reference has nothing like this — its long-context story is a
 single-device rolling window that DISCARDS old context
@@ -47,25 +48,19 @@ def context_parallel_forward_fn(
 
     ``zigzag`` (default: auto) uses the load-balanced zigzag chunk layout —
     each device owns chunks (d, 2n-1-d), ring attention cond-skips the
-    fully-masked pairs (~2x less wall compute). Causal and sliding-window
-    layers both ride the ring (window masks compose with the per-chunk
-    position masks — mistral-class models keep sharded KV); alibi/softcap
-    layers need the contiguous gather fallback. S must divide by 2n; the
-    wrapper permutes tokens in and logits back out, so callers see global
-    order either way. Params are replicated (combine with TP by nesting
-    axes if weights must shard)."""
+    fully-masked pairs (~2x less wall compute). Causal, sliding-window,
+    ALiBi and softcap layers all ride the ring (window masks and the
+    ALiBi bias compose with the per-chunk position masks; softcap is
+    elementwise per chunk) — every supported attention kind keeps K/V
+    sharded. S must divide by 2n; the wrapper permutes tokens in and
+    logits back out, so callers see global order either way. Params are
+    replicated (combine with TP by nesting axes if weights must shard)."""
     from quick_tpu.models.model import model_forward
     from quick_tpu.parallel.ring_attention import zigzag_order
 
     n = mesh.shape[SEQ_AXIS]
-    ring_ok = not (cfg.use_alibi or cfg.attn_logit_softcap is not None)
     if zigzag is None:
-        zigzag = ring_ok
-    if zigzag and not ring_ok:
-        raise ValueError(
-            "zigzag CP needs ring-expressible attention (alibi/softcap "
-            "layers fall back to the contiguous gather)"
-        )
+        zigzag = True
     ctx = ParallelContext(
         seq_axis=SEQ_AXIS, seq_size=n, seq_zigzag=zigzag
     )

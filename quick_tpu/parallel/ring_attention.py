@@ -45,6 +45,12 @@ def ring_causal_attention(
     window: Optional[int] = None,  # sliding window (mistral): key visible
     # iff q_pos - window < k_pos <= q_pos — composes with the causal mask
     # via the same per-block position grids
+    alibi_slopes: Optional[jax.Array] = None,  # [Hq] per-head slopes;
+    # bias m_h*(k_pos - q_pos) is per-(q,k)-pair local (positions are
+    # global), so ALiBi rides the ring exactly — no gather fallback
+    logit_softcap: Optional[float] = None,  # gemma2 cap*tanh(s/cap):
+    # elementwise on each chunk's scaled scores BEFORE bias/mask, the
+    # same order as ops/attention.py:87-102
 ) -> jax.Array:
     """Exact causal attention with sequence-sharded K/V. Returns
     [B, S_local, Hq, D] — this device's output block."""
@@ -82,6 +88,13 @@ def ring_causal_attention(
             kf = jnp.repeat(kf, g, axis=1)
             vf = jnp.repeat(vf, g, axis=1)
         s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf)
+        if logit_softcap is not None:
+            s = logit_softcap * jnp.tanh(s / logit_softcap)
+        if alibi_slopes is not None:
+            sl = jnp.asarray(alibi_slopes, jnp.float32).reshape(1, Hq, 1, 1)
+            s = s + sl * (
+                k_pos[None, :] - q_pos[:, None]
+            ).astype(jnp.float32)[None, None]
         s = jnp.where(keep[None, None], s, -jnp.inf)
 
         blk_max = jnp.max(s, axis=-1)  # [B,Hq,Sl]; -inf when fully masked
@@ -135,6 +148,10 @@ def zigzag_ring_causal_attention(
     # layout; chunk pairs fully below the window skip compute via the
     # same lax.cond that skips fully-future pairs (mistral-class models
     # keep sharded KV under CP — VERDICT r3 item 9)
+    alibi_slopes: Optional[jax.Array] = None,  # [Hq]; bias from the same
+    # global position grids the masks use — exact under the zigzag layout
+    logit_softcap: Optional[float] = None,  # cap*tanh(s/cap) before
+    # bias/mask, matching ops/attention.py's order
 ) -> jax.Array:
     """Exact causal attention over zigzag-sharded K/V. Returns
     [B, 2C, Hq, D] in the device's local (zigzag) order."""
@@ -167,18 +184,25 @@ def zigzag_ring_causal_attention(
 
         def compute(_):
             s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
+            # global positions: window/alibi bounds compose with the
+            # causal bound on the same [C, C] position grid
+            q_pos = qid * C + jnp.arange(C)
+            k_pos = kid * C + jnp.arange(C)
             if window is None:
                 keep = jnp.where(qid == kid, tri, qid > kid)  # [C,C]/scalar
                 keep = jnp.broadcast_to(keep, s.shape[-2:])
             else:
-                # global positions: the window bound composes with the
-                # causal bound on the same [C, C] position grid
-                q_pos = qid * C + jnp.arange(C)
-                k_pos = kid * C + jnp.arange(C)
                 keep = jnp.logical_and(
                     k_pos[None, :] <= q_pos[:, None],
                     k_pos[None, :] > q_pos[:, None] - window,
                 )
+            if logit_softcap is not None:
+                s = logit_softcap * jnp.tanh(s / logit_softcap)
+            if alibi_slopes is not None:
+                sl = jnp.asarray(alibi_slopes, jnp.float32)
+                s = s + sl.reshape(1, -1, 1, 1) * (
+                    k_pos[None, :] - q_pos[:, None]
+                ).astype(jnp.float32)[None, None]
             s = jnp.where(keep[None, None], s, -jnp.inf)
             blk_max = jnp.max(s, axis=-1)
             m_new = jnp.maximum(m, blk_max)

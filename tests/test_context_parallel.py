@@ -34,7 +34,10 @@ def test_cp_matches_reference(cpu_mesh_devices, n, zigzag):
 
 
 def test_cp_alibi(cpu_mesh_devices):
+    """ALiBi layers ride the (zigzag) ring: CP forward matches the
+    single-device forward AND keeps K/V sharded (no gather fallback)."""
     import dataclasses
+    import re
 
     cfg = dataclasses.replace(
         TINY, use_alibi=True, use_rope=False, num_key_value_heads=4,
@@ -48,6 +51,32 @@ def test_cp_alibi(cpu_mesh_devices):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=6e-2, rtol=6e-2
     )
+    txt = fn.lower(params, toks).compile().as_text()
+    assert "collective-permute" in txt
+    for ag in re.finditer(r"all-gather[^\n]*", txt):
+        line = ag.group(0)
+        assert "16,4,16" not in line and "4,16,16" not in line, line
+
+
+def test_cp_softcap(cpu_mesh_devices):
+    """Logit-softcap (gemma2-class) layers ride the ring too."""
+    import dataclasses
+    import re
+
+    cfg = dataclasses.replace(TINY, attn_logit_softcap=5.0)
+    params = init_float_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 128)
+    ref, _ = model_forward(params, cfg, toks)
+    fn = context_parallel_forward_fn(cfg, create_seq_mesh(2, cpu_mesh_devices))
+    out = fn(params, toks)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=6e-2, rtol=6e-2
+    )
+    txt = fn.lower(params, toks).compile().as_text()
+    assert "collective-permute" in txt
+    for ag in re.finditer(r"all-gather[^\n]*", txt):
+        line = ag.group(0)
+        assert "16,2,16" not in line and "2,16,16" not in line, line
 
 
 def test_cp_quantized(cpu_mesh_devices):
@@ -227,6 +256,74 @@ def test_zigzag_ring_attention_window_matches_dense(cpu_mesh_devices, window):
         check_vma=False,
     ))
     out = np.asarray(ring(q[:, order], k[:, order], v[:, order]))[:, inv]
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def _dense_bias_ref(q, k, v, Hq, Hkv, D, S, slopes=None, softcap=None):
+    """Dense causal attention with optional ALiBi bias / logit softcap,
+    mirroring ops/attention.py's order: scale -> softcap -> bias -> mask."""
+    kr = np.repeat(np.asarray(k), Hq // Hkv, axis=2)
+    vr = np.repeat(np.asarray(v), Hq // Hkv, axis=2)
+    s = np.einsum("bqhd,bkhd->bhqk", np.asarray(q), kr) * D ** -0.5
+    if softcap is not None:
+        s = softcap * np.tanh(s / softcap)
+    qp, kp = np.arange(S)[:, None], np.arange(S)[None, :]
+    if slopes is not None:
+        s = s + np.asarray(slopes).reshape(1, Hq, 1, 1) * (kp - qp)
+    s = np.where((kp <= qp)[None, None], s, -np.inf)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bkhd->bqhd", p, vr)
+
+
+@pytest.mark.parametrize("zigzag", [False, True])
+@pytest.mark.parametrize("kind", ["alibi", "softcap"])
+def test_ring_attention_alibi_softcap_matches_dense(
+    cpu_mesh_devices, zigzag, kind
+):
+    """ALiBi bias / logit softcap ride both ring variants exactly —
+    the per-(q,k)-pair terms are local to each chunk interaction."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from quick_tpu.ops.alibi import alibi_slopes
+    from quick_tpu.parallel.ring_attention import (
+        ring_causal_attention,
+        zigzag_order,
+        zigzag_ring_causal_attention,
+    )
+
+    B, S, Hq, Hkv, D, n = 2, 32, 4, 2, 16, 4
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((B, S, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    slopes = np.asarray(alibi_slopes(Hq)) if kind == "alibi" else None
+    softcap = 3.0 if kind == "softcap" else None
+    ref = _dense_bias_ref(q, k, v, Hq, Hkv, D, S, slopes, softcap)
+
+    sl = None if slopes is None else jnp.asarray(slopes, jnp.float32)
+    mesh = Mesh(np.asarray(cpu_mesh_devices[:n]), ("seq",))
+    if zigzag:
+        fn = lambda q, k, v: zigzag_ring_causal_attention(
+            q, k, v, "seq", n, alibi_slopes=sl, logit_softcap=softcap
+        )
+    else:
+        fn = lambda q, k, v: ring_causal_attention(
+            q, k, v, "seq", n, alibi_slopes=sl, logit_softcap=softcap
+        )
+    ring = jax.jit(jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(None, "seq"), P(None, "seq"), P(None, "seq")),
+        out_specs=P(None, "seq"),
+        check_vma=False,
+    ))
+    if zigzag:
+        order = np.asarray(zigzag_order(S, n))
+        inv = np.argsort(order)
+        out = np.asarray(ring(q[:, order], k[:, order], v[:, order]))[:, inv]
+    else:
+        out = np.asarray(ring(q, k, v))
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
 
 
