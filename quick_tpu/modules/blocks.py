@@ -311,10 +311,9 @@ def attention_forward(
         if reach <= window:
             window = None
     softcap = cfg.attn_logit_softcap
-    plain_attn = window is None and softcap is None
     if (
         S == 1 and cache is not None and not hasattr(cache, "block_table")
-        and cfg.use_rope and slopes is None and softcap is None
+        and cfg.use_rope and slopes is None
         and _use_fused_decode_step(cache, B, hd, rope_cos)
     ):
         # one kernel for rope + cache write + attention: the separate
@@ -328,7 +327,7 @@ def attention_forward(
         out, k_pl, v_pl = fused_decode_attention(
             q[:, 0], k[:, 0], v[:, 0], cache.k, cache.v,
             jnp.concatenate([c, c], -1), jnp.concatenate([s_r, s_r], -1),
-            cache.length, layer_idx, window=window,
+            cache.length, layer_idx, window=window, logit_softcap=softcap,
             interpret=jax.default_backend() == "cpu",
         )
         cache = dataclasses.replace(cache, k=k_pl, v=v_pl)
@@ -344,7 +343,7 @@ def attention_forward(
     if cache is not None:
         start = cache.length
         cache = cache.update(layer_idx, k, v, start)
-        if S == 1 and softcap is None and _use_paged_kernel(cache):
+        if S == 1 and _use_paged_kernel(cache):
             from quick_tpu.ops.paged_attention import paged_decode_attention
 
             quant = getattr(cache, "quantized", False)
@@ -356,10 +355,10 @@ def attention_forward(
                 cache.block_table, start + 1, layer=layer_idx,
                 alibi_slopes=slopes,
                 kv_scales=cache.kv_scales if quant else None,
-                window=window,
+                window=window, logit_softcap=softcap,
                 interpret=jax.default_backend() == "cpu",
             )[:, None]
-        elif S == 1 and plain_attn and _use_dense_decode_kernel(B, hq, hkv, cache, hd):
+        elif S == 1 and window is None and _use_dense_decode_kernel(B, hq, hkv, cache, hd):
             # chunked dense-decode Pallas kernel: batch-blocked grid steps,
             # DMA skipped past the valid length (ops/decode_attention.py).
             # The WHOLE cache stack goes in (layer picked by BlockSpec) —
@@ -368,10 +367,10 @@ def attention_forward(
 
             out = dense_decode_attention(
                 q, cache.k, cache.v, start + 1, layer=layer_idx,
-                alibi_slopes=slopes,
+                alibi_slopes=slopes, logit_softcap=softcap,
                 interpret=jax.default_backend() == "cpu",
             )
-        elif S > 1 and softcap is None and _use_paged_kernel(cache):
+        elif S > 1 and _use_paged_kernel(cache):
             from quick_tpu.ops.paged_attention import (
                 paged_chunk_attention,
                 supports_chunk,
@@ -387,7 +386,7 @@ def attention_forward(
                     cache.block_table, start, layer=layer_idx,
                     alibi_slopes=slopes,
                     kv_scales=cache.kv_scales if quant else None,
-                    window=window,
+                    window=window, logit_softcap=softcap,
                     interpret=jax.default_backend() == "cpu",
                 )
             else:

@@ -54,6 +54,7 @@ def _kernel(
     o_ref,                    # VMEM: [nb, Hq, D]
     m_scr, l_scr, acc_scr,    # VMEM: [nb, Hq, 1], [nb, Hq, 1], [nb, Hq, D]
     *, c: int, gq: int, hkv: int, nb: int, scale: float, use_alibi: bool,
+    softcap: float,
 ):
     g = pl.program_id(0)
     i = pl.program_id(1)
@@ -81,6 +82,10 @@ def _kernel(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale                         # [Hq, Hkv*c]
+            if softcap:
+                # gemma2 logit cap on the scaled scores, BEFORE bias/mask
+                # (ops/attention.py:87-89's order) — one VPU tanh pass
+                s = softcap * jnp.tanh(s * (1.0 / softcap))
             pos_k = base + pr_ref[0:1, :]              # [1, T]
             mask = jnp.logical_and(hm_ref[...] != 0, pos_k < length)
             if use_alibi:
@@ -110,7 +115,9 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("layer", "use_alibi", "scale", "nb", "c", "interpret"),
+    static_argnames=(
+        "layer", "use_alibi", "scale", "nb", "c", "interpret", "softcap"
+    ),
 )
 def _dense_decode(
     q: jax.Array,        # [B, Hq, D]
@@ -124,6 +131,7 @@ def _dense_decode(
     nb: int,
     c: int,
     interpret: bool,
+    softcap: float = 0.0,
 ) -> jax.Array:
     B, Hq, D = q.shape
     Hkv, T = k.shape[2], k.shape[3]
@@ -175,7 +183,7 @@ def _dense_decode(
     return pl.pallas_call(
         functools.partial(
             _kernel, c=c, gq=gq, hkv=Hkv, nb=nb, scale=float(scale),
-            use_alibi=use_alibi,
+            use_alibi=use_alibi, softcap=softcap,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
@@ -227,6 +235,7 @@ def dense_decode_attention(
     layer: int = 0,
     scale: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,
+    logit_softcap: Optional[float] = None,  # gemma2 cap*tanh(s/cap)
     nb: Optional[int] = None,
     c: Optional[int] = None,
     interpret: bool = False,
@@ -261,7 +270,7 @@ def dense_decode_attention(
     ln = jnp.broadcast_to(jnp.reshape(lengths, (-1,)), (B,))
     out = _dense_decode(
         q, k, v, ln, slopes, int(layer), use_alibi, float(scale), nb, c,
-        interpret,
+        interpret, float(logit_softcap) if logit_softcap else 0.0,
     )
     return out[:, None] if squeeze else out
 

@@ -19,8 +19,8 @@ whole post-qkv attention step for the S=1 dense-cache path:
   (the paged kernel's all-heads-one-dot trick on the dense cache).
 
 Replaces ~6 XLA fusions per layer with one pallas_call. Llama-family
-decode shapes only: full rotate-half rotary, no alibi/softcap (sliding
-window supported), B <= 8, cache small enough for VMEM-resident K/V
+decode shapes only: full rotate-half rotary, no alibi (sliding window
+and logit softcap supported), B <= 8, cache small enough for VMEM-resident K/V
 blocks.
 """
 from __future__ import annotations
@@ -45,7 +45,7 @@ def _kernel(len_ref, q_ref, kn_ref, vn_ref, cs_ref, rot_ref,
             kfull_ref, vfull_ref,
             o_ref, kg_out, vg_out,
             *, hq: int, hkv: int, S: int, D: int, scale: float,
-            group: int, window: int):
+            group: int, window: int, softcap: float):
     ln = len_ref[0]  # tokens already cached; the new token sits at ln
     gq = hq // hkv
     T = hkv * S
@@ -95,6 +95,10 @@ def _kernel(len_ref, q_ref, kn_ref, vn_ref, cs_ref, rot_ref,
         qb, kf, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [hq, T]
+    if softcap:
+        # gemma2 logit cap on the scaled scores (q carries scale), BEFORE
+        # mask — ops/attention.py:87-89's order
+        s = softcap * jnp.tanh(s * (1.0 / softcap))
     head_q = jax.lax.broadcasted_iota(jnp.int32, (hq, T), 0) // gq
     head_k = jax.lax.broadcasted_iota(jnp.int32, (hq, T), 1) // S
     pos_k = jax.lax.broadcasted_iota(jnp.int32, (hq, T), 1) % S
@@ -111,6 +115,8 @@ def _kernel(len_ref, q_ref, kn_ref, vn_ref, cs_ref, rot_ref,
         q, k_new, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [hq, hkv]
+    if softcap:
+        s_new = softcap * jnp.tanh(s_new * (1.0 / softcap))
     own = (
         jax.lax.broadcasted_iota(jnp.int32, (hq, hkv), 0) // gq
         == jax.lax.broadcasted_iota(jnp.int32, (hq, hkv), 1)
@@ -138,7 +144,7 @@ def _kernel(len_ref, q_ref, kn_ref, vn_ref, cs_ref, rot_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("layer", "scale", "window", "interpret"),
+    static_argnames=("layer", "scale", "window", "interpret", "logit_softcap"),
 )
 def fused_decode_attention(
     q: jax.Array,        # [B, hq, D] post-norm, PRE-rope queries
@@ -152,6 +158,7 @@ def fused_decode_attention(
     layer: int,
     scale: Optional[float] = None,
     window: Optional[int] = None,
+    logit_softcap: Optional[float] = None,  # gemma2 cap*tanh(s/cap)
     interpret: bool = False,
 ):
     """Returns (attn_out [B, hq, D], k_cache', v_cache')."""
@@ -203,6 +210,7 @@ def fused_decode_attention(
         functools.partial(
             _kernel, hq=hq, hkv=Hkv, S=S, D=D, scale=scale, group=group,
             window=win,
+            softcap=float(logit_softcap) if logit_softcap else 0.0,
         ),
         grid_spec=grid_spec,
         out_shape=[

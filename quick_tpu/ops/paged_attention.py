@@ -45,7 +45,7 @@ def _paged_kernel(
                                       # quantized, then o_ref, m/l/acc
                                       # scratch ([spb*Hq, .])
     page: int, gq: int, hkv: int, scale: float, use_alibi: bool,
-    quantized: bool, ppb: int, window: int, spb: int,
+    quantized: bool, ppb: int, window: int, spb: int, softcap: float,
 ):
     kv_refs = rest[: 2 * spb * ppb]
     rest = rest[2 * spb * ppb :]
@@ -118,6 +118,10 @@ def _paged_kernel(
                     ) * ks_row
                 else:
                     s = s * scale
+                if softcap:
+                    # gemma2 logit cap on the fully scaled scores, BEFORE
+                    # bias/mask (ops/attention.py:87-89's order)
+                    s = softcap * jnp.tanh(s * (1.0 / softcap))
                 pos_k = base + pr_ref[0:1, :]            # [1, T]
                 mask = jnp.logical_and(
                     hm_ref[...] != 0, pos_k < length
@@ -180,7 +184,7 @@ def _paged_chunk_kernel(
                                       # quantized, then o_ref, m/l/acc
                                       # scratch
     page: int, gq: int, hkv: int, S: int, scale: float, use_alibi: bool,
-    quantized: bool, ppb: int, window: int,
+    quantized: bool, ppb: int, window: int, softcap: float,
 ):
     kv_refs = rest[: 2 * ppb]
     rest = rest[2 * ppb :]
@@ -231,6 +235,10 @@ def _paged_chunk_kernel(
             ) * scale                                    # [R, T]
             if quantized:
                 s = s * sc_ref[0, 0, 0:1, :]             # per-key scales
+            if softcap:
+                # gemma2 logit cap: after ALL score scaling, before
+                # bias/mask (ops/attention.py:87-89's order)
+                s = softcap * jnp.tanh(s * (1.0 / softcap))
             row = jax.lax.broadcasted_iota(jnp.int32, (R, T), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (R, T), 1)
             pos_q = start + row // hq                    # rows are c-major
@@ -277,7 +285,8 @@ def supports_chunk(S: int, Hq: int, Hkv: int, page: int) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("layer", "scale", "interpret", "window")
+    jax.jit,
+    static_argnames=("layer", "scale", "interpret", "window", "logit_softcap"),
 )
 def paged_chunk_attention(
     q: jax.Array,            # [B, S, Hq, D] one CHUNK of queries per slot
@@ -291,6 +300,7 @@ def paged_chunk_attention(
     kv_scales: Optional[jax.Array] = None,  # [L, P, 8, Hkv*page] f32 when
     # INT8 — the shared per-page tile (row 0 = k, row 1 = v scales)
     window: Optional[int] = None,
+    logit_softcap: Optional[float] = None,  # gemma2 cap*tanh(s/cap)
     interpret: bool = False,
 ) -> jax.Array:
     """Chunked-prefill attention directly over KV pages — [B, S, Hq, D].
@@ -408,6 +418,7 @@ def paged_chunk_attention(
             _paged_chunk_kernel, page=page, gq=gq, hkv=Hkv, S=S,
             scale=float(scale), use_alibi=use_alibi, quantized=quantized,
             ppb=ppb, window=win,
+            softcap=float(logit_softcap) if logit_softcap else 0.0,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, S, Hq, D), q.dtype),
@@ -420,7 +431,8 @@ def paged_chunk_attention(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("layer", "scale", "interpret", "window")
+    jax.jit,
+    static_argnames=("layer", "scale", "interpret", "window", "logit_softcap"),
 )  # quantized-ness is static via kv_scales None-ness (jit re-traces)
 def paged_decode_attention(
     q: jax.Array,            # [B, Hq, D] one decode step's queries
@@ -435,6 +447,7 @@ def paged_decode_attention(
     # per-page scale tile (row 0 = k, row 1 = v; see paged_cache) when INT8
     window: Optional[int] = None,  # sliding window (mistral): only keys
     # with pos > length-1-window visible; pages fully below skip DMA+compute
+    logit_softcap: Optional[float] = None,  # gemma2 cap*tanh(s/cap)
     interpret: bool = False,
 ) -> jax.Array:
     """Returns [B, Hq, D]. The current step's K/V must already be written
@@ -599,6 +612,7 @@ def paged_decode_attention(
             _paged_kernel, page=page, gq=gq, hkv=Hkv, scale=float(scale),
             use_alibi=use_alibi, quantized=quantized, ppb=ppb, window=win,
             spb=spb,
+            softcap=float(logit_softcap) if logit_softcap else 0.0,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),

@@ -51,6 +51,24 @@ def test_dense_decode_alibi(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
 
 
+def test_dense_decode_softcap(rng):
+    """Gemma2-class logit softcap rides the dense decode kernel (one VPU
+    tanh on the scaled scores, same order as ops/attention.py)."""
+    from quick_tpu.ops.attention import causal_attention
+
+    B, Hq, Hkv, T, D = 2, 4, 2, 32, 32
+    q, k, v = _setup(rng, B, Hq, Hkv, T, D)
+    ln = jnp.asarray([19, 30], jnp.int32)
+    out = dense_decode_attention(
+        q, k, v, ln, logit_softcap=5.0, nb=2, c=16, interpret=True
+    )
+    ref = causal_attention(
+        q, k, v, q_offset=ln - 1, kv_len=ln, kv_heads_major=True,
+        logit_softcap=5.0,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
 def test_dense_decode_autopick(rng):
     """nb/c auto-selection path + scalar length broadcast."""
     B, Hq, Hkv, T, D = 4, 8, 2, 128, 64
@@ -119,6 +137,41 @@ def test_fused_decode_step_matches_unfused(monkeypatch):
         vocab_size=128, hidden_size=64, intermediate_size=128,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
         max_position_embeddings=64,
+    )
+    params = init_float_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0, 128)
+
+    def run(env):
+        monkeypatch.setenv("QUICK_TPU_FUSED_STEP", env)
+        cache = make_cache(cfg, 2, 16, dtype=jnp.float32)
+        logits, cache = model_forward(params, cfg, toks[:, :6], cache)
+        outs = [logits[:, -1]]
+        for t in range(6, 10):
+            lg, cache = model_forward(params, cfg, toks[:, t : t + 1], cache)
+            outs.append(lg[:, 0])
+        return np.asarray(jnp.stack(outs, 1)), np.asarray(cache.k)
+
+    ref, kref = run("0")
+    out, kout = run("1")
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(kout, kref, atol=2e-4, rtol=2e-4)
+
+
+def test_fused_decode_step_softcap(monkeypatch):
+    """Softcap (gemma2) models keep the fused decode-step kernel: fused
+    vs unfused logits + cache stay identical with attn_logit_softcap set."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quick_tpu import ModelConfig
+    from quick_tpu.models import init_float_params, model_forward
+    from quick_tpu.runtime import make_cache
+
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, attn_logit_softcap=5.0,
     )
     params = init_float_params(cfg, jax.random.PRNGKey(0), jnp.float32)
     toks = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0, 128)
