@@ -313,21 +313,28 @@ def attention_forward(
     softcap = cfg.attn_logit_softcap
     if (
         S == 1 and cache is not None and not hasattr(cache, "block_table")
-        and cfg.use_rope and slopes is None
         and _use_fused_decode_step(cache, B, hd, rope_cos)
     ):
         # one kernel for rope + cache write + attention: the separate
         # fusions cost ~38 us/layer of launch/relayout glue at bs=1
-        # (ops/fused_decode_step.py)
+        # (ops/fused_decode_step.py). Non-rope models (bloom/mpt/opt-class,
+        # learned positions or ALiBi) ride it too with use_rope=False
         from quick_tpu.ops.fused_decode_step import fused_decode_attention
 
-        pos0 = positions[:, 0]
-        c = rope_cos[pos0].astype(jnp.float32)  # [B, hd/2]
-        s_r = rope_sin[pos0].astype(jnp.float32)
+        if cfg.use_rope:
+            pos0 = positions[:, 0]
+            c = rope_cos[pos0].astype(jnp.float32)  # [B, hd/2]
+            s_r = rope_sin[pos0].astype(jnp.float32)
+            cosr = jnp.concatenate([c, c], -1)
+            sinr = jnp.concatenate([s_r, s_r], -1)
+        else:
+            cosr = jnp.zeros((B, hd), jnp.float32)
+            sinr = jnp.zeros((B, hd), jnp.float32)
         out, k_pl, v_pl = fused_decode_attention(
             q[:, 0], k[:, 0], v[:, 0], cache.k, cache.v,
-            jnp.concatenate([c, c], -1), jnp.concatenate([s_r, s_r], -1),
+            cosr, sinr,
             cache.length, layer_idx, window=window, logit_softcap=softcap,
+            alibi_slopes=slopes, use_rope=cfg.use_rope,
             interpret=jax.default_backend() == "cpu",
         )
         cache = dataclasses.replace(cache, k=k_pl, v=v_pl)

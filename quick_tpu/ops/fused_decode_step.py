@@ -19,8 +19,9 @@ whole post-qkv attention step for the S=1 dense-cache path:
   (the paged kernel's all-heads-one-dot trick on the dense cache).
 
 Replaces ~6 XLA fusions per layer with one pallas_call. Llama-family
-decode shapes only: full rotate-half rotary, no alibi (sliding window
-and logit softcap supported), B <= 8, cache small enough for VMEM-resident K/V
+decode shapes only: full rotate-half rotary OR no rotary (use_rope=False
+for bloom/mpt/opt-class models; ALiBi bias, sliding window and logit
+softcap all supported), B <= 8, cache small enough for VMEM-resident K/V
 blocks.
 """
 from __future__ import annotations
@@ -41,11 +42,12 @@ def _group_for(dtype) -> int:
     return max(8, 32 // jnp.dtype(dtype).itemsize)
 
 
-def _kernel(len_ref, q_ref, kn_ref, vn_ref, cs_ref, rot_ref,
+def _kernel(len_ref, q_ref, kn_ref, vn_ref, cs_ref, rot_ref, slope_ref,
             kfull_ref, vfull_ref,
             o_ref, kg_out, vg_out,
             *, hq: int, hkv: int, S: int, D: int, scale: float,
-            group: int, window: int, softcap: float):
+            group: int, window: int, softcap: float, use_rope: bool,
+            use_alibi: bool):
     ln = len_ref[0]  # tokens already cached; the new token sits at ln
     gq = hq // hkv
     T = hkv * S
@@ -61,14 +63,21 @@ def _kernel(len_ref, q_ref, kn_ref, vn_ref, cs_ref, rot_ref,
         ) * ss
 
     # rope results round back to the activation dtype exactly like the
-    # unfused apply_rope (ops/rope.py casts to x.dtype) — numerics parity
+    # unfused apply_rope (ops/rope.py casts to x.dtype) — numerics parity.
+    # ALiBi/learned-position models (bloom/mpt/opt-class, use_rope=False)
+    # skip the rotation: q/k pass through in their storage dtype, exactly
+    # like the unfused path that never calls apply_rope
     in_dt = q_ref.dtype
-    q = rope(q_ref[0].astype(jnp.float32)).astype(in_dt).astype(
-        jnp.float32
-    ) * scale                                               # [hq, D]
-    k_new = rope(kn_ref[0].astype(jnp.float32)).astype(in_dt).astype(
-        jnp.float32
-    )                                                       # [hkv, D]
+    if use_rope:
+        q = rope(q_ref[0].astype(jnp.float32)).astype(in_dt).astype(
+            jnp.float32
+        ) * scale                                           # [hq, D]
+        k_new = rope(kn_ref[0].astype(jnp.float32)).astype(in_dt).astype(
+            jnp.float32
+        )                                                   # [hkv, D]
+    else:
+        q = q_ref[0].astype(jnp.float32) * scale
+        k_new = kn_ref[0].astype(jnp.float32)
     v_new = vn_ref[0].astype(jnp.float32)
 
     # ---- cache RMW: write the rope'd k / raw v row at position ln --------
@@ -102,6 +111,10 @@ def _kernel(len_ref, q_ref, kn_ref, vn_ref, cs_ref, rot_ref,
     head_q = jax.lax.broadcasted_iota(jnp.int32, (hq, T), 0) // gq
     head_k = jax.lax.broadcasted_iota(jnp.int32, (hq, T), 1) // S
     pos_k = jax.lax.broadcasted_iota(jnp.int32, (hq, T), 1) % S
+    if use_alibi:
+        # bias m_h*(pos_k - q_pos) with the query at position ln; the
+        # new token's own bias is 0, so the side scores stay unbiased
+        s = s + slope_ref[:] * (pos_k - ln).astype(jnp.float32)
     mask = jnp.logical_and(head_q == head_k, pos_k < ln)  # strict: the new
     # token's (stale) cache column is masked; its contribution comes from
     # the exact side dot below
@@ -144,7 +157,9 @@ def _kernel(len_ref, q_ref, kn_ref, vn_ref, cs_ref, rot_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("layer", "scale", "window", "interpret", "logit_softcap"),
+    static_argnames=(
+        "layer", "scale", "window", "interpret", "logit_softcap", "use_rope",
+    ),
 )
 def fused_decode_attention(
     q: jax.Array,        # [B, hq, D] post-norm, PRE-rope queries
@@ -159,6 +174,9 @@ def fused_decode_attention(
     scale: Optional[float] = None,
     window: Optional[int] = None,
     logit_softcap: Optional[float] = None,  # gemma2 cap*tanh(s/cap)
+    alibi_slopes: Optional[jax.Array] = None,  # [hq] per-head slopes
+    use_rope: bool = True,  # False: bloom/mpt/opt-class models — q/k pass
+    # through unrotated (cos/sin rows ignored, pass zeros)
     interpret: bool = False,
 ):
     """Returns (attn_out [B, hq, D], k_cache', v_cache')."""
@@ -178,6 +196,10 @@ def fused_decode_attention(
     rot[half:, :half] *= -1.0
     cs = jnp.stack([cos_row, sin_row], axis=1).astype(jnp.float32)
     cs = jnp.pad(cs, ((0, 0), (0, 6), (0, 0)))  # [B, 8, D]: legal sublanes
+    slopes = (
+        jnp.asarray(alibi_slopes, jnp.float32).reshape(hq, 1)
+        if alibi_slopes is not None else jnp.zeros((hq, 1), jnp.float32)
+    )
 
     lens = jnp.reshape(length, (1,)).astype(jnp.int32)
 
@@ -196,6 +218,7 @@ def fused_decode_attention(
             pl.BlockSpec((1, Hkv, D), lambda b, ln: (b, 0, 0)),
             pl.BlockSpec((1, 8, D), lambda b, ln: (b, 0, 0)),
             pl.BlockSpec((D, D), lambda b, ln: (0, 0)),
+            pl.BlockSpec((hq, 1), lambda b, ln: (0, 0)),
             pl.BlockSpec((1, 1, Hkv, S, D), full_index),
             pl.BlockSpec((1, 1, Hkv, S, D), full_index),
         ],
@@ -211,6 +234,7 @@ def fused_decode_attention(
             _kernel, hq=hq, hkv=Hkv, S=S, D=D, scale=scale, group=group,
             window=win,
             softcap=float(logit_softcap) if logit_softcap else 0.0,
+            use_rope=bool(use_rope), use_alibi=alibi_slopes is not None,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -218,13 +242,13 @@ def fused_decode_attention(
             jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ],
-        # (lens | q, kn, vn, cs, rot, kfull, vfull): the FULL cache
+        # (lens | q, kn, vn, cs, rot, slopes, kfull, vfull): the FULL cache
         # operands alias the (group-block) outputs — buffer-level alias,
         # block-level partial writes
-        input_output_aliases={6: 1, 7: 2},
+        input_output_aliases={7: 1, 8: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
         interpret=interpret,
-    )(lens, q, k_new, v_new, cs, jnp.asarray(rot), k_cache, v_cache)
+    )(lens, q, k_new, v_new, cs, jnp.asarray(rot), slopes, k_cache, v_cache)
     return out, kg, vg
