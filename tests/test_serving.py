@@ -224,6 +224,29 @@ def test_engine_matches_generate(params):
     assert outs[uid] == ref
 
 
+def test_engine_moe_matches_generate():
+    """A mixtral-class MoE model serves through the paged engine
+    (chunked prefill + paged decode + cond-gated expert dispatch) with
+    the same greedy stream as the dense generate loop."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TINY, num_local_experts=4, num_experts_per_tok=2,
+    )
+    params = init_float_params(cfg, jax.random.PRNGKey(3))
+    prompt = list(range(7, 20))
+    toks = jnp.asarray([prompt], jnp.int32)
+    out = generate(
+        params, cfg, toks, max_new_tokens=8,
+        sampling=SamplingParams(temperature=0.0),
+    )
+    ref = list(np.asarray(out)[0, len(prompt):])
+    eng = Engine(params, cfg, max_slots=2, max_seq=64, page_size=4, chunk=8,
+                 dtype=jnp.float32)
+    uid = eng.submit(prompt, max_new_tokens=8)
+    assert eng.run()[uid] == ref
+
+
 def test_engine_capacity_exact_keeps_windows(params):
     """A request with prompt + max_new == max_seq must still decode through
     the decoupled windows (the W_eff ladder shrinks the window for the
