@@ -193,6 +193,42 @@ def test_fused_decode_step_alibi_no_rope(monkeypatch):
     np.testing.assert_allclose(kout, kref, atol=2e-4, rtol=2e-4)
 
 
+def test_fused_decode_step_learned_pos(monkeypatch):
+    """OPT/gpt_bigcode-class models (learned positions, no rope, no
+    alibi) ride the fused decode-step kernel: fused == unfused."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quick_tpu import ModelConfig
+    from quick_tpu.models import init_float_params, model_forward
+    from quick_tpu.runtime import make_cache
+
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, use_rope=False, learned_pos=True,
+        layernorm="layernorm", act_fn="gelu", gated_mlp=False,
+    )
+    params = init_float_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0, 128)
+
+    def run(env):
+        monkeypatch.setenv("QUICK_TPU_FUSED_STEP", env)
+        cache = make_cache(cfg, 2, 16, dtype=jnp.float32)
+        logits, cache = model_forward(params, cfg, toks[:, :6], cache)
+        outs = [logits[:, -1]]
+        for t in range(6, 10):
+            lg, cache = model_forward(params, cfg, toks[:, t : t + 1], cache)
+            outs.append(lg[:, 0])
+        return np.asarray(jnp.stack(outs, 1)), np.asarray(cache.k)
+
+    ref, kref = run("0")
+    out, kout = run("1")
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(kout, kref, atol=2e-4, rtol=2e-4)
+
+
 def test_fused_decode_step_softcap(monkeypatch):
     """Softcap (gemma2) models keep the fused decode-step kernel: fused
     vs unfused logits + cache stay identical with attn_logit_softcap set."""
