@@ -8,6 +8,7 @@ from quick_tpu.runtime.generate import (
     prefill,
 )
 from quick_tpu.runtime.serving import Engine, Request
+from quick_tpu.runtime.speculative import speculative_generate
 
 __all__ = [
     "SamplingParams",
@@ -19,4 +20,5 @@ __all__ = [
     "make_cache",
     "Engine",
     "Request",
+    "speculative_generate",
 ]

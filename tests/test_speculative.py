@@ -1,0 +1,101 @@
+"""Prompt-lookup speculative decoding: exactness vs greedy generate
+(runtime/speculative.py) and the n-gram proposer."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quick_tpu import ModelConfig
+from quick_tpu.models import init_float_params
+from quick_tpu.runtime import SamplingParams, generate, speculative_generate
+from quick_tpu.runtime.speculative import ngram_propose
+
+TINY = ModelConfig(
+    vocab_size=128, hidden_size=64, intermediate_size=128,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    max_position_embeddings=256,
+)
+
+
+def test_ngram_propose_finds_most_recent():
+    # ... 7 8 9 | 1 2 3 4 5 | 7 8 9 | 1 2 3 [tail: 7 8 9] -> continuation
+    # after the MOST RECENT earlier "7 8 9" is "1 2 3"
+    row = jnp.asarray(
+        [7, 8, 9, 1, 2, 3, 4, 5, 7, 8, 9, 1, 2, 3, 7, 8, 9, 0, 0, 0],
+        jnp.int32,
+    )
+    p0 = jnp.int32(16)  # last valid token: the trailing 9
+    drafts = ngram_propose(row, p0, ngram=3, draft_len=3)
+    assert np.asarray(drafts).tolist() == [1, 2, 3]
+
+
+def test_ngram_propose_no_match_falls_back():
+    row = jnp.asarray([1, 2, 3, 4, 5, 6, 0, 0], jnp.int32)
+    drafts = ngram_propose(row, jnp.int32(5), ngram=3, draft_len=4)
+    assert np.asarray(drafts).tolist() == [6, 6, 6, 6]  # repeat-last
+
+
+@pytest.mark.parametrize("draft_len,ngram", [(4, 3), (2, 2), (6, 4)])
+def test_speculative_matches_greedy(draft_len, ngram):
+    """Token-exact vs generate(temperature=0) — acceptance only ever
+    emits verified argmax tokens."""
+    params = init_float_params(TINY, jax.random.PRNGKey(0))
+    pat = [5, 9, 13, 21, 5, 9, 13, 21, 5, 9]
+    prompt = jnp.asarray([list(range(30, 40)) + pat], jnp.int32)
+    ref = generate(params, TINY, prompt, max_new_tokens=24,
+                   sampling=SamplingParams(temperature=0.0))
+    out = speculative_generate(
+        params, TINY, prompt, max_new_tokens=24,
+        draft_len=draft_len, ngram=ngram,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_speculative_matches_greedy_no_repetition():
+    """A prompt with no repeated n-grams: drafts mostly miss, output must
+    still be exact (pure-verification degenerates to normal decode)."""
+    params = init_float_params(TINY, jax.random.PRNGKey(1))
+    prompt = jnp.asarray([list(range(3, 23))], jnp.int32)
+    ref = generate(params, TINY, prompt, max_new_tokens=12,
+                   sampling=SamplingParams(temperature=0.0))
+    out, stats = speculative_generate(
+        params, TINY, prompt, max_new_tokens=12, return_stats=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert int(stats["model_steps"]) <= 12
+
+
+def test_speculative_accepts_on_repetitive_stream():
+    """The greedy stream of this (model, prompt) loops; prompt lookup must
+    exploit it: fewer model steps than emitted tokens."""
+    params = init_float_params(TINY, jax.random.PRNGKey(0))
+    pat = [5, 9, 13, 21, 5, 9, 13, 21, 5, 9]
+    prompt = jnp.asarray([list(range(30, 40)) + pat], jnp.int32)
+    out, stats = speculative_generate(
+        params, TINY, prompt, max_new_tokens=24, return_stats=True,
+    )
+    assert int(stats["model_steps"]) < int(stats["emitted"])
+
+
+def test_speculative_eos_masking():
+    """EOS handling matches generate(): tokens after the first EOS are
+    masked to the EOS id."""
+    params = init_float_params(TINY, jax.random.PRNGKey(0))
+    prompt = jnp.asarray([list(range(3, 17))], jnp.int32)
+    ref = generate(params, TINY, prompt, max_new_tokens=10,
+                   sampling=SamplingParams(temperature=0.0))
+    eos = int(np.asarray(ref)[0, prompt.shape[1] + 2])  # force an early hit
+    ref_eos = generate(params, TINY, prompt, max_new_tokens=10,
+                       sampling=SamplingParams(temperature=0.0),
+                       eos_token_id=eos)
+    out = speculative_generate(
+        params, TINY, prompt, max_new_tokens=10, eos_token_id=eos,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_eos))
+
+
+def test_speculative_rejects_batch():
+    params = init_float_params(TINY, jax.random.PRNGKey(0))
+    prompt = jnp.zeros((2, 8), jnp.int32)
+    with pytest.raises(ValueError):
+        speculative_generate(params, TINY, prompt, max_new_tokens=4)

@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--group", type=int, default=128,
                     help="quant group size (32 = the GGUF Q4_K-class regime "
                          "through the small-group kernel)")
+    ap.add_argument("--speculative", type=int, default=0, metavar="K",
+                    help="also bench prompt-lookup speculative greedy decode "
+                         "with draft_len=K (B=1 only; 0 = off). Reports "
+                         "wall tok/s plus the verified tokens-per-model-step "
+                         "acceptance ratio")
     args = ap.parse_args()
     cfg = ModelConfig(**SHAPES[args.model])
     t0 = time.time()
@@ -104,4 +109,24 @@ def main():
     print(f"{args.model} bs={B} {C}/{Gn}:")
     print(f"  prefill: {tp*1e3:.1f} ms -> {B*C/tp:.1f} tok/s")
     print(f"  decode:  {per_tok*1e3:.2f} ms/tok -> {B/per_tok:.1f} tok/s")
+
+    if args.speculative and B == 1:
+        from quick_tpu.runtime import speculative_generate
+
+        K = args.speculative
+
+        def spec_fn(n):
+            return speculative_generate(
+                params, cfg, toks, n, draft_len=K, return_stats=True,
+            )
+
+        spec_fn(8)  # compile both loop shapes
+        spec_fn(Gn)
+        t8s, _ = timed(spec_fn, 8)
+        tgs, (_, st) = timed(spec_fn, Gn)
+        per_spec = (tgs - t8s) / (Gn - 8)
+        steps = int(st["model_steps"])
+        print(f"  speculative (K={K}): {per_spec*1e3:.2f} ms/tok -> "
+              f"{1/per_spec:.1f} tok/s; {Gn}/{steps} = "
+              f"{Gn/max(steps,1):.2f} tok/model-step")
 main()
