@@ -77,6 +77,22 @@ def test_speculative_accepts_on_repetitive_stream():
     assert int(stats["model_steps"]) < int(stats["emitted"])
 
 
+def test_speculative_sliding_window_model():
+    """Mistral-class config (sliding window binding at these lengths):
+    the K+1-token chunk rides the windowed attention path exactly."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, sliding_window=9)
+    params = init_float_params(cfg, jax.random.PRNGKey(2))
+    pat = [5, 9, 13, 21, 5, 9, 13, 21]
+    prompt = jnp.asarray([list(range(30, 40)) + pat], jnp.int32)
+    # max_seq > window so the mask binds
+    ref = generate(params, cfg, prompt, max_new_tokens=16,
+                   sampling=SamplingParams(temperature=0.0))
+    out = speculative_generate(params, cfg, prompt, max_new_tokens=16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_speculative_eos_masking():
     """EOS handling matches generate(): tokens after the first EOS are
     masked to the EOS id."""
