@@ -110,6 +110,21 @@ def test_speculative_eos_masking():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_eos))
 
 
+def test_speculative_quantized_params():
+    """W4A16 params (the deployment config) through the spec loop."""
+    from quick_tpu.models import quantize_params
+
+    params = quantize_params(
+        init_float_params(TINY, jax.random.PRNGKey(0)), TINY, group_size=32
+    )
+    pat = [5, 9, 13, 21, 5, 9, 13, 21]
+    prompt = jnp.asarray([list(range(30, 40)) + pat], jnp.int32)
+    ref = generate(params, TINY, prompt, max_new_tokens=12,
+                   sampling=SamplingParams(temperature=0.0))
+    out = speculative_generate(params, TINY, prompt, max_new_tokens=12)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_speculative_rejects_batch():
     params = init_float_params(TINY, jax.random.PRNGKey(0))
     prompt = jnp.zeros((2, 8), jnp.int32)
