@@ -63,15 +63,10 @@ def apply_penalties(
     return logits
 
 
-def sample_token(
-    logits: jax.Array,  # [B, V]
-    params: SamplingParams,
-    key: jax.Array,
-) -> jax.Array:
-    """Greedy / temperature / top-k / top-p / min-p sampling. Returns [B]
-    int32. (History penalties need token counts — see decode_loop.)"""
-    if params.temperature == 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+def filter_logits(logits: jax.Array, params: SamplingParams) -> jax.Array:
+    """Temperature/top-k/top-p/min-p-filtered logits (softmax of the
+    result IS the sampling distribution). Batched over leading dims;
+    requires params.temperature > 0."""
     logits = logits / params.temperature
     if params.top_k > 0:
         kth = jax.lax.top_k(logits, params.top_k)[0][..., -1:]
@@ -90,7 +85,21 @@ def sample_token(
             params.min_p
         )
         logits = jnp.where(logits < thresh, -1e9, logits)
-    return jax.random.categorical(key, logits).astype(jnp.int32)
+    return logits
+
+
+def sample_token(
+    logits: jax.Array,  # [B, V]
+    params: SamplingParams,
+    key: jax.Array,
+) -> jax.Array:
+    """Greedy / temperature / top-k / top-p / min-p sampling. Returns [B]
+    int32. (History penalties need token counts — see decode_loop.)"""
+    if params.temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(
+        key, filter_logits(logits, params)
+    ).astype(jnp.int32)
 
 
 def sample_token_rows(

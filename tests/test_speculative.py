@@ -125,6 +125,70 @@ def test_speculative_quantized_params():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_verify_drafts_first_token_distribution():
+    """Rejection verification is distribution-exact: the first emitted
+    token's marginal equals the target distribution p_0 (accept draft
+    w.p. p(d), else sample the renormalized residual)."""
+    from quick_tpu.runtime.speculative import verify_drafts
+
+    V, K, n = 12, 3, 30000
+    rng = np.random.default_rng(0)
+    probs = rng.dirichlet(np.ones(V), size=K + 1).astype(np.float32)
+    probs_j = jnp.asarray(probs)
+    drafts = jnp.asarray([3, 7, 1], jnp.int32)
+
+    first = jax.jit(jax.vmap(
+        lambda k: verify_drafts(probs_j, drafts, k)[0][0]
+    ))(jax.random.split(jax.random.PRNGKey(1), n))
+    emp = np.bincount(np.asarray(first), minlength=V) / n
+    np.testing.assert_allclose(emp, probs[0], atol=0.02)
+
+
+def test_verify_drafts_all_accept_bonus():
+    """Target distributions that put ~all mass on the drafts accept all K
+    and emit a bonus token from the last row."""
+    from quick_tpu.runtime.speculative import verify_drafts
+
+    V, K = 8, 3
+    drafts = jnp.asarray([2, 5, 1], jnp.int32)
+    probs = np.full((K + 1, V), 1e-9, np.float32)
+    for i, d in enumerate([2, 5, 1]):
+        probs[i, d] = 1.0
+    probs[K, 6] = 1.0
+    probs /= probs.sum(-1, keepdims=True)
+    gvec, m = verify_drafts(
+        jnp.asarray(probs), drafts, jax.random.PRNGKey(0)
+    )
+    assert int(m) == K
+    assert np.asarray(gvec).tolist() == [2, 5, 1, 6]
+
+
+def test_speculative_sampled_greedy_limit():
+    """temperature -> 0 limit of the rejection path reproduces the greedy
+    stream exactly (softmax saturates, accept prob of the argmax draft is
+    1.0, the replacement is the residual argmax)."""
+    params = init_float_params(TINY, jax.random.PRNGKey(0))
+    pat = [5, 9, 13, 21, 5, 9, 13, 21, 5, 9]
+    prompt = jnp.asarray([list(range(30, 40)) + pat], jnp.int32)
+    ref = generate(params, TINY, prompt, max_new_tokens=16,
+                   sampling=SamplingParams(temperature=0.0))
+    out = speculative_generate(
+        params, TINY, prompt, max_new_tokens=16,
+        sampling=SamplingParams(temperature=1e-6),
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_speculative_rejects_penalties():
+    params = init_float_params(TINY, jax.random.PRNGKey(0))
+    prompt = jnp.zeros((1, 8), jnp.int32)
+    with pytest.raises(ValueError):
+        speculative_generate(
+            params, TINY, prompt, max_new_tokens=4,
+            sampling=SamplingParams(temperature=1.0, repetition_penalty=1.3),
+        )
+
+
 def test_speculative_rejects_batch():
     params = init_float_params(TINY, jax.random.PRNGKey(0))
     prompt = jnp.zeros((2, 8), jnp.int32)
