@@ -8,7 +8,8 @@ runtime/speculative.py for the TPU-shaped design).
         --prompt "def fibonacci(n):" --max_new_tokens 128 \
         [--draft_len 4] [--ngram 3]
 
-Greedy and bit-identical to plain generate(temperature=0); prints the
+Greedy and token-exact vs plain generate(temperature=0) (bit-identical
+up to kernel-path numerics); prints the
 verified tokens-per-model-step ratio (the speculation payoff — decode is
 weight-bandwidth-bound on TPU, so each accepted draft is a model step
 that never pays the weight stream).

@@ -15,9 +15,14 @@ TPU-shaped: the whole accept/propose loop runs inside ONE jitted
 ``lax.while_loop`` — no host round-trips (80 ms/dispatch through the
 tunnel), static shapes throughout (the token buffer is padded to
 S + max_new + K and stale tail slots are overwritten as acceptance
-advances). Greedy acceptance makes the output bit-identical to
+advances). Greedy acceptance makes the output token-exact vs
 ``generate(temperature=0)``: an emitted token is always the argmax under
 a verified-correct context, by induction over the accepted prefix.
+(Token-exact up to kernel-path numerics: the K+1-token verify forward
+runs the chunk/flash attention kernels while generate()'s S=1 step runs
+the fused decode kernel, so a near-tie argmax can in principle diverge
+between the two paths; outputs are bit-identical when the paths match,
+as in the CPU tests.)
 
 Scope: B=1, dense KVCache (the cache's shared scalar length IS the
 rollback mechanism: after a chunk forward writes K+1 rows,
@@ -173,7 +178,10 @@ def _spec_loop(
         # prefix are stale and get overwritten by later iterations
         buf = jax.lax.dynamic_update_slice(buf, g, (p0 + 1,))
         cache = cache.with_length(p0 + m + 1)  # rewind rejected KV rows
-        return buf, cnt + m + 1, cache, iters + 1, key
+        # clamp to the budget: a full acceptance on the final iteration
+        # would otherwise overshoot and overstate emitted/tokens_per_step
+        cnt = jnp.minimum(cnt + m + 1, max_new_tokens)
+        return buf, cnt, cache, iters + 1, key
 
     buf, cnt, _, iters, _ = jax.lax.while_loop(
         cond, body, (buf, jnp.int32(1), cache, jnp.int32(0), key)
@@ -195,8 +203,10 @@ def speculative_generate(
     return_stats: bool = False,
 ):
     """Generation with prompt-lookup speculation. Greedy (temperature 0,
-    the default) is bit-identical to
-    ``generate(..., sampling=SamplingParams(temperature=0.0))``;
+    the default) is token-exact vs
+    ``generate(..., sampling=SamplingParams(temperature=0.0))`` up to
+    kernel-path numerics (bit-identical when the verify forward and the
+    plain decode step take the same kernel path — see module docstring);
     temperature > 0 uses exact rejection verification (``verify_drafts``)
     so the output is distributed exactly as sequential sampling from the
     filtered distribution. Returns [1, S + max_new_tokens] tokens; with
@@ -212,8 +222,17 @@ def speculative_generate(
             "history penalties are not supported under speculation "
             "(use generate())"
         )
+    need = S + max_new_tokens + draft_len + 1
     if max_seq is None:
-        max_seq = S + max_new_tokens + draft_len + 1
+        max_seq = need
+    elif max_seq < need:
+        # the loop always needs overshoot room for a full-acceptance
+        # chunk; a shorter cache would make the K+1-row write clamp its
+        # start index and silently overwrite valid KV rows
+        raise ValueError(
+            f"max_seq={max_seq} < S + max_new_tokens + draft_len + 1 "
+            f"= {need}; speculation needs overshoot room"
+        )
     buf, cnt, iters = _spec_loop(
         params, cfg, prompt_tokens, max_new_tokens, draft_len, ngram,
         max_seq, sampling, key,

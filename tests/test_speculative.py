@@ -194,3 +194,27 @@ def test_speculative_rejects_batch():
     prompt = jnp.zeros((2, 8), jnp.int32)
     with pytest.raises(ValueError):
         speculative_generate(params, TINY, prompt, max_new_tokens=4)
+
+
+def test_speculative_rejects_short_max_seq():
+    """max_seq without overshoot room would let the K+1-row cache write
+    clamp and overwrite valid KV rows — must be rejected up front."""
+    params = init_float_params(TINY, jax.random.PRNGKey(0))
+    prompt = jnp.zeros((1, 8), jnp.int32)
+    with pytest.raises(ValueError, match="overshoot"):
+        speculative_generate(
+            params, TINY, prompt, max_new_tokens=4, draft_len=4, max_seq=12
+        )
+
+
+def test_speculative_emitted_clamped_to_budget():
+    """A full acceptance on the final iteration must not overstate
+    emitted/tokens_per_step past max_new_tokens."""
+    params = init_float_params(TINY, jax.random.PRNGKey(0))
+    pat = [5, 9, 13, 21] * 4
+    prompt = jnp.asarray([pat], jnp.int32)
+    _, stats = speculative_generate(
+        params, TINY, prompt, max_new_tokens=6, draft_len=4,
+        return_stats=True,
+    )
+    assert int(stats["emitted"]) <= 6

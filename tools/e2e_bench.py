@@ -24,6 +24,22 @@ SHAPES = {
     "tiny": dict(vocab_size=1024, hidden_size=512, intermediate_size=1024,
                  num_hidden_layers=4, num_attention_heads=8,
                  num_key_value_heads=4, max_position_embeddings=512),
+    # gemma2-9b geometry (vocab clipped 256k->32k so the head matches the
+    # other rows; the softcap/sandwich-norm/alt-window kernel paths are the
+    # point here): logit softcap rides every attention kernel + the final
+    # head via final_logit_softcap (MODEL_TYPE_MAP["gemma2"]).
+    "gemma2_9b": dict(vocab_size=32768, hidden_size=3584,
+                      intermediate_size=14336, num_hidden_layers=42,
+                      num_attention_heads=16, num_key_value_heads=8,
+                      head_dim=256, max_position_embeddings=4096,
+                      sliding_window=4096, sliding_window_pattern=2,
+                      query_pre_attn_scalar=256.0, model_type="gemma2"),
+    # bloom-7b1 geometry (vocab clipped 250k->32k): ALiBi + no-rope through
+    # the fused decode step (use_rope=False path).
+    "bloom7b": dict(vocab_size=32768, hidden_size=4096,
+                    intermediate_size=16384, num_hidden_layers=30,
+                    num_attention_heads=32, num_key_value_heads=32,
+                    max_position_embeddings=2048, model_type="bloom"),
 }
 
 def main():
@@ -49,7 +65,8 @@ def main():
                          "wall tok/s plus the verified tokens-per-model-step "
                          "acceptance ratio")
     args = ap.parse_args()
-    cfg = ModelConfig(**SHAPES[args.model])
+    from quick_tpu.models.auto import apply_model_type
+    cfg = apply_model_type(ModelConfig(**SHAPES[args.model]))
     t0 = time.time()
     params = init_quant_params(cfg, jax.random.PRNGKey(0),
                                group_size=args.group)
@@ -129,4 +146,7 @@ def main():
         print(f"  speculative (K={K}): {per_spec*1e3:.2f} ms/tok -> "
               f"{1/per_spec:.1f} tok/s; {Gn}/{steps} = "
               f"{Gn/max(steps,1):.2f} tok/model-step")
-main()
+
+
+if __name__ == "__main__":
+    main()
