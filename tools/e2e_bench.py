@@ -40,6 +40,18 @@ SHAPES = {
                     intermediate_size=16384, num_hidden_layers=30,
                     num_attention_heads=32, num_key_value_heads=32,
                     max_position_embeddings=2048, model_type="bloom"),
+    # Qwen1.5-MoE-A2.7B geometry (vocab clipped 152k->32k): 14.3B total /
+    # 2.7B active, 60 experts top-4 + a gated 5632-wide shared expert —
+    # the 16GB-fitting MoE e2e row (Mixtral-8x7B W4 is ~23GB and can't);
+    # exercises the cond-gated expert-skip dispatch at generation batch.
+    "qwen15moe": dict(vocab_size=32768, hidden_size=2048,
+                      intermediate_size=5632, num_hidden_layers=24,
+                      num_attention_heads=16, num_key_value_heads=16,
+                      max_position_embeddings=4096,
+                      num_local_experts=60, num_experts_per_tok=4,
+                      moe_intermediate_size=1408,
+                      shared_intermediate_size=5632,
+                      model_type="qwen2_moe"),
 }
 
 def main():

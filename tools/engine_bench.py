@@ -29,13 +29,27 @@ def main():
     ap.add_argument("--window", type=int, default=0, help="mistral sliding "
                     "window (0 = full attention); engages the paged "
                     "kernel's below-window DMA+compute skip")
+    ap.add_argument("--softcap", type=float, default=0.0,
+                    help="gemma2-class attention logit softcap (0 = off); "
+                    "same geometry so the tanh cost is isolated")
+    ap.add_argument("--model", default="",
+                    help="use a tools/e2e_bench.py SHAPES geometry instead "
+                    "of the default mistral-7B (e.g. qwen15moe for the MoE "
+                    "engine row); --window/--softcap are ignored then")
     args = ap.parse_args()
 
-    cfg = ModelConfig(
-        vocab_size=32000, hidden_size=4096, intermediate_size=14336,
-        num_hidden_layers=32, num_attention_heads=32,
-        num_key_value_heads=8, max_position_embeddings=args.max_seq,
-        model_type="mistral", sliding_window=args.window or None)
+    if args.model:
+        from tools.e2e_bench import SHAPES
+        from quick_tpu.models.auto import apply_model_type
+        cfg = apply_model_type(ModelConfig(**dict(
+            SHAPES[args.model], max_position_embeddings=args.max_seq)))
+    else:
+        cfg = ModelConfig(
+            vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+            num_hidden_layers=32, num_attention_heads=32,
+            num_key_value_heads=8, max_position_embeddings=args.max_seq,
+            model_type="mistral", sliding_window=args.window or None,
+            attn_logit_softcap=args.softcap or None)
     B, page = args.slots, args.page
     kv_dtype = jnp.int8 if args.kv == "int8" else jnp.bfloat16
 
