@@ -15,6 +15,7 @@ TPU re-design of the reference's fused runtime blocks
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -499,6 +500,52 @@ def mlp_forward(
     return ctx.psum_model(p.down_proj(z))
 
 
+def _grouped_moe(
+    p: MoEParams, cfg: ModelConfig, x: jax.Array, comb: jax.Array,
+) -> jax.Array:
+    """Grouped ragged expert dispatch (ops/grouped_matmul.py): expert-sort
+    the routed (token, expert) pairs, run both expert GEMMs as ONE Pallas
+    kernel each with scalar-prefetched per-tile expert ids, and combine by
+    gathering each token's kk routed rows. Returns f32 [B, S, D] (the
+    caller psums over the expert axis and casts).
+
+    Slot contributions are re-sorted by expert id so the f32 combine
+    accumulates in the same order as the dense-einsum and cond-gated
+    paths (token-exactness across dispatch routes)."""
+    from quick_tpu.ops.grouped_matmul import (
+        build_routing,
+        pick_grouped_bm,
+        quantized_matmul_grouped,
+    )
+
+    B, S, D = x.shape
+    T = B * S
+    E_local = comb.shape[-1]
+    kk = min(cfg.num_experts_per_tok, E_local)
+    w, sel = jax.lax.top_k(comb.reshape(T, E_local), kk)  # [T, kk]
+    # expert-id-ascending slot order (see docstring)
+    ss = jnp.argsort(sel, axis=1)
+    sel = jnp.take_along_axis(sel, ss, axis=1)
+    w = jnp.take_along_axis(w, ss, axis=1)
+    bm = pick_grouped_bm(T * kk, E_local)
+    tok_rows, pos, tile_e, _ = build_routing(sel, E_local, bm)
+    xs = x.reshape(T, D)[tok_rows]  # [Mp, D] expert-sorted tokens
+    gup, dnp = p.gate_up_proj, p.down_proj
+    gu = quantized_matmul_grouped(
+        xs, gup.qweight, gup.scales, gup.zeros_x_scales, tile_e, bm,
+        group_size=gup.group_size,
+    )
+    gate, up = jnp.split(gu, 2, axis=-1)
+    h = _act(gate, cfg) * up
+    yd = quantized_matmul_grouped(
+        h, dnp.qweight, dnp.scales, dnp.zeros_x_scales, tile_e, bm,
+        group_size=dnp.group_size,
+    )
+    yg = yd[pos.reshape(-1)].reshape(T, kk, D).astype(jnp.float32)
+    y = jnp.sum(yg * w[..., None].astype(jnp.float32), axis=1)
+    return y.reshape(B, S, D)
+
+
 def moe_forward(
     p: MoEParams, cfg: ModelConfig, x: jax.Array,
     ctx: ParallelContext = ParallelContext(),
@@ -506,9 +553,10 @@ def moe_forward(
     # not elect experts (their routing would defeat the sparse DMA skip)
 ) -> jax.Array:
     """MoE dispatch (top-k routing; EP sharding splits the expert axis over
-    the mesh, see quick_tpu/parallel). Small batches use a cond-gated
-    per-expert path that skips unrouted experts' weight DMA; large batches
-    use dense einsum dispatch."""
+    the mesh, see quick_tpu/parallel). Quantized experts ride the grouped
+    ragged kernel (ops/grouped_matmul.py) at every batch size; float or
+    biased experts fall back to a cond-gated per-expert path (small batch,
+    skips unrouted experts' weight DMA) or dense einsum dispatch."""
     B, S, D = x.shape
     E, topk = cfg.num_local_experts, cfg.num_experts_per_tok
     logits = p.router(x.astype(jnp.float32))  # [B,S,E]
@@ -575,12 +623,20 @@ def moe_forward(
         jax.lax.dynamic_slice_in_dim(comb, offset, E_local, axis=-1)
         if E_local != E else comb
     )
-    if B * S <= 32:
-        # decode / small-batch: gate each expert behind lax.cond so an
-        # expert with no routed tokens skips BOTH its compute and its
-        # weight DMA — at bs=1 only the top-k experts' weights stream from
-        # HBM (~E/topk less traffic than dense dispatch). The reference
-        # always runs every routed expert on dense HF modules
+    grouped_env = os.environ.get("QUICK_TPU_MOE_GROUPED", "1")
+    grouped_ok = (
+        grouped_env != "0"
+        and isinstance(p.gate_up_proj, QuantLinear)
+        and p.gate_up_proj.bias is None
+        and p.down_proj.bias is None
+    )
+    if B * S <= 32 and not grouped_ok:
+        # small-batch fallback for FLOAT/biased experts only (quantized
+        # experts ride the grouped kernel at every batch size — it beat
+        # this cond chain 251 vs 177 tok/s at qwen15moe bs=1): gate each
+        # expert behind lax.cond so an expert with no routed tokens skips
+        # BOTH its compute and its weight DMA. The reference always runs
+        # every routed expert on dense HF modules
         # (quick/awq/models/mixtral.py:58-74).
         y = jnp.zeros((B, S, D), jnp.float32)
         needed = jnp.any(comb_local > 0, axis=(0, 1))  # [E_local]
@@ -594,9 +650,15 @@ def moe_forward(
 
         for e in range(E_local):  # static unroll; E is small
             y = y + one_expert(e) * comb_local[..., e : e + 1]
+    elif grouped_ok:
+        # grouped ragged dispatch (the default for quantized experts) —
+        # compute and weight DMA scale with ROUTED tokens, not E x T (the
+        # dense einsum ran all 60 qwen2-moe experts over all 128 engine
+        # tokens: 62.6 vs 35.5 ms/step grouped; see ops/grouped_matmul.py)
+        y = _grouped_moe(p, cfg, x, comb_local)
     else:
-        # prefill / large batch: dense dispatch — every expert has work, and
-        # one big einsum keeps the MXU busy
+        # dense dispatch fallback: every expert over every token — one
+        # big einsum (biased/float experts, or QUICK_TPU_MOE_GROUPED=0)
         outs = _map_experts(p, expert_fn)  # [E_local, B, S, D]
         y = jnp.einsum("ebsd,bse->bsd", outs.astype(jnp.float32), comb_local)
     y = ctx.psum_expert(y).astype(x.dtype)
