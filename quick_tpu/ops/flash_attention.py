@@ -30,6 +30,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -38,7 +39,8 @@ NEG_INF = -1e30
 
 def _flash_kernel(
     qoff_ref, klen_ref, slope_ref,  # SMEM (whole arrays): [B], [B], [Hq]
-    q_ref, k_ref, v_ref,            # VMEM: [1,1,bq,D], [1,1,bk,D], [1,1,bk,D]
+    tri_ref,                        # VMEM [bq, bk] bf16 static causal(/band)
+    q_ref, k_ref, v_ref,            # additive bias for ALIGNED diag tiles
     o_ref,                          # VMEM: [1,1,bq,D]
     m_scr, l_scr, acc_scr,          # VMEM scratch: [bq,1], [bq,1], [bq,D]
     *, scale: float, bq: int, bk: int, use_alibi: bool,
@@ -67,8 +69,25 @@ def _flash_kernel(
         q_first = qoff + iq * bq
         live = jnp.logical_and(live, ik * bk + bk - 1 > q_first - window)
 
-    @pl.when(live)
-    def _compute():
+    # boundary detection: the triangular/length/window mask only BINDS on
+    # tiles that straddle the diagonal, the kv-length edge, or the window
+    # edge. Interior tiles skip the whole iota/compare/where chain — the
+    # kernel is VPU-softmax-bound (per live 512x512 step the two MXU dots
+    # cost ~0.9 us but the masking+softmax passes ~3-4 us), so this is
+    # where prefill throughput lives. ALiBi needs positions everywhere.
+    q_first = qoff + iq * bq
+    boundary = jnp.logical_or(
+        ik * bk + bk - 1 > q_first,            # straddles the diagonal
+        ik * bk + bk > klen,                   # straddles the kv length
+    )
+    if use_alibi:
+        boundary = True
+    if window is not None:
+        boundary = jnp.logical_or(
+            boundary, ik * bk <= q_last - window  # straddles the window
+        )
+
+    def _scores():
         # operands stay in their storage dtype (bf16): MXU bf16 passes with
         # exact f32 accumulation — an up-front f32 cast would force ~8x
         # slower f32 MXU passes for identical products
@@ -81,6 +100,44 @@ def _flash_kernel(
         if softcap is not None:
             # gemma2: cap the raw scaled scores (before any bias/mask)
             s = softcap * jnp.tanh(s / softcap)
+        return s
+
+    def _accumulate(s, p_mask):
+        m_prev = m_scr[:]                            # [bq, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        # guard fully-masked rows: exp(NEG_INF - NEG_INF) would be 1
+        p = jnp.exp(s - m_new)
+        if p_mask is not None:
+            p = jnp.where(p_mask, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0, 0]                              # [bk, D] storage dtype
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = m_new
+
+    # aligned diagonal tiles: the causal(/band) mask depends only on i-j,
+    # so it rides in as a STATIC additive-bias table (one DMA, constant
+    # index map) — no per-step iota/compare/where chain. exp(-1e30 - m)
+    # underflows to exactly 0, so no p re-mask is needed either.
+    diag = jnp.logical_and(
+        qoff + iq * bq == ik * bk, ik * bk + bk <= klen
+    )
+    if use_alibi:
+        diag = False
+
+    @pl.when(jnp.logical_and(live, jnp.logical_and(boundary, diag)))
+    def _compute_diag():
+        s = _scores() + tri_ref[...].astype(jnp.float32)
+        _accumulate(s, None)
+
+    @pl.when(jnp.logical_and(
+        live, jnp.logical_and(boundary, jnp.logical_not(diag))
+    ))
+    def _compute_boundary():
+        s = _scores()
         q_pos = qoff + iq * bq + jax.lax.broadcasted_iota(
             jnp.int32, (bq, bk), 0
         )
@@ -91,20 +148,12 @@ def _flash_kernel(
         if window is not None:
             mask = jnp.logical_and(mask, k_pos > q_pos - window)
         s = jnp.where(mask, s, NEG_INF)
+        _accumulate(s, mask)
 
-        m_prev = m_scr[:]                            # [bq, 1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        # guard fully-masked rows: exp(NEG_INF - NEG_INF) would be 1
-        p = jnp.exp(s - m_new)
-        p = jnp.where(mask, p, 0.0)
-        alpha = jnp.exp(m_prev - m_new)
-        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        v = v_ref[0, 0]                              # [bk, D] storage dtype
-        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_scr[:] = m_new
+    if not use_alibi:
+        @pl.when(jnp.logical_and(live, jnp.logical_not(boundary)))
+        def _compute_interior():
+            _accumulate(_scores(), None)
 
     @pl.when(ik == pl.num_programs(3) - 1)
     def _finish():
@@ -158,10 +207,19 @@ def _flash_bhsd(
         _flash_kernel, scale=scale, bq=bq, bk=bk, use_alibi=use_alibi,
         window=window, softcap=softcap,
     )
+    # static additive bias for aligned diagonal tiles: causal j <= i plus
+    # the sliding-window band when configured (both depend only on i - j)
+    ii = np.arange(bq)[:, None]
+    jj = np.arange(bk)[None, :]
+    keep = jj <= ii
+    if window is not None:
+        keep &= jj > ii - window
+    tri = jnp.asarray(np.where(keep, 0.0, NEG_INF), jnp.bfloat16)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, Hq, Sp // bq, Tp // bk),
         in_specs=[
+            pl.BlockSpec((bq, bk), lambda b, h, i, j, *_: (0, 0)),
             pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j, *_: (b, h, i, 0)),
             pl.BlockSpec((1, 1, bk, D), kv_index),
             pl.BlockSpec((1, 1, bk, Dv), kv_index),
@@ -183,7 +241,7 @@ def _flash_bhsd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
         ),
         interpret=interpret,
-    )(qoff, klen, slopes_in, q, k, v)
+    )(qoff, klen, slopes_in, tri, q, k, v)
     return out
 
 
@@ -195,8 +253,8 @@ def flash_attention(
     kv_len: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,
-    bq: int = 512,
-    bk: int = 512,
+    bq: int = 1024,
+    bk: int = 1024,
     kv_heads_major: bool = False,
     interpret: bool = False,
     window: Optional[int] = None,
@@ -204,9 +262,11 @@ def flash_attention(
 ) -> jax.Array:
     """Flash attention with the same contract as ops.attention.causal_attention.
 
-    Default tiles are 512x512: measured 5x faster than 128x128 on v5e at
-    S=2048 (the [bq, bk] f32 score tile plus q/k/v tiles stay ~3MB, well
-    inside VMEM, and bigger tiles amortize the per-grid-step overhead).
+    Default tiles are 1024x1024 (v5e round-5 sweep, 7B shapes, with the
+    interior/diagonal fast paths): S=2048 419 us = 82 TFLOPS causal-adj,
+    S=4096 105 TF, S=8192 119 TF — vs 64 TF at the old 512x512 default;
+    2048-wide tiles fail to compile (VMEM), 128x128 is 5x slower. The
+    unmasked interior path alone sustains 130 TF (81% MXU) at 1024x1024.
 
     ``kv_heads_major=True`` consumes the dense cache's native [B, Hkv, T, D]
     layout directly — the kernel wants that order anyway, so cache reads
