@@ -309,11 +309,19 @@ def attention_forward(
     window = cfg.sliding_window if cfg.layer_is_sliding(layer_idx) else None
     if window is not None:
         reach = cache.max_seq if cache is not None else S
+        if ctx.seq_axis is not None:
+            # CP: the local cache/shard is 1/n of the context — reach is
+            # the GLOBAL prompt plus the decode tail (or n local shards)
+            if ctx.cp_global_len is not None and cache is not None:
+                reach = ctx.cp_global_len + cache.max_seq - ctx.cp_prompt_len
+            elif ctx.seq_size is not None:
+                reach = reach * ctx.seq_size
         if reach <= window:
             window = None
     softcap = cfg.attn_logit_softcap
     if (
         S == 1 and cache is not None and not hasattr(cache, "block_table")
+        and ctx.seq_axis is None
         and _use_fused_decode_step(cache, B, hd, rope_cos)
     ):
         # one kernel for rope + cache write + attention: the separate
@@ -351,7 +359,38 @@ def attention_forward(
     if cache is not None:
         start = cache.length
         cache = cache.update(layer_idx, k, v, start)
-        if S == 1 and _use_paged_kernel(cache):
+        if ctx.seq_axis is not None and ctx.seq_size is not None:
+            # CP with a cache (parallel/context_parallel.py generate):
+            # prefill rides the ring on the LOCAL q/k/v (the cache rows
+            # were just written for decode); decode attends the local
+            # shard and LSE-merges partials across the seq axis — KV
+            # never gathers in either phase.
+            if S == 1:
+                from quick_tpu.parallel.context_parallel import (
+                    cp_decode_attention,
+                )
+
+                k_all, v_all = cache.layer(layer_idx)
+                out = cp_decode_attention(
+                    q, k_all, v_all, start + 1, positions[:, 0], ctx,
+                    scale=float(hd) ** -0.5, slopes=slopes,
+                    window=window, softcap=softcap,
+                )
+            else:
+                from quick_tpu.parallel.ring_attention import (
+                    ring_causal_attention,
+                    zigzag_ring_causal_attention,
+                )
+
+                ring = (
+                    zigzag_ring_causal_attention if ctx.seq_zigzag
+                    else ring_causal_attention
+                )
+                out = ring(
+                    q, k, v, ctx.seq_axis, ctx.seq_size, window=window,
+                    alibi_slopes=slopes, logit_softcap=softcap,
+                )
+        elif S == 1 and _use_paged_kernel(cache):
             from quick_tpu.ops.paged_attention import paged_decode_attention
 
             quant = getattr(cache, "quantized", False)

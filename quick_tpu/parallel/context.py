@@ -56,6 +56,19 @@ class ParallelContext(NamedTuple):
     #: internal: set by block_forward for its sub-calls — row-parallel
     #: outputs scatter along tokens instead of psum-ing
     tp_seq_scatter: bool = False
+    #: CP decode (sharded-KV generation, parallel/context_parallel.py):
+    #: global positions of this shard's PROMPT cache rows [B, S_local]
+    #: (zigzag layouts make them non-contiguous). Carried as a traced
+    #: array — the context never crosses a jit boundary as a static arg.
+    cp_prompt_positions: Optional[jax.Array] = None
+    #: static local prompt row count; cache rows at/after it are the
+    #: REPLICATED decode tail (every shard writes it, only the designated
+    #: owner shard attends to it — the LSE combine would double-count
+    #: otherwise)
+    cp_prompt_len: Optional[int] = None
+    #: static global prompt length: tail row r's global position is
+    #: cp_global_len + (r - cp_prompt_len)
+    cp_global_len: Optional[int] = None
 
     @property
     def tp(self) -> bool:

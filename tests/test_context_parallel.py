@@ -348,3 +348,126 @@ def test_cp_sliding_window_model(cpu_mesh_devices):
     for ag in re.finditer(r"all-gather[^\n]*", txt):
         line = ag.group(0)
         assert "16,2,16" not in line and "2,16,16" not in line, line
+
+
+# ---- CP decode (sharded-KV generation) --------------------------------------
+
+
+def _ref_greedy(params, cfg, toks, n_new):
+    from quick_tpu.runtime.generate import SamplingParams, generate
+
+    out = generate(
+        params, cfg, toks, max_new_tokens=n_new,
+        sampling=SamplingParams(temperature=0.0),
+    )
+    return np.asarray(out)  # [B, S + n_new]
+
+
+@pytest.mark.parametrize("n", [2, 4])
+@pytest.mark.parametrize("zigzag", [False, True])
+def test_cp_generate_matches_reference(cpu_mesh_devices, n, zigzag):
+    """CP generate (sharded-KV decode + LSE merge) must be token-exact vs
+    the single-device greedy loop."""
+    from quick_tpu.parallel.context_parallel import (
+        context_parallel_generate_fn,
+    )
+
+    params = init_float_params(TINY, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 128)
+    n_new = 8
+    ref = _ref_greedy(params, TINY, toks, n_new)
+    fn = context_parallel_generate_fn(
+        TINY, create_seq_mesh(n, cpu_mesh_devices), n_new, zigzag=zigzag
+    )
+    out = np.asarray(fn(params, toks))
+    np.testing.assert_array_equal(out[:, 16:], ref[:, 16:])
+
+
+def test_cp_generate_sliding_window(cpu_mesh_devices):
+    """Sliding-window model: the window must bind on GLOBAL positions
+    (local shard reach is smaller than the window)."""
+    import dataclasses
+
+    from quick_tpu.parallel.context_parallel import (
+        context_parallel_generate_fn,
+    )
+
+    cfg = dataclasses.replace(
+        TINY, sliding_window=10, model_type="mistral",
+        max_position_embeddings=64,
+    )
+    params = init_float_params(cfg, jax.random.PRNGKey(2))
+    toks = jax.random.randint(jax.random.PRNGKey(3), (1, 16), 0, 128)
+    n_new = 6
+    ref = _ref_greedy(params, cfg, toks, n_new)
+    fn = context_parallel_generate_fn(
+        cfg, create_seq_mesh(2, cpu_mesh_devices), n_new
+    )
+    out = np.asarray(fn(params, toks))
+    np.testing.assert_array_equal(out[:, 16:], ref[:, 16:])
+
+
+def test_cp_generate_alibi_softcap(cpu_mesh_devices):
+    """ALiBi + logit-softcap layers decode under CP too (positions are
+    global in the bias; softcap is elementwise per shard)."""
+    import dataclasses
+
+    from quick_tpu.parallel.context_parallel import (
+        context_parallel_generate_fn,
+    )
+
+    cfg = dataclasses.replace(
+        TINY, use_alibi=True, use_rope=False, num_key_value_heads=4,
+        layernorm="layernorm", act_fn="gelu", gated_mlp=False,
+        attn_logit_softcap=30.0,
+    )
+    params = init_float_params(cfg, jax.random.PRNGKey(4))
+    toks = jax.random.randint(jax.random.PRNGKey(5), (1, 16), 0, 128)
+    n_new = 6
+    ref = _ref_greedy(params, cfg, toks, n_new)
+    fn = context_parallel_generate_fn(
+        cfg, create_seq_mesh(2, cpu_mesh_devices), n_new
+    )
+    out = np.asarray(fn(params, toks))
+    np.testing.assert_array_equal(out[:, 16:], ref[:, 16:])
+
+
+def test_cp_generate_quantized(cpu_mesh_devices):
+    from quick_tpu.parallel.context_parallel import (
+        context_parallel_generate_fn,
+    )
+
+    params = init_float_params(TINY, jax.random.PRNGKey(0))
+    qp = quantize_params(params, TINY, group_size=32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 0, 128)
+    n_new = 6
+    ref = _ref_greedy(qp, TINY, toks, n_new)
+    fn = context_parallel_generate_fn(
+        TINY, create_seq_mesh(2, cpu_mesh_devices), n_new
+    )
+    out = np.asarray(fn(qp, toks))
+    np.testing.assert_array_equal(out[:, 16:], ref[:, 16:])
+
+
+def test_cp_generate_no_kv_gather(cpu_mesh_devices):
+    """The decode program must never all-gather the sharded KV cache:
+    collectives are the tiny [B,H,1]/[B,H,D] LSE-merge psums, the
+    per-layer ring permutes, and scalar/logit reductions."""
+    import re
+
+    from quick_tpu.parallel.context_parallel import (
+        context_parallel_generate_fn,
+    )
+
+    params = init_float_params(TINY, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 0, 128)
+    fn = context_parallel_generate_fn(
+        TINY, create_seq_mesh(4, cpu_mesh_devices), 8
+    )
+    txt = fn.lower(params, toks).compile().as_text()
+    # local cache is [1, 2, 12, 16] (kv heads, S/4 + 8 rows, head dim):
+    # an all-gather producing a [.., 48.. or ..64..]-row KV would be the
+    # gather fallback this test forbids
+    for ag in re.finditer(r"all-gather[^\n]*", txt):
+        line = ag.group(0)
+        assert not re.search(r"2,(16|48|64),16", line), line
