@@ -40,3 +40,28 @@ def cpu_mesh_devices():
     devs = jax.devices()
     assert len(devs) == 8, f"expected 8 virtual CPU devices, got {len(devs)}"
     return devs
+
+
+def pytest_collection_modifyitems(config, items):
+    """QUICK_TPU_TEST_SHARD=k/n: deterministically keep every n-th test
+    (by stable hash of its nodeid) so the 19-minute suite can run as n
+    parallel single-process shards:
+
+        QUICK_TPU_TEST_SHARD=0/4 python -m pytest tests/ -q &
+        QUICK_TPU_TEST_SHARD=1/4 python -m pytest tests/ -q &
+        ...
+
+    Hash-based (not round-robin) so adding a test reshuffles almost
+    nothing and shards stay balanced regardless of file ordering."""
+    shard = os.environ.get("QUICK_TPU_TEST_SHARD", "")
+    if not shard:
+        return
+    import zlib
+
+    k, n = (int(p) for p in shard.split("/"))
+    keep, drop = [], []
+    for item in items:
+        h = zlib.crc32(item.nodeid.encode()) % n
+        (keep if h == k else drop).append(item)
+    items[:] = keep
+    config.hook.pytest_deselected(items=drop)
