@@ -58,13 +58,23 @@ def main():
                     "that over-declare max_tokens and stop at EOS; full "
                     "reservation must hold pages for the declared bound, "
                     "optimistic only for what is generated")
+    ap.add_argument("--model", default="",
+                    help="use a tools/e2e_bench.py SHAPES geometry instead "
+                    "of the default mistral-7B (e.g. qwen15moe for the MoE "
+                    "serving row)")
     args = ap.parse_args()
 
-    cfg = ModelConfig(
-        vocab_size=32000, hidden_size=4096, intermediate_size=14336,
-        num_hidden_layers=32, num_attention_heads=32,
-        num_key_value_heads=8, max_position_embeddings=4096,
-        model_type="mistral")
+    if args.model:
+        from tools.e2e_bench import SHAPES
+        from quick_tpu.models.auto import apply_model_type
+        cfg = apply_model_type(ModelConfig(**dict(
+            SHAPES[args.model], max_position_embeddings=4096)))
+    else:
+        cfg = ModelConfig(
+            vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+            num_hidden_layers=32, num_attention_heads=32,
+            num_key_value_heads=8, max_position_embeddings=4096,
+            model_type="mistral")
 
     t0 = time.time()
     params = init_quant_params(cfg, jax.random.PRNGKey(0))
