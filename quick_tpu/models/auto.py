@@ -89,10 +89,32 @@ MODEL_TYPE_MAP: Dict[str, dict] = {
 }
 
 
-def check_and_get_model_type(model_type: str) -> str:
+def check_and_get_model_type(
+    model_type: str, allow_fallback: bool = False
+) -> str:
     """Validate a model type against the registry (analog of
-    reference models/auto.py:27-33)."""
+    reference models/auto.py:27-33).
+
+    ``allow_fallback=True`` is the generality analog of the reference's
+    unfused ``from_quantized`` path (reference models/base.py:241-335,
+    which runs ANY HF architecture through transformers): an unmapped
+    type whose tensors already imported via the generic llama schema is
+    accepted with a warning instead of a hard error — most current
+    releases are llama-schema clones with a new model_type string."""
     if model_type not in MODEL_TYPE_MAP:
+        if allow_fallback:
+            import warnings
+
+            warnings.warn(
+                f"model_type '{model_type}' is not in the registry; its "
+                "checkpoint matched the generic llama schema and was "
+                "imported with llama-family semantics. Verify outputs "
+                "against the source model — family-specific switches "
+                "(norm kind, softcaps, windows, qk-norm, ...) are NOT "
+                "auto-detected.",
+                stacklevel=2,
+            )
+            return model_type
         raise TypeError(
             f"{model_type} isn't supported yet. Supported: "
             f"{sorted(MODEL_TYPE_MAP)}"
@@ -161,7 +183,7 @@ class AutoQuickModel:
         from quick_tpu.utils.checkpoint import load_hf_float
 
         params, cfg = load_hf_float(model_dir, dtype)
-        check_and_get_model_type(cfg.model_type)
+        check_and_get_model_type(cfg.model_type, allow_fallback=True)
         # cfg comes from ModelConfig.from_hf_config, which is authoritative
         # for family switches — MODEL_TYPE_MAP is not re-applied here
         return cls(params, cfg, model_dir=model_dir)
@@ -178,7 +200,7 @@ class AutoQuickModel:
             qcfg = dataclasses.replace(qcfg, version="qtpu")
         else:
             params, cfg, qcfg = load_quantized(model_dir)
-        check_and_get_model_type(cfg.model_type)
+        check_and_get_model_type(cfg.model_type, allow_fallback=True)
         return cls(params, cfg, qcfg, model_dir=model_dir)
 
     @classmethod

@@ -682,7 +682,26 @@ def load_hf_float(model_dir: str, dtype=jnp.bfloat16) -> Tuple[ModelParams, Mode
     cfg = ModelConfig.from_hf_config(hf_cfg)
 
     raw = _LazyRaw(model_dir)  # tensor-at-a-time (70B-class fits host RAM)
-    importer = _HF_IMPORTERS.get(cfg.model_type, _import_llama_family)
+    importer = _HF_IMPORTERS.get(cfg.model_type)
+    if importer is None:
+        # generic llama-schema fallback: unmapped types that are llama
+        # clones with a new model_type string import fine (the analog of
+        # the reference's run-anything-through-transformers path,
+        # reference models/base.py:241-335); anything else fails with the
+        # missing tensor named instead of a bare KeyError
+        from quick_tpu.models.auto import MODEL_TYPE_MAP
+
+        if cfg.model_type in MODEL_TYPE_MAP:
+            return _import_llama_family(raw, cfg, dtype), cfg
+        try:
+            return _import_llama_family(raw, cfg, dtype), cfg
+        except KeyError as e:
+            raise NotImplementedError(
+                f"model_type '{cfg.model_type}' has no schema importer "
+                f"and its checkpoint does not match the generic llama "
+                f"schema (missing tensor {e}). Add an importer to "
+                f"utils/checkpoint.py::_HF_IMPORTERS."
+            ) from None
     return importer(raw, cfg, dtype), cfg
 
 

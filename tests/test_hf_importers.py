@@ -1183,3 +1183,55 @@ def test_import_baichuan2_normhead(tmp_path):
     hw = np.asarray(m.params.lm_head.weight, np.float32)  # [D, vocab]
     norms = np.linalg.norm(hw, axis=0)
     np.testing.assert_allclose(norms, np.ones_like(norms), atol=1e-4)
+
+
+def _llama_clone_tensors(include_head=True):
+    t = {"model.embed_tokens.weight": _w(V, D),
+         "model.norm.weight": np.ones(D, np.float32)}
+    if include_head:
+        t["lm_head.weight"] = _w(V, D)
+    for i in range(L):
+        p = f"model.layers.{i}"
+        t[f"{p}.input_layernorm.weight"] = np.ones(D, np.float32)
+        t[f"{p}.post_attention_layernorm.weight"] = np.ones(D, np.float32)
+        t[f"{p}.self_attn.q_proj.weight"] = _w(H * HD, D)
+        t[f"{p}.self_attn.k_proj.weight"] = _w(2 * HD, D)
+        t[f"{p}.self_attn.v_proj.weight"] = _w(2 * HD, D)
+        t[f"{p}.self_attn.o_proj.weight"] = _w(D, H * HD)
+        t[f"{p}.mlp.gate_proj.weight"] = _w(F, D)
+        t[f"{p}.mlp.up_proj.weight"] = _w(F, D)
+        t[f"{p}.mlp.down_proj.weight"] = _w(D, F)
+    return t
+
+
+def test_import_unmapped_llama_clone_falls_back(tmp_path):
+    """Generality fallback (the analog of the reference's unfused
+    run-anything path, base.py:241-335): an UNMAPPED model_type whose
+    checkpoint is a llama-schema clone imports with a warning instead of
+    a hard error."""
+    cfg = {
+        "model_type": "frontierlm_v9", "hidden_size": D,
+        "num_attention_heads": H, "num_key_value_heads": 2,
+        "num_hidden_layers": L, "vocab_size": V, "intermediate_size": F,
+        "max_position_embeddings": 64, "head_dim": HD,
+        "rms_norm_eps": 1e-6,
+    }
+    path = _write(tmp_path, cfg, _llama_clone_tensors())
+    with pytest.warns(UserWarning, match="frontierlm_v9"):
+        m = AutoQuickModel.from_pretrained(path, jnp.float32)
+    assert m.cfg.model_type == "frontierlm_v9"
+    _forward_ok(m)
+
+
+def test_import_unmapped_non_llama_schema_fails_clearly(tmp_path):
+    """An unmapped type whose tensors do NOT match the llama schema must
+    fail naming the missing tensor, not with a bare KeyError."""
+    cfg = {
+        "model_type": "alienformer", "hidden_size": D,
+        "num_attention_heads": H, "num_hidden_layers": L, "vocab_size": V,
+        "intermediate_size": F, "max_position_embeddings": 64,
+    }
+    t = {"transformer.wte.weight": _w(V, D)}  # not a llama layout
+    path = _write(tmp_path, cfg, t)
+    with pytest.raises(NotImplementedError, match="alienformer"):
+        AutoQuickModel.from_pretrained(path, jnp.float32)
