@@ -61,7 +61,9 @@ def ring_causal_attention(
     n = axis_size
     my = jax.lax.axis_index(axis_name)
 
-    qf = (q.astype(jnp.float32) * scale).transpose(0, 2, 1, 3)  # [B,Hq,Sl,D]
+    qf = q.transpose(0, 2, 1, 3)  # [B,Hq,Sl,D] storage dtype: bf16
+    # operands + f32 accumulation (the flash/causal_attention numerics
+    # contract) — an f32 upcast would run the MXU at ~1/8 rate
     q_pos = my * Sl + jnp.arange(Sl)  # global positions of local queries
 
     # running max / denominator / numerator (flash-attention state)
@@ -82,12 +84,15 @@ def ring_causal_attention(
                 keep, k_pos[None, :] > q_pos[:, None] - window
             )
 
-        kf = kr.astype(jnp.float32).transpose(0, 2, 1, 3)  # [B,Hkv,Sl,D]
-        vf = vr.astype(jnp.float32).transpose(0, 2, 1, 3)
+        kf = kr.transpose(0, 2, 1, 3)  # [B,Hkv,Sl,D] storage dtype
+        vf = vr.transpose(0, 2, 1, 3)
         if g > 1:  # GQA: kv heads broadcast over their query-head group
             kf = jnp.repeat(kf, g, axis=1)
             vf = jnp.repeat(vf, g, axis=1)
-        s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf)
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", qf, kf,
+            preferred_element_type=jnp.float32,
+        ) * scale
         if logit_softcap is not None:
             s = logit_softcap * jnp.tanh(s / logit_softcap)
         if alibi_slopes is not None:
@@ -105,7 +110,10 @@ def ring_causal_attention(
         p = jnp.where(keep[None, None], p, 0.0)
         corr = jnp.where(jnp.isfinite(m), jnp.exp(m - safe_m), 0.0)
         l = l * corr + jnp.sum(p, axis=-1)
-        acc = acc * corr[..., None] + jnp.einsum("bhqk,bhkd->bhqd", p, vf)
+        acc = acc * corr[..., None] + jnp.einsum(
+            "bhqk,bhkd->bhqd", p.astype(vf.dtype), vf,
+            preferred_element_type=jnp.float32,
+        )
 
         # rotate K/V one neighbor around the ring (skipping the last,
         # useless hop would make the carry shape round-dependent — one
@@ -164,10 +172,11 @@ def zigzag_ring_causal_attention(
     my = jax.lax.axis_index(axis_name)
     q_ids = jnp.stack([my, 2 * n - 1 - my])  # global chunk ids of q halves
 
-    qf = (q.astype(jnp.float32) * scale).transpose(0, 2, 1, 3)  # [B,Hq,2C,D]
+    qf = q.transpose(0, 2, 1, 3)  # [B,Hq,2C,D] storage dtype (see
+    # ring_causal_attention: bf16 operands, f32 accumulation)
 
-    def expand(t):  # [B,2C,Hkv,D] -> [B,Hq,2C,D] f32
-        t = t.astype(jnp.float32).transpose(0, 2, 1, 3)
+    def expand(t):  # [B,2C,Hkv,D] -> [B,Hq,2C,D] storage dtype
+        t = t.transpose(0, 2, 1, 3)
         return jnp.repeat(t, g, axis=1) if g > 1 else t
 
     m0 = jnp.full((2, B, Hq, C), -jnp.inf, jnp.float32)
@@ -183,7 +192,10 @@ def zigzag_ring_causal_attention(
         m, l, acc = state
 
         def compute(_):
-            s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
+            s = jnp.einsum(
+                "bhqd,bhkd->bhqk", qh, kh,
+                preferred_element_type=jnp.float32,
+            ) * scale
             # global positions: window/alibi bounds compose with the
             # causal bound on the same [C, C] position grid
             q_pos = qid * C + jnp.arange(C)
@@ -213,7 +225,10 @@ def zigzag_ring_causal_attention(
             return (
                 m_new,
                 l * corr + jnp.sum(p, axis=-1),
-                acc * corr[..., None] + jnp.einsum("bhqk,bhkd->bhqd", p, vh),
+                acc * corr[..., None] + jnp.einsum(
+                    "bhqk,bhkd->bhqd", p.astype(vh.dtype), vh,
+                    preferred_element_type=jnp.float32,
+                ),
             )
 
         visible = kid <= qid
