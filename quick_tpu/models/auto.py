@@ -106,9 +106,9 @@ def check_and_get_model_type(
             import warnings
 
             warnings.warn(
-                f"model_type '{model_type}' is not in the registry; its "
-                "checkpoint matched the generic llama schema and was "
-                "imported with llama-family semantics. Verify outputs "
+                f"model_type '{model_type}' is not in the registry; it "
+                "was imported via the generic llama-family fallback and "
+                "will RUN with llama-family semantics. Verify outputs "
                 "against the source model — family-specific switches "
                 "(norm kind, softcaps, windows, qk-norm, ...) are NOT "
                 "auto-detected.",

@@ -567,18 +567,18 @@ def _grouped_moe(
     sel = jnp.take_along_axis(sel, ss, axis=1)
     w = jnp.take_along_axis(w, ss, axis=1)
     bm = pick_grouped_bm(T * kk, E_local)
-    tok_rows, pos, tile_e, _ = build_routing(sel, E_local, bm)
+    tok_rows, pos, tile_e, tile_live, _ = build_routing(sel, E_local, bm)
     xs = x.reshape(T, D)[tok_rows]  # [Mp, D] expert-sorted tokens
     gup, dnp = p.gate_up_proj, p.down_proj
     gu = quantized_matmul_grouped(
         xs, gup.qweight, gup.scales, gup.zeros_x_scales, tile_e, bm,
-        group_size=gup.group_size,
+        group_size=gup.group_size, tile_live=tile_live,
     )
     gate, up = jnp.split(gu, 2, axis=-1)
     h = _act(gate, cfg) * up
     yd = quantized_matmul_grouped(
         h, dnp.qweight, dnp.scales, dnp.zeros_x_scales, tile_e, bm,
-        group_size=dnp.group_size,
+        group_size=dnp.group_size, tile_live=tile_live,
     )
     yg = yd[pos.reshape(-1)].reshape(T, kk, D).astype(jnp.float32)
     y = jnp.sum(yg * w[..., None].astype(jnp.float32), axis=1)
@@ -666,6 +666,8 @@ def moe_forward(
     grouped_ok = (
         grouped_env != "0"
         and isinstance(p.gate_up_proj, QuantLinear)
+        and isinstance(p.down_proj, QuantLinear)  # modules_to_not_convert
+        # may keep one projection float — those layers use the fallbacks
         and p.gate_up_proj.bias is None
         and p.down_proj.bias is None
     )
@@ -720,18 +722,19 @@ def _n_local_experts(p: MoEParams) -> int:
     return (gu.qweight if isinstance(gu, QuantLinear) else gu.weight).shape[0]
 
 
+def _expert_fields(lin, e):
+    """Expert e's parameter slices for one projection — quantized or
+    float (modules_to_not_convert can leave them MIXED within a layer)."""
+    b = None if lin.bias is None else lin.bias[e]
+    if isinstance(lin, QuantLinear):
+        return (lin.qweight[e], lin.scales[e], lin.zeros_x_scales[e], b)
+    return (lin.weight[e], None, None, b)
+
+
 def _apply_expert(p: MoEParams, e: int, fn):
     """Run fn on expert e's parameter slices (static index)."""
-    gu, dn = p.gate_up_proj, p.down_proj
-    if isinstance(gu, QuantLinear):
-        return fn(gu.qweight[e], gu.scales[e], gu.zeros_x_scales[e],
-                  None if gu.bias is None else gu.bias[e],
-                  dn.qweight[e], dn.scales[e], dn.zeros_x_scales[e],
-                  None if dn.bias is None else dn.bias[e])
-    return fn(gu.weight[e], None, None,
-              None if gu.bias is None else gu.bias[e],
-              dn.weight[e], None, None,
-              None if dn.bias is None else dn.bias[e])
+    return fn(*_expert_fields(p.gate_up_proj, e),
+              *_expert_fields(p.down_proj, e))
 
 
 def _rebuild_linear(proto: AnyLinear, *fields):
@@ -745,26 +748,8 @@ def _rebuild_linear(proto: AnyLinear, *fields):
 def _map_experts(p: MoEParams, fn):
     """vmap-free loop over the expert axis (static unroll; expert count is
     small). Returns stacked [E, ...] output."""
-    gu, dn = p.gate_up_proj, p.down_proj
-    if isinstance(gu, QuantLinear):
-        E = gu.qweight.shape[0]
-        outs = [
-            fn(gu.qweight[e], gu.scales[e], gu.zeros_x_scales[e],
-               None if gu.bias is None else gu.bias[e],
-               dn.qweight[e], dn.scales[e], dn.zeros_x_scales[e],
-               None if dn.bias is None else dn.bias[e])
-            for e in range(E)
-        ]
-    else:
-        E = gu.weight.shape[0]
-        outs = [
-            fn(gu.weight[e], None, None,
-               None if gu.bias is None else gu.bias[e],
-               dn.weight[e], None, None,
-               None if dn.bias is None else dn.bias[e])
-            for e in range(E)
-        ]
-    return jnp.stack(outs)
+    E = _n_local_experts(p)
+    return jnp.stack([_apply_expert(p, e, fn) for e in range(E)])
 
 
 def block_forward(

@@ -48,29 +48,43 @@ def _make_grouped_kernel(gpb: int, slab: int, bn: int):
     """One (bm, bn) output tile of the sorted token buffer, stepping gpb
     quant groups of the tile's expert per K-step. te_ref is the
     scalar-prefetched [n_tiles] expert-id vector (it already steered the
-    BlockSpecs; the kernel body never reads it)."""
+    BlockSpecs); live_ref flags tiles past the last routed segment —
+    those skip the unpack/dot work entirely (their rows are never read
+    back; at the worst static budget ~25% of m-steps are dead)."""
 
-    def kernel(te_ref, x_ref, qw_ref, s_ref, zs_ref, o_ref, acc):
+    def kernel(te_ref, live_ref, x_ref, qw_ref, s_ref, zs_ref, o_ref, acc):
+        i = pl.program_id(0)
         k = pl.program_id(2)
+        live = live_ref[i] != 0
 
-        @pl.when(k == 0)
+        @pl.when(live)
         def _():
-            acc[:] = jnp.zeros_like(acc)
+            @pl.when(k == 0)
+            def _():
+                acc[:] = jnp.zeros_like(acc)
 
-        part = jnp.zeros_like(acc)
-        for g in range(gpb):  # static unroll over groups in this K-step
-            qg = qw_ref[0, g * slab : (g + 1) * slab, :]  # [slab, bn] int32
-            nib = [(qg >> (4 * j)) & 0xF for j in range(PACK)]
-            wg = jnp.concatenate(nib, axis=0).astype(jnp.bfloat16)
-            xg = x_ref[:, g * (slab * PACK) : (g + 1) * (slab * PACK)]
-            y = jnp.dot(xg, wg, preferred_element_type=jnp.float32)
-            xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
-            part += y * s_ref[0, g, :, :] - xsum * zs_ref[0, g, :, :]
-        acc[:] += part
+            part = jnp.zeros_like(acc)
+            for g in range(gpb):  # static unroll over groups in this step
+                qg = qw_ref[0, g * slab : (g + 1) * slab, :]  # [slab, bn]
+                nib = [(qg >> (4 * j)) & 0xF for j in range(PACK)]
+                wg = jnp.concatenate(nib, axis=0).astype(jnp.bfloat16)
+                xg = x_ref[:, g * (slab * PACK) : (g + 1) * (slab * PACK)]
+                y = jnp.dot(xg, wg, preferred_element_type=jnp.float32)
+                xsum = jnp.sum(
+                    xg.astype(jnp.float32), axis=1, keepdims=True
+                )
+                part += y * s_ref[0, g, :, :] - zs_ref[0, g, :, :] * xsum
+            acc[:] += part
 
-        @pl.when(k == pl.num_programs(2) - 1)
+            @pl.when(k == pl.num_programs(2) - 1)
+            def _():
+                o_ref[:] = acc[:].astype(o_ref.dtype)
+
+        @pl.when(jnp.logical_and(
+            jnp.logical_not(live), k == pl.num_programs(2) - 1
+        ))
         def _():
-            o_ref[:] = acc[:].astype(o_ref.dtype)
+            o_ref[:] = jnp.zeros_like(o_ref)
 
     return kernel
 
@@ -81,6 +95,7 @@ def _grouped_fallback(
     scales: jax.Array,       # [E, ng, N]
     zeros_x_scales: jax.Array,
     tile_expert: jax.Array,  # [n_tiles]
+    tile_live: jax.Array,    # [n_tiles] int32 0/1
     bm: int,
     group_size: int,
     out_dtype,
@@ -95,7 +110,7 @@ def _grouped_fallback(
     xt = x.astype(jnp.bfloat16).reshape(Mp // bm, bm, K)
 
     def one_tile(args):
-        xtile, e = args
+        xtile, e, live = args
         nib = unpack_qtpu_jax(qweight[e], group_size)
         nib = nib.reshape(ng, group_size, N).astype(jnp.bfloat16)
         xg = xtile.reshape(bm, ng, group_size)
@@ -104,9 +119,13 @@ def _grouped_fallback(
         )
         y = (y * scales[e][:, None, :]).sum(0)
         xsum = xg.astype(jnp.float32).sum(-1)
-        return y - jnp.dot(xsum, zeros_x_scales[e])
+        # dead tiles (past the last routed segment) zero out to match the
+        # kernel's skip path
+        return (y - jnp.dot(xsum, zeros_x_scales[e])) * live
 
-    out = jax.lax.map(one_tile, (xt, tile_expert))
+    out = jax.lax.map(
+        one_tile, (xt, tile_expert, tile_live.astype(jnp.float32))
+    )
     return out.reshape(Mp, N).astype(out_dtype)
 
 
@@ -122,6 +141,9 @@ def quantized_matmul_grouped(
     bm: int,
     group_size: int = 128,
     out_dtype=jnp.bfloat16,
+    tile_live: Optional[jax.Array] = None,  # [Mp//bm] int32 0/1: tiles
+    # past the last routed segment skip their unpack/dot work (their
+    # rows are never gathered back). None = all live.
 ) -> jax.Array:
     """Ragged multi-expert ``x @ dequant(qweight[e])`` -> [Mp, N] where
     rows ``i*bm:(i+1)*bm`` use expert ``tile_expert[i]``'s weights."""
@@ -132,13 +154,15 @@ def quantized_matmul_grouped(
     slab = G // PACK
     n_tiles = Mp // bm
     assert Mp % bm == 0
+    if tile_live is None:
+        tile_live = jnp.ones((n_tiles,), jnp.int32)
 
     if _impl_mode() == "jnp" or G != 128:
         # small-group MoE (g != 128) stays on the XLA path — the grouped
         # kernel shares the factored form that needs slab >= 8
         return _grouped_fallback(
-            x, qweight, scales, zeros_x_scales, tile_expert, bm, G,
-            out_dtype,
+            x, qweight, scales, zeros_x_scales, tile_expert, tile_live,
+            bm, G, out_dtype,
         )
 
     bn = _pick_bn(N)
@@ -151,21 +175,21 @@ def quantized_matmul_grouped(
     zs_in = zeros_x_scales.reshape(E, ng, 1, N)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles, N // bn, ng // gpb),
         in_specs=[
-            pl.BlockSpec((bm, gpb * G), lambda i, j, k, te: (i, k)),
+            pl.BlockSpec((bm, gpb * G), lambda i, j, k, te, lv: (i, k)),
             pl.BlockSpec(
-                (1, gpb * slab, bn), lambda i, j, k, te: (te[i], k, j)
+                (1, gpb * slab, bn), lambda i, j, k, te, lv: (te[i], k, j)
             ),
             pl.BlockSpec(
-                (1, gpb, 1, bn), lambda i, j, k, te: (te[i], k, 0, j)
+                (1, gpb, 1, bn), lambda i, j, k, te, lv: (te[i], k, 0, j)
             ),
             pl.BlockSpec(
-                (1, gpb, 1, bn), lambda i, j, k, te: (te[i], k, 0, j)
+                (1, gpb, 1, bn), lambda i, j, k, te, lv: (te[i], k, 0, j)
             ),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, te: (i, j)),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, te, lv: (i, j)),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
     )
     return pl.pallas_call(
@@ -182,7 +206,8 @@ def quantized_matmul_grouped(
             transcendentals=0,
         ),
         interpret=_impl_mode() == "interpret",
-    )(tile_expert.astype(jnp.int32), x, qweight, s_in, zs_in)
+    )(tile_expert.astype(jnp.int32), tile_live.astype(jnp.int32),
+      x, qweight, s_in, zs_in)
 
 
 def pick_grouped_bm(tk: int, n_experts: int) -> int:
@@ -224,7 +249,9 @@ def build_routing(
 
     Returns (tok_rows [Mp] int32 source token per sorted row,
              pos [T, kk] int32 sorted-row of each pair (for the combine
-             gather), tile_expert [Mp//bm] int32, valid [Mp] bool).
+             gather), tile_expert [Mp//bm] int32,
+             tile_live [Mp//bm] int32 — 0 for tiles past the last routed
+             segment (the kernel skips their compute), valid [Mp] bool).
     Rows past an expert's segment are padding: they gather token 0,
     compute garbage under that tile's expert, and are never read back
     (the combine gathers only through ``pos``)."""
@@ -253,10 +280,10 @@ def build_routing(
     pos = jnp.zeros(TK, jnp.int32).at[order].set(dest).reshape(T, kk)
     n_tiles = Mp // bm
     cum = jnp.cumsum(padc)
+    tile_starts = jnp.arange(n_tiles, dtype=padc.dtype) * bm
     tile_expert = jnp.minimum(
-        jnp.searchsorted(
-            cum, jnp.arange(n_tiles, dtype=padc.dtype) * bm, side="right"
-        ),
+        jnp.searchsorted(cum, tile_starts, side="right"),
         n_experts - 1,
     ).astype(jnp.int32)
-    return tok_rows, pos, tile_expert, valid
+    tile_live = (tile_starts < cum[-1]).astype(jnp.int32)
+    return tok_rows, pos, tile_expert, tile_live, valid

@@ -87,9 +87,13 @@ def cp_decode_attention(
         visible = jnp.logical_and(
             visible, kv_pos > cur_pos[:, None] - window
         )
-    qh = q[:, 0].reshape(B, Hkv, gq, D).astype(jnp.float32)
+    # storage-dtype operands + f32 accumulation (the flash/causal
+    # contract): an f32 KV upcast would materialize the whole local shard
+    # per layer per step and run the MXU at ~1/8 rate
+    qh = q[:, 0].reshape(B, Hkv, gq, D)
     s = jnp.einsum(
-        "bhgd,bhtd->bhgt", qh, k_all.astype(jnp.float32)
+        "bhgd,bhtd->bhgt", qh, k_all,
+        preferred_element_type=jnp.float32,
     ) * scale
     if softcap is not None:
         s = softcap * jnp.tanh(s / softcap)
@@ -102,7 +106,10 @@ def cp_decode_attention(
     m_loc = jnp.max(s, axis=-1, keepdims=True)           # [B,Hkv,gq,1]
     p = jnp.where(visible[:, None, None, :], jnp.exp(s - m_loc), 0.0)
     l_loc = jnp.sum(p, axis=-1, keepdims=True)
-    acc_loc = jnp.einsum("bhgt,bhtd->bhgd", p, v_all.astype(jnp.float32))
+    acc_loc = jnp.einsum(
+        "bhgt,bhtd->bhgd", p.astype(v_all.dtype), v_all,
+        preferred_element_type=jnp.float32,
+    )
     m_g = jax.lax.pmax(m_loc, ctx.seq_axis)
     corr = jnp.exp(m_loc - m_g)
     l_g = jax.lax.psum(l_loc * corr, ctx.seq_axis)

@@ -691,11 +691,11 @@ def load_hf_float(model_dir: str, dtype=jnp.bfloat16) -> Tuple[ModelParams, Mode
         # missing tensor named instead of a bare KeyError
         from quick_tpu.models.auto import MODEL_TYPE_MAP
 
-        if cfg.model_type in MODEL_TYPE_MAP:
-            return _import_llama_family(raw, cfg, dtype), cfg
         try:
             return _import_llama_family(raw, cfg, dtype), cfg
         except KeyError as e:
+            if cfg.model_type in MODEL_TYPE_MAP:
+                raise  # mapped llama-family type: a real missing tensor
             raise NotImplementedError(
                 f"model_type '{cfg.model_type}' has no schema importer "
                 f"and its checkpoint does not match the generic llama "

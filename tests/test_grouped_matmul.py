@@ -31,7 +31,7 @@ def test_build_routing_layout():
     rng = np.random.default_rng(0)
     T, kk, E, bm = 13, 2, 5, 8
     sel = rng.integers(0, E, (T, kk))
-    tok_rows, pos, tile_e, valid = _routing_np(sel, E, bm)
+    tok_rows, pos, tile_e, tile_live, valid = _routing_np(sel, E, bm)
     Mp = tok_rows.shape[0]
     assert Mp == grouped_row_budget(T * kk, E, bm) and Mp % bm == 0
     # every (t, k) pair lands on a distinct row whose tile carries its
@@ -45,6 +45,7 @@ def test_build_routing_layout():
             assert valid[r]
             assert tok_rows[r] == t
             assert tile_e[r // bm] == sel[t, k]
+            assert tile_live[r // bm] == 1
     # rows outside `seen` are padding
     assert not any(valid[r] for r in range(Mp) if r not in seen)
 
@@ -53,10 +54,13 @@ def test_build_routing_empty_experts_get_no_tiles():
     """Experts with no routed tokens must own no valid tiles (their
     weights are never DMA'd by the kernel grid)."""
     sel = np.full((4, 2), 3)  # everything routed to expert 3 of 8
-    tok_rows, pos, tile_e, valid = _routing_np(sel, 8, 8)
+    tok_rows, pos, tile_e, tile_live, valid = _routing_np(sel, 8, 8)
     used_tiles = {r // 8 for r in pos.reshape(-1)}
     for t in used_tiles:
         assert tile_e[t] == 3
+        assert tile_live[t] == 1
+    # everything past the one used segment is dead
+    assert tile_live.sum() == 1
 
 
 def test_row_budget_decode_collapses():
@@ -221,3 +225,23 @@ def test_moe_grouped_interpret_kernel(monkeypatch):
         np.asarray(y_kernel, np.float32), np.asarray(y_dense, np.float32),
         atol=2e-2, rtol=2e-2,
     )
+
+
+def test_moe_partially_quantized_uses_fallback():
+    """modules_to_not_convert may keep one expert projection float — the
+    grouped path requires BOTH quantized, so such layers must route to
+    the dense/cond fallbacks instead of crashing on .qweight."""
+    params = init_float_params(MOE_CFG, jax.random.PRNGKey(0))
+    qp = quantize_params(
+        params, MOE_CFG, group_size=32,
+        modules_to_not_convert=["down_proj"],
+    )
+    moe = qp.blocks[0].mlp
+    x = jax.random.normal(
+        jax.random.PRNGKey(7), (2, 24, 128), jnp.float32
+    ).astype(jnp.bfloat16)
+    y = moe_forward(moe, MOE_CFG, x)   # dense einsum fallback
+    assert bool(jnp.isfinite(y).all())
+    x1 = x[:1, :4]
+    y1 = moe_forward(moe, MOE_CFG, x1)  # cond-chain fallback
+    assert bool(jnp.isfinite(y1).all())
