@@ -570,15 +570,19 @@ def _grouped_moe(
     tok_rows, pos, tile_e, tile_live, _ = build_routing(sel, E_local, bm)
     xs = x.reshape(T, D)[tok_rows]  # [Mp, D] expert-sorted tokens
     gup, dnp = p.gate_up_proj, p.down_proj
+    # QUICK_TPU_MOE_A8=1: int8 x int8 expert dots at 2x the MXU rate —
+    # the grouped step is MXU-pass-bound, so this halves the expert-visit
+    # floor at per-row activation-rounding cost (opt-in, quality-gated)
+    a8 = os.environ.get("QUICK_TPU_MOE_A8", "0") == "1"
     gu = quantized_matmul_grouped(
         xs, gup.qweight, gup.scales, gup.zeros_x_scales, tile_e, bm,
-        group_size=gup.group_size, tile_live=tile_live,
+        group_size=gup.group_size, tile_live=tile_live, a8=a8,
     )
     gate, up = jnp.split(gu, 2, axis=-1)
     h = _act(gate, cfg) * up
     yd = quantized_matmul_grouped(
         h, dnp.qweight, dnp.scales, dnp.zeros_x_scales, tile_e, bm,
-        group_size=dnp.group_size, tile_live=tile_live,
+        group_size=dnp.group_size, tile_live=tile_live, a8=a8,
     )
     yg = yd[pos.reshape(-1)].reshape(T, kk, D).astype(jnp.float32)
     y = jnp.sum(yg * w[..., None].astype(jnp.float32), axis=1)

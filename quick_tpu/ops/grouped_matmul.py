@@ -40,6 +40,7 @@ from quick_tpu.ops.quantized_matmul import (
     _impl_mode,
     _pick_bn,
     _pick_gpb,
+    quantize_activations,
     unpack_qtpu_jax,
 )
 
@@ -89,6 +90,59 @@ def _make_grouped_kernel(gpb: int, slab: int, bn: int):
     return kernel
 
 
+def _make_grouped_kernel_a8(gpb: int, slab: int, bn: int):
+    """W4A8 variant of _make_grouped_kernel: activations arrive as
+    per-row INT8 codes and the per-group dot runs int8 x int8 -> int32
+    on the MXU at 2x the bf16 rate — the grouped MoE step is
+    MXU-pass-bound (an expert visit costs a full 128-row weight pass
+    whatever the tile height), so the int8 rate halves the visit floor.
+    The per-row activation scale multiplies OUTSIDE the kernel (a [Mp,1]
+    scale input would pad its lane dim 128x physically — CLAUDE.md):
+
+        out_kernel = sum_g (x8_g @ q8_g) * s_g - rowsum(x8_g) * (z_g*s_g)
+        out        = sx * out_kernel   (XLA-fused epilogue)
+    """
+
+    def kernel(te_ref, live_ref, x_ref, qw_ref, s_ref, zs_ref, o_ref, acc):
+        i = pl.program_id(0)
+        k = pl.program_id(2)
+        live = live_ref[i] != 0
+
+        @pl.when(live)
+        def _():
+            @pl.when(k == 0)
+            def _():
+                acc[:] = jnp.zeros_like(acc)
+
+            part = jnp.zeros_like(acc)
+            for g in range(gpb):
+                qg = qw_ref[0, g * slab : (g + 1) * slab, :]
+                nib = [(qg >> (4 * j)) & 0xF for j in range(PACK)]
+                wg = jnp.concatenate(nib, axis=0).astype(jnp.int8)
+                xg = x_ref[:, g * (slab * PACK) : (g + 1) * (slab * PACK)]
+                y = jnp.dot(xg, wg, preferred_element_type=jnp.int32)
+                xsum = jnp.sum(
+                    xg.astype(jnp.int32), axis=1, keepdims=True
+                ).astype(jnp.float32)
+                part += (
+                    y.astype(jnp.float32) * s_ref[0, g, :, :]
+                    - xsum * zs_ref[0, g, :, :]
+                )
+            acc[:] += part
+
+            @pl.when(k == pl.num_programs(2) - 1)
+            def _():
+                o_ref[:] = acc[:].astype(o_ref.dtype)
+
+        @pl.when(jnp.logical_and(
+            jnp.logical_not(live), k == pl.num_programs(2) - 1
+        ))
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+    return kernel
+
+
 def _grouped_fallback(
     x: jax.Array,            # [Mp, K]
     qweight: jax.Array,      # [E, K//8, N]
@@ -99,38 +153,54 @@ def _grouped_fallback(
     bm: int,
     group_size: int,
     out_dtype,
+    a8: bool = False,
 ) -> jax.Array:
     """lax.map over m-tiles with a dynamic expert gather — the XLA path
     for CPU tests and float-free correctness checks. Same numerics
-    contract as the kernel (integer bf16 codes, f32 accumulation,
-    output-side scaling, factored zp)."""
+    contract as the kernels (integer bf16 — or int8 with per-row
+    activation scales under ``a8`` — dots, f32 accumulation, output-side
+    scaling, factored zp)."""
     Mp, K = x.shape
     N = qweight.shape[-1]
     ng = K // group_size
-    xt = x.astype(jnp.bfloat16).reshape(Mp // bm, bm, K)
+    if a8:
+        xq, sx = quantize_activations(x)
+        xt = xq.reshape(Mp // bm, bm, K)
+    else:
+        xt = x.astype(jnp.bfloat16).reshape(Mp // bm, bm, K)
 
     def one_tile(args):
         xtile, e, live = args
         nib = unpack_qtpu_jax(qweight[e], group_size)
-        nib = nib.reshape(ng, group_size, N).astype(jnp.bfloat16)
+        nib = nib.reshape(ng, group_size, N)
         xg = xtile.reshape(bm, ng, group_size)
-        y = jnp.einsum(
-            "mgk,gkn->gmn", xg, nib, preferred_element_type=jnp.float32
-        )
+        if a8:
+            y = jnp.einsum(
+                "mgk,gkn->gmn", xg, nib.astype(jnp.int8),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            xsum = xg.astype(jnp.int32).sum(-1).astype(jnp.float32)
+        else:
+            y = jnp.einsum(
+                "mgk,gkn->gmn", xg, nib.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            xsum = xg.astype(jnp.float32).sum(-1)
         y = (y * scales[e][:, None, :]).sum(0)
-        xsum = xg.astype(jnp.float32).sum(-1)
         # dead tiles (past the last routed segment) zero out to match the
         # kernel's skip path
         return (y - jnp.dot(xsum, zeros_x_scales[e])) * live
 
     out = jax.lax.map(
         one_tile, (xt, tile_expert, tile_live.astype(jnp.float32))
-    )
-    return out.reshape(Mp, N).astype(out_dtype)
+    ).reshape(Mp, N)
+    if a8:
+        out = out * sx
+    return out.astype(out_dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group_size", "out_dtype", "bm")
+    jax.jit, static_argnames=("group_size", "out_dtype", "bm", "a8")
 )
 def quantized_matmul_grouped(
     x: jax.Array,            # [Mp, K] expert-sorted tokens (bm-tiled)
@@ -144,6 +214,10 @@ def quantized_matmul_grouped(
     tile_live: Optional[jax.Array] = None,  # [Mp//bm] int32 0/1: tiles
     # past the last routed segment skip their unpack/dot work (their
     # rows are never gathered back). None = all live.
+    a8: bool = False,  # per-row INT8 activations: int8 x int8 MXU dots
+    # at 2x the bf16 rate — the grouped MoE step is MXU-pass-bound, so
+    # this halves the expert-visit floor; adds ~0.4%/value activation
+    # rounding. Requires bm % 32 == 0 (int8 sublane tile) and g=128.
 ) -> jax.Array:
     """Ragged multi-expert ``x @ dequant(qweight[e])`` -> [Mp, N] where
     rows ``i*bm:(i+1)*bm`` use expert ``tile_expert[i]``'s weights."""
@@ -156,13 +230,15 @@ def quantized_matmul_grouped(
     assert Mp % bm == 0
     if tile_live is None:
         tile_live = jnp.ones((n_tiles,), jnp.int32)
+    if a8 and (G != 128 or bm % 32):
+        a8 = False
 
     if _impl_mode() == "jnp" or G != 128:
         # small-group MoE (g != 128) stays on the XLA path — the grouped
         # kernel shares the factored form that needs slab >= 8
         return _grouped_fallback(
             x, qweight, scales, zeros_x_scales, tile_expert, tile_live,
-            bm, G, out_dtype,
+            bm, G, out_dtype, a8=a8,
         )
 
     bn = _pick_bn(N)
@@ -170,7 +246,10 @@ def quantized_matmul_grouped(
     if ng % gpb:
         gpb = 1
 
-    x = x.astype(jnp.bfloat16)
+    if a8:
+        x, sx = quantize_activations(x)
+    else:
+        x = x.astype(jnp.bfloat16)
     s_in = scales.reshape(E, ng, 1, N)
     zs_in = zeros_x_scales.reshape(E, ng, 1, N)
 
@@ -192,10 +271,15 @@ def quantized_matmul_grouped(
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, te, lv: (i, j)),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
     )
-    return pl.pallas_call(
-        _make_grouped_kernel(gpb, slab, bn),
+    out = pl.pallas_call(
+        _make_grouped_kernel_a8(gpb, slab, bn) if a8
+        else _make_grouped_kernel(gpb, slab, bn),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        # a8 writes the UNSCALED accumulator — keep it f32 so the per-row
+        # scale epilogue doesn't compound a bf16 pre-scale rounding
+        out_shape=jax.ShapeDtypeStruct(
+            (Mp, N), jnp.float32 if a8 else out_dtype
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "parallel", "arbitrary")
         ),
@@ -208,6 +292,10 @@ def quantized_matmul_grouped(
         interpret=_impl_mode() == "interpret",
     )(tile_expert.astype(jnp.int32), tile_live.astype(jnp.int32),
       x, qweight, s_in, zs_in)
+    if a8:
+        # per-row activation scale: XLA fuses this into the epilogue
+        out = (out.astype(jnp.float32) * sx).astype(out_dtype)
+    return out
 
 
 def pick_grouped_bm(tk: int, n_experts: int) -> int:

@@ -245,3 +245,52 @@ def test_moe_partially_quantized_uses_fallback():
     x1 = x[:1, :4]
     y1 = moe_forward(moe, MOE_CFG, x1)  # cond-chain fallback
     assert bool(jnp.isfinite(y1).all())
+
+
+@pytest.mark.parametrize("mode", ["interpret", "jnp"])
+def test_grouped_a8_matches_golden(monkeypatch, mode):
+    """W4A8 grouped variant (int8 x int8 dots + per-row activation
+    scales): both the kernel (interpret) and the XLA fallback must match
+    the float golden within the activation-rounding budget."""
+    if mode == "interpret":
+        monkeypatch.setenv("QUICK_TPU_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(3)
+    E, K, N, bm = 3, 256, 256, 32
+    qw, s, zs, wdeq = _grouped_case(rng, E, K, N)
+    n_tiles = 4
+    tile_e = np.asarray([0, 2, 1, 1], np.int32)
+    x = (rng.standard_normal((n_tiles * bm, K)) * 0.5).astype(np.float32)
+    out = np.asarray(
+        quantized_matmul_grouped(
+            jnp.asarray(x, jnp.bfloat16), jnp.asarray(qw), jnp.asarray(s),
+            jnp.asarray(zs), jnp.asarray(tile_e), bm, a8=True,
+        ),
+        np.float32,
+    )
+    ref = np.concatenate(
+        [x[i * bm : (i + 1) * bm].astype(np.float32) @ wdeq[tile_e[i]]
+         for i in range(n_tiles)]
+    )
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(out - ref).max() / scale < 3e-2  # + int8 act rounding
+
+
+def test_moe_grouped_a8_close_to_a16(monkeypatch):
+    """QUICK_TPU_MOE_A8 output must stay close to the a16 grouped path on
+    a quantized MoE layer (the activation rounding is the only delta)."""
+    cfg = dataclasses.replace(
+        MOE_CFG, hidden_size=128, moe_intermediate_size=128,
+        intermediate_size=256,
+    )
+    params = init_float_params(cfg, jax.random.PRNGKey(8))
+    qp = quantize_params(params, cfg, group_size=128)
+    moe = qp.blocks[0].mlp
+    x = jax.random.normal(
+        jax.random.PRNGKey(9), (2, 20, 128), jnp.float32
+    ).astype(jnp.bfloat16)
+    y16 = moe_forward(moe, cfg, x)
+    monkeypatch.setenv("QUICK_TPU_MOE_A8", "1")
+    y8 = moe_forward(moe, cfg, x)
+    err = np.abs(np.asarray(y8, np.float32) - np.asarray(y16, np.float32))
+    scale = np.abs(np.asarray(y16, np.float32)).max() + 1e-6
+    assert err.max() / scale < 5e-2
