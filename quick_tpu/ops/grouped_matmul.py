@@ -348,6 +348,21 @@ def build_routing(
     Mp = grouped_row_budget(TK, n_experts, bm)
     e_flat = sel.reshape(TK)
     t_flat = jnp.arange(TK, dtype=jnp.int32) // kk
+    if TK <= n_experts:
+        # decode-sized batches: the row budget is exactly TK tiles
+        # (TK*bm <= TK + E*(bm-1)), so every (token, slot) pair can own
+        # its own tile directly — no sort, no bincount, no searchsorted.
+        # The sort-based path's small ops cost ~80 us/layer on TPU
+        # (x24 layers ~= half the qwen15moe bs=1 step); this path is
+        # reshapes only. Duplicate experts across pairs just stream that
+        # expert's weights once per owning tile, same as a 1-row segment.
+        assert Mp == TK * bm
+        tok_rows = jnp.repeat(t_flat, bm)  # every row of tile i gathers
+        # token t_i; only row 0 is ever read back
+        pos = (jnp.arange(TK, dtype=jnp.int32) * bm).reshape(T, kk)
+        valid = (jnp.arange(Mp, dtype=jnp.int32) % bm) == 0
+        tile_live = jnp.ones((TK,), jnp.int32)
+        return tok_rows, pos, e_flat, tile_live, valid
     # composite key = expert * TK + pair-index: unique, so the sort is
     # deterministic and stable without relying on argsort stability
     # (int32 is safe: E * TK tops out well under 2^31 at serving shapes)

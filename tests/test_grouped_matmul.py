@@ -52,15 +52,33 @@ def test_build_routing_layout():
 
 def test_build_routing_empty_experts_get_no_tiles():
     """Experts with no routed tokens must own no valid tiles (their
-    weights are never DMA'd by the kernel grid)."""
-    sel = np.full((4, 2), 3)  # everything routed to expert 3 of 8
+    weights are never DMA'd by the kernel grid). TK > E so the
+    sort-based path (not the trivial decode path) is exercised."""
+    sel = np.full((5, 2), 3)  # everything routed to expert 3 of 8
     tok_rows, pos, tile_e, tile_live, valid = _routing_np(sel, 8, 8)
     used_tiles = {r // 8 for r in pos.reshape(-1)}
     for t in used_tiles:
         assert tile_e[t] == 3
         assert tile_live[t] == 1
-    # everything past the one used segment is dead
-    assert tile_live.sum() == 1
+    # 10 routed rows pad to two 8-row tiles; everything past is dead
+    assert tile_live.sum() == 2
+
+
+def test_build_routing_trivial_decode_path():
+    """TK <= E: every pair owns its own tile (no sort machinery); the
+    combine gather and token sources must still be exact."""
+    rng = np.random.default_rng(5)
+    T, kk, E, bm = 2, 2, 16, 8
+    sel = rng.integers(0, E, (T, kk))
+    tok_rows, pos, tile_e, tile_live, valid = _routing_np(sel, E, bm)
+    assert tok_rows.shape[0] == T * kk * bm
+    assert tile_live.sum() == T * kk
+    for t in range(T):
+        for k in range(kk):
+            r = pos[t, k]
+            assert valid[r]
+            assert tok_rows[r] == t
+            assert tile_e[r // bm] == sel[t, k]
 
 
 def test_row_budget_decode_collapses():
