@@ -627,6 +627,10 @@ def _pick_tiles_decode(N: int, ng: int, slab: int):
         key = ((N // bn) * (ng // gpb), ng // gpb, -bn)
         if best is None or key < best[0]:
             best = (key, bn, gpb)
+    if best is None:
+        # N has no 128-multiple divisor (e.g. MLA's kv_a N=576): defer to
+        # the generic _pick_bn/_pick_gpb path
+        return None, None
     return best[1], best[2]
 
 

@@ -52,6 +52,20 @@ SHAPES = {
                       moe_intermediate_size=1408,
                       shared_intermediate_size=5632,
                       model_type="qwen2_moe"),
+    # DeepSeek-V2-Lite geometry (vocab clipped 102k->32k): 15.7B total /
+    # 2.4B active — MLA latent-cache attention AND DeepSeekMoE (64 routed
+    # top-6 + 2 shared experts, first layer dense) in one e2e row.
+    "dsv2lite": dict(vocab_size=32768, hidden_size=2048,
+                     intermediate_size=10944, num_hidden_layers=27,
+                     num_attention_heads=16, num_key_value_heads=16,
+                     max_position_embeddings=4096,
+                     num_local_experts=64, num_experts_per_tok=6,
+                     moe_intermediate_size=1408, n_shared_experts=2,
+                     first_k_dense_replace=1, kv_lora_rank=512,
+                     # direct-config MLA needs the derived dims explicit
+                     # (from_hf_config sets them for real checkpoints)
+                     head_dim=192, rotary_dim=64,
+                     model_type="deepseek_v2"),
 }
 
 def main():
