@@ -24,6 +24,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quant_path", required=True)
     ap.add_argument("--prompts", help="file with one prompt per line")
+    ap.add_argument("--prompt_ids", help="comma-separated token-id prompts "
+                    "separated by ';' — hermetic smoke runs without any "
+                    "tokenizer on disk")
     ap.add_argument("--max_slots", type=int, default=8)
     ap.add_argument("--max_seq", type=int, default=2048)
     ap.add_argument("--page_size", type=int, default=64)
@@ -32,8 +35,10 @@ def main():
     args = ap.parse_args()
 
     model = AutoQuickModel.from_quantized(args.quant_path)
-    tok = model.tokenizer
-    if args.prompts:
+    tok = None if args.prompt_ids else model.tokenizer
+    if args.prompt_ids:
+        prompts = [p for p in args.prompt_ids.split(";") if p.strip()]
+    elif args.prompts:
         with open(args.prompts) as f:
             prompts = [ln.rstrip("\n") for ln in f if ln.strip()]
     else:
@@ -47,8 +52,13 @@ def main():
     )
     uids = {}
     for p in prompts:
-        ids = tok.encode(p)
-        uids[eng.submit(ids, args.max_new_tokens, tok.eos_token_id)] = p
+        if tok is None:
+            ids = [int(t) for t in p.split(",")]
+            eos = None
+        else:
+            ids = tok.encode(p)
+            eos = tok.eos_token_id
+        uids[eng.submit(ids, args.max_new_tokens, eos)] = p
 
     t0 = time.time()
     done = 0
@@ -57,7 +67,12 @@ def main():
         eng.step()
         for uid in list(eng.finished):
             if uid in uids:
-                text = tok.decode(eng.finished[uid], skip_special_tokens=True)
+                out_ids = eng.finished[uid]
+                text = (
+                    tok.decode(out_ids, skip_special_tokens=True)
+                    if tok is not None
+                    else " ".join(str(int(t)) for t in out_ids)
+                )
                 n_tokens += len(eng.finished[uid])
                 done += 1
                 print(f"--- [{done}/{len(prompts)}] {uids.pop(uid)!r}\n{text}\n")

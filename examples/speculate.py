@@ -30,26 +30,42 @@ from quick_tpu.runtime import speculative_generate
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True, help="quantized checkpoint dir")
-    ap.add_argument("--tokenizer", required=True, help="HF tokenizer dir")
+    ap.add_argument("--tokenizer", help="HF tokenizer dir (omit with "
+                    "--prompt_ids for a tokenizer-free run)")
     ap.add_argument("--prompt", default="def fibonacci(n):")
+    ap.add_argument("--prompt_ids", help="comma-separated token ids — "
+                    "hermetic smoke runs without any tokenizer on disk")
     ap.add_argument("--max_new_tokens", type=int, default=128)
     ap.add_argument("--draft_len", type=int, default=4)
     ap.add_argument("--ngram", type=int, default=3)
     args = ap.parse_args()
 
-    from transformers import AutoTokenizer
+    tok = None
+    if args.prompt_ids:
+        ids = jnp.asarray(
+            [[int(t) for t in args.prompt_ids.split(",")]], jnp.int32
+        )
+    else:
+        if not args.tokenizer:
+            ap.error("need --tokenizer (or --prompt_ids)")
+        from transformers import AutoTokenizer
 
-    tok = AutoTokenizer.from_pretrained(args.tokenizer)
+        tok = AutoTokenizer.from_pretrained(args.tokenizer)
+        ids = None
     model = AutoQuickModel.from_quantized(args.model)
-    ids = jnp.asarray([tok.encode(args.prompt)], jnp.int32)
+    if ids is None:
+        ids = jnp.asarray([tok.encode(args.prompt)], jnp.int32)
 
     t0 = time.perf_counter()
     out, stats = speculative_generate(
         model.params, model.cfg, ids, args.max_new_tokens,
         draft_len=args.draft_len, ngram=args.ngram,
-        eos_token_id=tok.eos_token_id, return_stats=True,
+        eos_token_id=tok.eos_token_id if tok else None, return_stats=True,
     )
-    text = tok.decode(list(out[0]))
+    text = (
+        tok.decode(list(out[0])) if tok
+        else " ".join(str(int(t)) for t in out[0])
+    )
     dt = time.perf_counter() - t0
     print(text)
     steps = int(stats["model_steps"])
